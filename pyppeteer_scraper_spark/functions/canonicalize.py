@@ -1,0 +1,123 @@
+"""URL canonicalization + hashing — Arrow-vectorized, oracle-shared.
+
+The reference builds URLs by f-string concatenation with no
+normalization (/root/reference/scraper/home_depo.py:212,
+/root/reference/scraper/library_event.py:89-92); a frontier at
+10^10-URL scale must instead collapse duplicate URL spellings
+(trailing slash, tracking params, case-variant hosts) to one canonical
+form before dedup, or the seen-set balloons.
+
+Two implementations of the SAME rule set:
+
+- ``canonicalize_series``: vectorized pandas (``.str`` ops only — C
+  regex engine under the hood, no per-row Python), used inside the
+  engine's pandas UDF;
+- ``canonicalize_url``: single-URL wrapper used by the pure-Python
+  parity oracle, defined AS the series version on a 1-row series, so
+  engine and oracle can never diverge.
+
+``url_hash`` is Spark's built-in ``xxhash64`` (JVM-side, codegen'd) —
+the murmur-class 64-bit hash of the north rule.  Parity with the
+oracle is checked on canonical URL *strings* (strictly stronger than
+hash parity); the hash is an engine-internal join/partition key.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Tracking parameters stripped during canonicalization (public
+# convention: Google Analytics / click-id params).
+_TRACKING_PARAM_RE = r"(?:utm_[A-Za-z_]*|fbclid|gclid|msclkid)=[^&#]*"
+
+
+def canonicalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized canonicalization. Rules, in order:
+
+    1. trim surrounding whitespace
+    2. drop the fragment (``#...``)
+    3. lowercase scheme and host
+    4. strip default ports (``:80`` for http, ``:443`` for https)
+    5. strip tracking query params (utm_*, fbclid, gclid, msclkid);
+       drop a query separator left empty
+    6. strip trailing slashes at the end of the path
+    """
+    s = s.astype("string").fillna("")
+    s = s.str.strip()
+    s = s.str.replace(r"#.*$", "", regex=True)
+
+    # Split into scheme, host[:port], rest.
+    parts = s.str.extract(r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$")
+    has_scheme = parts["scheme"].notna()
+    scheme = parts["scheme"].str.lower()
+    host = parts["host"].str.lower()
+    rest = parts["rest"].fillna("")
+
+    # Default-port stripping, conditional on scheme.
+    http_mask = has_scheme & (scheme == "http")
+    https_mask = has_scheme & (scheme == "https")
+    host = host.mask(http_mask, host.str.replace(r":80$", "", regex=True))
+    host = host.mask(https_mask, host.str.replace(r":443$", "", regex=True))
+
+    # Tracking-param removal (run twice for adjacent params), then tidy
+    # dangling separators.
+    rest = rest.str.replace(_TRACKING_PARAM_RE + r"&", "", regex=True)
+    rest = rest.str.replace(_TRACKING_PARAM_RE + r"&", "", regex=True)
+    rest = rest.str.replace(r"[?&]" + _TRACKING_PARAM_RE, "", regex=True)
+    rest = rest.str.replace(r"\?&", "?", regex=True)
+    rest = rest.str.replace(r"[?&]$", "", regex=True)
+
+    # Trailing-slash normalization on the path component.
+    rest = rest.str.replace(r"/+(\?|$)", r"\1", regex=True)
+
+    rebuilt = scheme.fillna("") + "://" + host.fillna("") + rest
+    out = s.mask(has_scheme, rebuilt)
+    return out.astype("string")
+
+
+def canonicalize_url(url: str) -> str:
+    """Single-URL canonicalization for the parity oracle — delegates to
+    the vectorized implementation so the two can never diverge."""
+    return str(canonicalize_series(pd.Series([url])).iloc[0])
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return canonicalize_series(urls).astype(object)
+
+
+def host_of(col):
+    """Host of a canonical URL — JVM-side (parse_url is codegen'd)."""
+    return F.lower(F.parse_url(col, F.lit("HOST")))
+
+
+def domain_of(col):
+    """Registrable-domain approximation: last two host labels.  The
+    synthetic universe uses single-label + TLD hosts, so this is exact
+    there; on real data swap in a public-suffix-list UDF."""
+    host = host_of(col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+    ).otherwise(host)
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "url"
+) -> DataFrame:
+    """Add canonical url + url_hash + host + domain columns.
+
+    The canonicalize step is the only Python in the path (one Arrow
+    batch per 10k rows); hash/host/domain stay JVM-side.
+    """
+    return (
+        df.withColumn(out_col, canonicalize_udf(F.col(url_col)))
+        .withColumn("url_hash", F.xxhash64(F.col(out_col)))
+        .withColumn("host", host_of(F.col(out_col)))
+        .withColumn("domain", domain_of(F.col(out_col)))
+    )

@@ -1,0 +1,70 @@
+"""SparkSession construction tuned for the sandbox (local[N], 128 GiB).
+
+Design-for-scale notes: every config here also makes sense on a real
+multi-executor cluster — AQE for runtime re-planning (skew joins,
+partition coalescing), Arrow for the pandas-UDF boundary, UTC session
+timezone for deterministic date semantics (the reference's wall-clock
+reads, e.g. /root/reference/scraper/home_depo.py:173, become explicit
+round timestamps instead).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pyppeteer_scraper_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``.  Shuffle
+    partitions default to the core count — on a real cluster this would
+    be ~2-3x total executor cores; AQE coalesces the excess either way.
+    """
+    # Make the package importable inside Spark's Python workers even
+    # when the driver script runs from another cwd.  Local-mode workers
+    # inherit the driver's environment, not its sys.path; on a real
+    # cluster this is what `spark-submit --py-files` does instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(":"):
+        os.environ["PYTHONPATH"] = f"{repo_root}:{existing}" if existing else repo_root
+
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores == "*" else max(int(cores), 4)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,274 @@
+"""Deterministic synthesis of the crawl tables (pages / seeds / robots)
+from the driver-provided ``documents`` table — FIXTURES.md §1-4.
+
+Everything is a pure column expression over ``documents.parquet`` (no
+randomness, no wall clock), so the same sf_dir always yields the same
+tables and the parity oracle can read the written parquet back.
+
+Shape (FIXTURES.md §1):
+- hosts: Zipf-ish over ~200 synthetic domains with ONE deliberate
+  mega-host holding ~30% of rows (skew-salting exercise);
+- duplicate-variant URLs (trailing ``/``, ``?utm_source=x``, uppercase
+  host) that must canonicalize to the same url_hash;
+- html embeds a title, outlinks into the same URL universe (some
+  dangling), body text, and — for ~5% of rows — a JSON payload in the
+  reference's workshop fixture shape
+  (/root/reference/tests/homedepot_sample_response.json), with the
+  variant matrix of the reference e2e tests
+  (/root/reference/tests/test_home_depot_e2e.py:489-597: seats=0,
+  type=DIY, status=CLOSED, 08:30 vs 10:30 start).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEGA_HOST = "mega-host.example"
+N_SITES = 197
+BASE_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+PAYLOAD_MOD = 20  # doc_id % 20 == 7 → embedded workshop payload (~5%)
+
+
+def _host_expr(doc_id):
+    """~30% of rows on the mega-host, rest spread over N_SITES domains."""
+    return F.when(F.pmod(doc_id, F.lit(10)) < 3, F.lit(MEGA_HOST)).otherwise(
+        F.concat(
+            F.lit("site-"),
+            F.pmod(F.pmod(doc_id, F.lit(997)), F.lit(N_SITES)).cast("string"),
+            F.lit(".example"),
+        )
+    )
+
+
+def _url_expr(doc_id):
+    return F.concat(F.lit("https://"), _host_expr(doc_id), F.lit("/p"), doc_id.cast("string"))
+
+
+def _workshop_payload_expr(doc_id):
+    """Reference-fixture-shaped JSON, variant by doc_id % 5:
+    0: sold out   1: DIY type   2: CLOSED status
+    3: open KID @08:30 with 5 seats taken (→ auto-register rule fires)
+    4: open KID @10:30 (→ alert only; 08:30 rule fails)
+    """
+    variant = F.pmod(doc_id, F.lit(5))
+    remaining = (
+        F.when(variant == 0, F.lit(0))
+        .when(variant == 3, F.lit(15))
+        .otherwise(F.lit(12))
+    )
+    start_hm = F.when(variant == 4, F.lit("10:30")).otherwise(F.lit("08:30"))
+    event = F.struct(
+        F.concat(F.lit("EV"), doc_id.cast("string")).alias("code"),
+        F.concat(F.lit("KW"), F.lpad(F.pmod(doc_id, F.lit(100)).cast("string"), 4, "0")).alias(
+            "workshopId"
+        ),
+        F.lit(20).alias("attendeeLimit"),
+        remaining.alias("remainingSeats"),
+        F.lit("1 hour").alias("duration"),
+        F.lit("2026-03-13").alias("closeDate"),
+        F.lit("2026-03-14T12:00:00-0400").alias("endTime"),
+        F.lit("2026-03-14").alias("eventDate"),
+        F.concat(F.lit("2026-03-14T"), start_hm, F.lit(":00-0400")).alias("startTime"),
+        F.when(variant == 2, F.lit("CLOSED")).otherwise(F.lit("ACTIVE")).alias(
+            "workshopStatus"
+        ),
+        F.when(variant == 1, F.lit("DIY")).otherwise(F.lit("KID")).alias("workshopType"),
+        F.struct(
+            F.lit("ics").alias("code"), F.lit("https://x.example/ics").alias("url")
+        ).alias("icsFile"),
+        F.struct(
+            F.concat(F.lit("WE"), F.pmod(doc_id, F.lit(50)).cast("string")).alias(
+                "workshopEventId"
+            ),
+            F.concat(F.lit("ET"), F.pmod(doc_id, F.lit(50)).cast("string")).alias("code"),
+            F.concat(F.lit("Workshop "), F.pmod(doc_id, F.lit(50)).cast("string")).alias(
+                "name"
+            ),
+            F.lit("WS").alias("shortCode"),
+            F.lit("desc").alias("description"),
+            F.lit("know").alias("thingsToKnow"),
+            F.lit("https://x.example/img").alias("imageUrl"),
+            F.struct(
+                F.lit("ph").alias("code"), F.lit("https://x.example/ph").alias("url")
+            ).alias("photo"),
+        ).alias("eventType"),
+    )
+    return F.to_json(
+        F.struct(
+            F.array(event).alias("workshopEventWsDTO"),
+            F.lit(False).alias("dihFlag"),
+            F.lit(False).alias("diyFlag"),
+            F.lit(True).alias("kidFlag"),
+        )
+    )
+
+
+def generate_pages(documents: DataFrame, n_docs: int) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) — one row per document plus
+    duplicate-variant rows for doc_id % 20 == 0."""
+    d = F.col("doc_id")
+    n = F.lit(n_docs)
+
+    link1 = _url_expr(F.pmod(d * 7 + 1, n))
+    # Every 4th page spells its second outlink with a tracking param —
+    # must canonicalize onto the plain spelling.
+    link2_base = _url_expr(F.pmod(d * 13 + 3, n))
+    link2 = F.when(
+        F.pmod(d, F.lit(4)) == 0, F.concat(link2_base, F.lit("?utm_source=x"))
+    ).otherwise(link2_base)
+    link3 = _url_expr(F.pmod(d * 31 + 5, n))
+    dangling = F.when(
+        F.pmod(d, F.lit(5)) == 0,
+        F.concat(
+            F.lit('<a href="https://dangling-'),
+            d.cast("string"),
+            F.lit('.example/x">dx</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    payload = F.when(
+        F.pmod(d, F.lit(PAYLOAD_MOD)) == 7,
+        F.concat(
+            F.lit('<script type="application/json">'),
+            _workshop_payload_expr(d),
+            F.lit("</script>"),
+        ),
+    ).otherwise(F.lit(""))
+
+    html_str = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d.cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="'),
+        link1,
+        F.lit('">l1</a><a href="'),
+        link2,
+        F.lit('">l2</a><a href="'),
+        link3,
+        F.lit('">l3</a>'),
+        dangling,
+        payload,
+        F.lit("</body></html>"),
+    )
+
+    base = documents.select(
+        _url_expr(d).alias("url"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH) + d).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+    # Duplicate-variant spellings of every 20th page (same content);
+    # all three collapse onto the base row's canonical URL.
+    dup_src = documents.filter(F.pmod(d, F.lit(PAYLOAD_MOD)) == 0)
+    variants = []
+    for suffix_expr in (
+        F.concat(_url_expr(d), F.lit("/")),
+        F.concat(_url_expr(d), F.lit("?utm_source=x")),
+        F.concat(
+            F.lit("https://"),
+            F.upper(_host_expr(d)),
+            F.lit("/p"),
+            d.cast("string"),
+        ),
+    ):
+        variants.append(
+            dup_src.select(
+                suffix_expr.alias("url"),
+                F.timestamp_seconds(F.lit(BASE_EPOCH) + d).alias("warc_ts"),
+                F.encode(html_str, "UTF-8").alias("html"),
+                F.col("text").alias("text"),
+                F.col("lang").alias("lang"),
+            )
+        )
+    out = base
+    for v in variants:
+        out = out.unionByName(v)
+    return out
+
+
+def generate_seeds(documents: DataFrame, n_docs: int) -> DataFrame:
+    """~50 seed URLs sampled deterministically; priority 0/1 mirrors the
+    reference's hourly vs daily cron tiers
+    (/root/reference/.github/workflows/*.yml)."""
+    stride = max(1, n_docs // 50)
+    d = F.col("doc_id")
+    return (
+        documents.filter(F.pmod(d, F.lit(stride)) == 0)
+        .orderBy(d)
+        .limit(50)
+        .select(
+            _url_expr(d).alias("url"),
+            F.pmod(d, F.lit(2)).cast("int").alias("priority"),
+        )
+    )
+
+
+def generate_robots(pages: DataFrame) -> DataFrame:
+    """robots_rules(domain, allow, crawl_delay_ms, max_per_round).
+
+    Reference analog: the `scrapers.is_active` gate
+    (/root/reference/scraper/canada_ircc.py:63-74) + per-scraper cron
+    budgets (/root/reference/docs/CRON_SCHEDULE_RECOMMENDATIONS.md).
+    ~5% of domains disallowed; the mega-host gets a deliberately tight
+    per-round cap so the politeness bucket visibly throttles; domains
+    with hash%13==0 get cap 1 (the once-per-day-alert parity tier,
+    /root/reference/scraper/home_depo.py:171-179).
+    """
+    from pyppeteer_scraper_spark.functions.canonicalize import domain_of
+
+    domains = pages.select(domain_of(F.col("url")).alias("domain")).distinct()
+    h = F.xxhash64(F.col("domain"))
+    return domains.select(
+        F.col("domain"),
+        (F.pmod(h, F.lit(20)) != 0).alias("allow"),
+        F.when(F.col("domain") == MEGA_HOST, F.lit(1000))
+        .otherwise(F.lit(100))
+        .cast("long")
+        .alias("crawl_delay_ms"),
+        F.when(F.col("domain") == MEGA_HOST, F.lit(8))
+        .when(F.pmod(h, F.lit(13)) == 0, F.lit(1))
+        .otherwise(F.lit(4))
+        .cast("int")
+        .alias("max_per_round"),
+    )
+
+
+def generate_crawl_tables(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> dict[str, DataFrame]:
+    """Synthesize {pages, seeds, robots} from ``{sf_dir}/documents.parquet``.
+
+    If ``out_dir`` is given the tables are persisted as parquet
+    (pages bucket-partitioned by host hash — the Iceberg
+    ``bucket(host)`` layout of FIXTURES.md §1) and re-read, so
+    downstream plans get real parquet scans with pushdown.
+    """
+    documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = documents.count()
+    pages = generate_pages(documents, n_docs)
+    seeds = generate_seeds(documents, n_docs)
+    robots = generate_robots(pages)
+    if out_dir:
+        pages_path = os.path.join(out_dir, "pages")
+        seeds_path = os.path.join(out_dir, "seeds")
+        robots_path = os.path.join(out_dir, "robots_rules")
+        (
+            pages.withColumn(
+                "host_bucket", F.pmod(F.xxhash64(F.lower(F.parse_url("url", F.lit("HOST")))), F.lit(16))
+            )
+            .repartition(16, "host_bucket")
+            .write.mode("overwrite")
+            .partitionBy("host_bucket")
+            .parquet(pages_path)
+        )
+        seeds.write.mode("overwrite").parquet(seeds_path)
+        robots.write.mode("overwrite").parquet(robots_path)
+        pages = spark.read.parquet(pages_path).drop("host_bucket")
+        seeds = spark.read.parquet(seeds_path)
+        robots = spark.read.parquet(robots_path)
+    return {"pages": pages, "seeds": seeds, "robots": robots}
