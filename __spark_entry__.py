@@ -1,38 +1,68 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl (2 scheduler rounds over the
+synthetic Common-Crawl-style pages derived from sf0.001) and returns
+the extracted-page DataFrame of the final round.
+
+``queries()`` / ``oracle_sql()`` expose every SQL-expressible operator
+from SURVEY.md §2 over the driver's parquet tables, checked against
+DuckDB at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ensure_pythonpath() -> None:
+    existing = os.environ.get("PYTHONPATH", "")
+    if _REPO not in existing.split(":"):
+        os.environ["PYTHONPATH"] = f"{_REPO}:{existing}" if existing else _REPO
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ensure_pythonpath()
+    from pyppeteer_scraper_spark.plans.checkpoint import crawl
+    from pyppeteer_scraper_spark.plans.extract import extract_pages
+    from pyppeteer_scraper_spark.plans.round import prepare_pages
+    from pyppeteer_scraper_spark.sources.datagen import generate_crawl_tables
+
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = generate_crawl_tables(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="frontier_ckpt_")
+    result = crawl(
+        spark, t["pages"], t["seeds"], t["robots"], n_rounds=2, ckpt_dir=ckpt
+    )
+    fetched = result.state.frontier.filter(F.col("state") == "fetched").select("url")
+    pp = prepare_pages(t["pages"])
+    return extract_pages(pp.join(fetched, "url")).select(
+        "url", "title", "text", "lang", F.size("links").alias("n_links")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    _ensure_pythonpath()
+    from pyppeteer_scraper_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins of ``queries()``."""
+    _ensure_pythonpath()
+    from pyppeteer_scraper_spark.plans.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

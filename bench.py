@@ -1,0 +1,143 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs (a) the frontier scheduler (the engine's headline metric:
+URLs scheduled+deduped/sec) and (b) the headline analytical queries,
+at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+Output shape:
+  {"metric": "bench_total", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": "...",
+   "frontier_urls_per_sec": N, "frontier_urls_scheduled": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline subset of the registry (scan/agg/join + training-data ops).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "d3_daily_rate_limit",
+    "t4_topk_per_group",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "text_lang_id",
+    "text_quality_score",
+]
+
+BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+
+
+def force(df) -> int:
+    """Fully execute a plan without driver-side collect."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def bench_frontier(spark, sf_dir: str) -> dict:
+    """Time BENCH_ROUNDS scheduler rounds with politeness caps opened
+    up (the caps measure manners, not throughput)."""
+    from pyppeteer_scraper_spark.plans.checkpoint import crawl
+    from pyppeteer_scraper_spark.sources.datagen import (
+        generate_pages,
+        generate_robots,
+        generate_seeds,
+    )
+
+    documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_base = documents.count()
+    # Replicate the URL universe so per-round parallelizable work
+    # (canonicalize/extract/join over ~10^5 pages) dominates fixed
+    # per-job overhead — the regime a real cluster runs in.
+    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "20"))
+    docs_rep = documents.crossJoin(
+        spark.range(rep).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * n_base).alias("doc_id"), "text", "lang"
+    )
+    n_docs = n_base * rep
+    pages = generate_pages(docs_rep, n_docs)
+    # Large seed set + open politeness caps: measure scheduling
+    # throughput, not manners.
+    seeds = generate_seeds(docs_rep, n_docs, n_seeds=max(50, n_docs // 2))
+    cap = 1_000_000_000
+    robots = generate_robots(pages, mega_cap=cap, default_cap=cap, parity_cap=cap)
+
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
+    try:
+        t0 = time.time()
+        result = crawl(spark, pages, seeds, robots, BENCH_ROUNDS, ckpt)
+        elapsed = time.time() - t0
+        scheduled = result.state.url_seen.count()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "frontier_seconds": round(elapsed, 3),
+        "frontier_rounds": BENCH_ROUNDS,
+        "frontier_universe_pages": n_docs,
+        "frontier_urls_scheduled": scheduled,
+        "frontier_urls_per_sec": round(scheduled / elapsed, 2),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyppeteer_scraper_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus)
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    queries = mod.queries()
+
+    # Warm up the session (JVM/codegen/Python-worker spin-up) so the
+    # first timed query isn't charged for it.
+    force(queries["q6_forecast_revenue"](spark, sf_dir))
+
+    t_total = time.time()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+
+    frontier = bench_frontier(spark, sf_dir)
+    total = round(time.time() - t_total, 3)
+
+    out = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "cpus": cpus,
+        **frontier,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

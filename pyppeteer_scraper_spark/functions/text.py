@@ -1,0 +1,122 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, fingerprinting.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python per row.  The rolling-hash
+fingerprint is the one pandas-UDF exception (vectorized numpy).
+
+These generalize the reference's text handling (lowercase/contains
+filtering, /root/reference/scraper/home_depo.py:149-153; splitlines
+token picks, scraper2.py:75-87) to corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Tiny per-language stopword inventories for the n-gram heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "ein", "nicht"],
+}
+
+# BPE-ish pre-tokenizer: word pieces, numbers, single punctuation.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(col, r"\s+")).cast("long")
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Token count under a BPE-style pre-tokenization regex."""
+    return F.regexp_count(col, F.lit(BPE_ISH_RE)).cast("long")
+
+
+def lang_scores(col) -> dict[str, Column]:
+    """Per-language stopword-hit counts (word-boundary matches)."""
+    out = {}
+    for lang, words in STOPWORDS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.regexp_count(F.lower(col), F.lit(pat)).cast("long")
+    return out
+
+
+def lang_id(col) -> Column:
+    """Argmax language with deterministic tie-break en > fr > de > und."""
+    s = lang_scores(col)
+    best = F.greatest(*s.values())
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def quality_features(col) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features (Gopher-style
+    quality heuristics, public C4/Gopher filtering recipes)."""
+    n_chars = F.length(col).cast("long")
+    n_tokens = ws_token_count(col)
+    n_punct = F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]")).cast("long")
+    n_stop = F.regexp_count(
+        F.lower(col), F.lit(r"\b(" + "|".join(STOPWORDS["en"]) + r")\b")
+    ).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6),
+        "mean_token_len": F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6),
+    }
+
+
+def quality_score(col) -> Column:
+    """Scalar quality score in [0,1]: rewards mid-length docs with some
+    stopwords and low punctuation density."""
+    f = quality_features(col)
+    length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * 5, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(f["punct_ratio"] * 10, F.lit(1.0))
+    return F.round((length_term + stop_term + punct_term) / 3, 6)
+
+
+def fingerprint_md5(col) -> Column:
+    """Content fingerprint (exact-dup key)."""
+    return F.md5(col)
+
+
+# --- rolling polynomial hash (Rabin-Karp style), vectorized numpy ----------
+
+_ROLL_BASE = np.uint64(1099511628211)
+_ROLL_INIT = np.uint64(14695981039346656037)
+
+
+def rolling_hash_series(s: pd.Series) -> pd.Series:
+    """FNV-1a-style rolling hash over UTF-8 bytes, vectorized per batch
+    (bounded loop over byte positions, numpy over rows)."""
+    b = s.fillna("").astype(str).str.encode("utf-8")
+    maxlen = int(b.str.len().max() or 0)
+    arr = np.zeros(len(b), dtype=np.uint64) + _ROLL_INIT
+    if maxlen:
+        # pad to a fixed-width byte matrix, then fold column-by-column
+        mat = np.zeros((len(b), maxlen), dtype=np.uint8)
+        for i, bs in enumerate(b):  # row fill; cheap relative to hashing
+            mat[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+        lens = b.str.len().to_numpy()
+        for j in range(maxlen):
+            active = lens > j
+            arr[active] = (arr[active] ^ mat[active, j].astype(np.uint64)) * _ROLL_BASE
+    return pd.Series(arr.view(np.int64), index=s.index)
+
+
+@F.pandas_udf(T.LongType())
+def rolling_hash_udf(s: pd.Series) -> pd.Series:
+    return rolling_hash_series(s)

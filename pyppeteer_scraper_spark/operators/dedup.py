@@ -1,0 +1,240 @@
+"""Deduplication operators for web-text corpora, Spark-first.
+
+The reference dedups one record at a time against a JSON seen-set
+(/root/reference/scraper/home_depo.py:472-491); a 100 TB corpus needs
+the full family: exact (hash groupBy), MinHash+LSH banding, SimHash,
+and n-gram Jaccard — each expressed with built-in JVM-side operators
+(explode → hash → groupBy/min → band-bucket self-join), no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups keyed by md5(text): canonical id = min id.
+
+    Output: (fp, canonical_id, n_dups).  Scale note: a groupBy on the
+    128-bit fingerprint — uniform keys, no skew, map-side partial agg.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs of k-word shingles — JVM-side via split +
+    transform over positions + explode."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    return (
+        df.select(F.col(id_col), F.explode(F.transform(idxs, shingle)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, n_perm: int = 64
+) -> DataFrame:
+    """(id, perm, minhash): n_perm independent permutations simulated by
+    seeding xxhash64 with the permutation index (all codegen'd; the
+    classic MinHash construction from Broder '97)."""
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
+    return (
+        shingles.select(id_col, F.col("shingle"), perms)
+        .select(
+            id_col,
+            "perm",
+            F.xxhash64(F.col("shingle"), F.col("perm")).alias("h"),
+        )
+        .groupBy(id_col, "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding, verified by
+    estimated Jaccard (fraction of agreeing minhashes).
+
+    Pipeline: shingle → minhash (n_perm) → band signature (md5 of the
+    band's minhash vector) → self-join on (band, signature) → estimate
+    jaccard from full signatures → filter ≥ threshold.
+
+    Output: (a, b, jaccard_est) with a < b.  Scale notes: the band
+    self-join is an equi-join on uniformly-distributed signatures (no
+    skew); true duplicates cluster in small buckets, so the join
+    output stays near-linear in the duplicate count.
+    """
+    rows_per_band = n_perm // bands
+    sig = minhash_signatures(word_shingles(df, text_col, id_col, k), id_col, n_perm)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.struct("perm", "minhash")))
+                    .cast("array<string>")
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = banded.select(F.col(id_col).alias("a"), "band", "band_sig")
+    b = banded.select(F.col(id_col).alias("b"), "band", "band_sig")
+    candidates = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("a"), "perm", F.col("minhash").alias("ma"))
+    sb = sig.select(F.col(id_col).alias("b"), "perm", F.col("minhash").alias("mb"))
+    est = (
+        candidates.join(sa, "a")
+        .join(sb, ["b", "perm"])
+        .groupBy("a", "b")
+        .agg(
+            F.round(F.avg((F.col("ma") == F.col("mb")).cast("double")), 6).alias(
+                "jaccard_est"
+            )
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+    return est
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash (Charikar '02): per-token hash, bitwise weighted
+    majority vote, reassembled to one long.  Entirely JVM-side: explode
+    tokens → xxhash64 → per-bit ±1 sums via shiftright/&1 → sign bits.
+
+    Output: (id, simhash).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs under Hamming distance ≤ max_hamming using the
+    block-permutation trick (Manku et al. '07): split the 64-bit
+    signature into n_blocks 16-bit blocks; any pair within distance
+    ``n_blocks - 1`` must agree on ≥ 1 block → equi-join per block.
+
+    Output: (a, b, hamming).
+    """
+    sig = simhash(df, text_col, id_col)
+    blocks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * (64 // n_blocks))
+                        .bitwiseAND(F.lit((1 << (64 // n_blocks)) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.blk"), F.col("bk.key"))
+    a = blocks.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "blk", "key"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "blk", "key"
+    )
+    pairs = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard between all qualifying pairs (the
+    brute-force baseline the MinHash estimate approximates).
+
+    Output: (a, b, n_common, n_union, jaccard).  Quadratic — use only
+    on bounded candidate sets; at scale MinHash-LSH supplies the
+    candidates and this verifies them.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
+    t = df.select(F.col(id_col), toks.alias("toks"))
+    a = t.select(F.col(id_col).alias("a"), F.col("toks").alias("ta"))
+    b = t.select(F.col(id_col).alias("b"), F.col("toks").alias("tb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_common"),
+            F.size(F.array_union("ta", "tb")).cast("long").alias("n_union"),
+        )
+        .withColumn(
+            "jaccard", F.round(F.col("n_common") / F.col("n_union"), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-dup pairs to a keep-set: drop every id that appears
+    as the larger member of a pair (min-id-wins union-find
+    approximation, single pass — the standard corpus-dedup shortcut)."""
+    drop = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+(random hyperplane / SRP) variant as the scale path — at 100 TB the
+candidate set per query must be sublinear, so queries only join their
+own hash bucket(s).
+
+All math is JVM-side higher-order functions (zip_with + aggregate);
+no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    n = _norm(F.col(vec_col).cast("array<double>"))
+    return df.withColumn(
+        "unit",
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: x / F.greatest(n, F.lit(1e-12))
+        ),
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score with codegen'd array math, rank per query.
+
+    Output: (query_id, neighbor_id, rank, cosine).  Ties broken by
+    neighbor id for determinism.  Scale: one pass over the corpus, no
+    shuffle of the corpus itself; the only shuffle is the per-query
+    top-k (k rows per query per partition after partial ranking).
+    """
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qv")
+    )
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def srp_bucket(df: DataFrame, vec_col: str = "unit", n_planes: int = 8) -> DataFrame:
+    """Signed-random-projection bucket id: sign pattern of the vector
+    against n_planes pseudo-random hyperplanes.  The planes are derived
+    deterministically from xxhash64(dimension index, plane index) — no
+    stored model, reproducible across runs/executors."""
+    dim = F.size(F.col(vec_col))
+    # plane p component j = hash(j, p) scaled to [-1, 1]
+    def plane_dot(p: int):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), dim - 1),
+                    lambda j: (
+                        F.xxhash64(j.cast("string"), F.lit(p)).cast("double")
+                        / F.lit(float(2**63))
+                    ),
+                ),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: score only within the query's SRP
+    bucket.  Recall < 1.0 by construction; the scale path when the
+    corpus no longer fits a broadcast-scan (candidates per query drop
+    by ~2^n_planes).
+
+    Output: (query_id, neighbor_id, rank, cosine).
+    """
+    q = srp_bucket(
+        with_unit_norm(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("unit")
+        )
+    ).select("query_id", F.col("unit").alias("qv"), "bucket")
+    c = srp_bucket(
+        with_unit_norm(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("unit")
+        )
+    ).select("neighbor_id", F.col("unit").alias("cv"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+    Brute-force form; at scale, swap the crossJoin for the SRP-bucket
+    join above."""
+    u = with_unit_norm(df, vec_col).select(F.col(id_col), F.col("unit"))
+    a = u.select(F.col(id_col).alias("a"), F.col("unit").alias("ua"))
+    b = u.select(F.col(id_col).alias("b"), F.col("unit").alias("ub"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(_dot(F.col("ua"), F.col("ub")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

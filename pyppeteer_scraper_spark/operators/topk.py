@@ -1,0 +1,53 @@
+"""Top-k-per-group with skew-safe two-phase evaluation.
+
+Reference shape: keep-newest-10-logs-per-scraper
+(/root/reference/my_logger/cleanup.py:64-75) and the per-domain
+fetch-batch cap.  A single window over a skewed group key (the
+mega-host holds ~30% of the frontier) funnels that key's rows through
+one task; the two-phase form first takes a salted per-(group, salt)
+top-k — map-side, parallel across ``salt_buckets`` tasks — then the
+exact top-k over the ≤ salt_buckets·k survivors.  Results are
+identical because any global top-k row is necessarily a top-k row of
+its salt bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: Column | int,
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Rows ranking ≤ k within each group under ``order_cols``.
+
+    ``k`` may be a per-row Column (e.g. a per-domain politeness cap —
+    it must be constant within a group) or a plain int.  ``salt_on``
+    names a high-cardinality column used to derive the salt (defaults
+    to the first order column's string form).
+    """
+    k_col = F.lit(k) if isinstance(k, int) else k
+    df = df.withColumn("__k", k_col)
+
+    salt_src = F.col(salt_on) if salt_on else order_cols[-1].cast("string")
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    phase1 = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= F.col("__k"))
+        .drop("__rn", "__salt")
+    )
+
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        phase1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= F.col("__k"))
+        .drop("__rn", "__k")
+    )

@@ -1,0 +1,1125 @@
+"""Query registry — every SQL-expressible operator from SURVEY.md §2,
+as (Spark DataFrame callable, DuckDB oracle SQL) twins.
+
+Each entry is named for the operator row it implements (F=filters,
+D=dedup, T=top-k/sort, A=agg, J=join, P=projection, S=scalar fns from
+SURVEY.md §2.10), plus classic TPC-H-shaped headline queries that
+exercise the same physical operators at benchmark scale.
+
+Column-name discipline: every computed column is aliased identically
+in the Spark plan and the oracle SQL (the driver hash-compares values
+after sorting columns by name).  Monetary aggregates are rounded to 2
+decimals on both sides to absorb summation-order ulp differences.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyppeteer_scraper_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return wrap
+
+
+# =========================================================================
+# Headline TPC-H-shaped queries (scan → filter → agg → join pipelines).
+# =========================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < timestamp '1998-03-15 00:00:00'
+      AND l_shipdate > timestamp '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+      AND l_shipdate < timestamp '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# =========================================================================
+# Filters (SURVEY.md §2.4) — the reference's predicate pipeline.
+# =========================================================================
+
+
+@query(
+    "f1_status_not_closed",
+    # F1/F2: skip "full"/"closed", keep "register"-like — /root/reference/scraper/home_depo.py:149-153
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE NOT (contains(lower(event_type), 'error') OR contains(lower(event_type), 'signup'))
+      AND contains(lower(event_type), 'c')
+    """,
+)
+def f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    lo = F.lower(F.col("event_type"))
+    return e.filter(
+        ~(lo.contains("error") | lo.contains("signup")) & lo.contains("c")
+    ).select("event_id", "event_type")
+
+
+@query(
+    "f6_compound_register_rule",
+    # F6: "08:30" substring + don't-be-first — /root/reference/scraper/home_depo.py:296-330;
+    # here: json-extracted threshold + type gate as the same compound boolean shape.
+    """
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE event_type = 'click'
+      AND CAST(json_extract_string(props, '$.k') AS INT) >= 50
+      AND value > 1.0
+    """,
+)
+def f6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.filter((F.col("event_type") == "click") & (k >= 50) & (F.col("value") > 1.0))
+        .select("event_id", "user_id", k.alias("k"))
+    )
+
+
+@query(
+    "f10_shape_guard_quarantine",
+    # F10: malformed-payload quarantine split — /root/reference/scraper/home_depo.py:600-618.
+    # Rows whose props fails to parse as {"k": int} are quarantined.
+    """
+    SELECT event_id,
+           CASE WHEN try_cast(json_extract_string(props, '$.k') AS INT) IS NULL
+                THEN 'quarantine' ELSE 'ok' END AS route
+    FROM events
+    """,
+)
+def f10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return e.select(
+        "event_id",
+        F.when(k.isNull(), F.lit("quarantine")).otherwise(F.lit("ok")).alias("route"),
+    )
+
+
+# =========================================================================
+# Dedup / anti-join / CDC (SURVEY.md §2.5).
+# =========================================================================
+
+
+@query(
+    "d1_discovery_anti_join",
+    # D1: candidates ⟕̸ seen-set — /root/reference/scraper/home_depo.py:472-484.
+    """
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM documents s WHERE s.doc_id % 7 = 0 AND s.doc_id = d.doc_id
+    )
+    """,
+)
+def d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return docs.join(seen, "doc_id", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "d3_daily_rate_limit",
+    # D3: once-per-day emit per key — /root/reference/scraper/home_depo.py:171-179.
+    """
+    SELECT user_id, day, event_id FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.to_date("ts").alias("day"), "event_id")
+    )
+
+
+@query(
+    "d4_snapshot_change_detection",
+    # D4: emit only when the snapshot differs from the cached one —
+    # /root/reference/scraper/canada_ircc.py:153-155,285-301.
+    """
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ) WHERE prev IS NULL OR value <> prev
+    """,
+)
+def d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+        .select("user_id", "event_id", "value")
+    )
+
+
+@query(
+    "d5_last_wins_upsert",
+    # D5: idempotent overwrite-latest — /root/reference/service/alert.py:552-568.
+    """
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def d5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+# =========================================================================
+# Sorts / limits / top-k (SURVEY.md §2.6).
+# =========================================================================
+
+
+@query(
+    "t1_first_match_in_order",
+    # T1: break-after-first-qualifying in document order —
+    # /root/reference/scraper/library_event.py:162.
+    """
+    SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'error'
+    ) WHERE rn = 1
+    """,
+)
+def t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+
+
+@query(
+    "t2_top30_scan_window",
+    # T2: UI limit-30 — /root/reference/scraper/scraper2.py:26-33,107-122.
+    """
+    SELECT event_id, value FROM events
+    ORDER BY value DESC, event_id LIMIT 30
+    """,
+)
+def t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.orderBy(F.desc("value"), "event_id").limit(30).select("event_id", "value")
+
+
+@query(
+    "t3_sort_by_change",
+    # T3: sorted(data, key=percentage24h) — /root/reference/scraper/scraper2.py:137.
+    """
+    SELECT event_id, value FROM events
+    ORDER BY value, event_id LIMIT 100
+    """,
+)
+def t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.orderBy("value", "event_id").limit(100).select("event_id", "value")
+
+
+@query(
+    "t4_topk_per_group",
+    # T4: keep-newest-10-per-scraper — /root/reference/my_logger/cleanup.py:64-75.
+    """
+    SELECT event_type, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 10
+    """,
+)
+def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.topk import topk_per_group
+
+    e = load_table(spark, sf_dir, "events")
+    return topk_per_group(
+        e, ["event_type"], [F.desc("value"), F.col("event_id")], 10, salt_on="event_id"
+    ).select("event_type", "event_id", "value")
+
+
+# =========================================================================
+# Aggregations (SURVEY.md §2.7).
+# =========================================================================
+
+
+@query(
+    "a2_latest_run_per_scraper",
+    # A2: scrapers.last_run_* = most recent run — /root/reference/scraper/canada_ircc.py:136-146.
+    """
+    SELECT event_type, event_id AS last_event_id, value AS last_value FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "a4_round_metrics",
+    # A4: per-round fetch/dedup counters — SURVEY.md §2.7 engine requirement.
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# =========================================================================
+# Joins (SURVEY.md §2.8).
+# =========================================================================
+
+
+@query(
+    "j3_broadcast_rules_gate",
+    # J3: frontier ⋈ broadcast robots/is_active rules —
+    # /root/reference/scraper/canada_ircc.py:63-74.
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_nationkey % 5 <> 0
+    GROUP BY n_name
+    """,
+)
+def j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    rules = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 5 != 0)
+    return (
+        c.join(F.broadcast(rules), c.c_nationkey == rules.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "j5_fetch_batch_join",
+    # J5: fetch-batch ⋈ pages lookup — engine construct (SURVEY.md §2.8);
+    # shaped as a selective equi-join with a filtered build side.
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 97 = 0
+    """,
+)
+def j5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+# =========================================================================
+# Projections & scalar functions (SURVEY.md §2.3, §2.10).
+# =========================================================================
+
+
+@query(
+    "p7_derived_arithmetic",
+    # P7: seats_taken = attendee_limit - seats_left — /root/reference/scraper/home_depo.py:319,433.
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            2,
+        ).alias("charge"),
+    )
+
+
+@query(
+    "p8_message_format",
+    # P8: mrkdwn message concat — /root/reference/scraper/home_depo.py:166-168,509.
+    """
+    SELECT c_custkey,
+           'Customer ' || c_name || ' [' || c_mktsegment || ']' AS message
+    FROM customer
+    """,
+)
+def p8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("Customer "), F.col("c_name"), F.lit(" ["), F.col("c_mktsegment"), F.lit("]")
+        ).alias("message"),
+    )
+
+
+@query(
+    "p10_json_lookup_default",
+    # P10: dict lookup with "—" default — /root/reference/scraper/canada_ircc.py:244-249.
+    """
+    SELECT event_id,
+           coalesce(json_extract_string(props, '$.missing'), '—') AS missing_val,
+           json_extract_string(props, '$.k') AS k_val
+    FROM events WHERE event_id % 11 = 0
+    """,
+)
+def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return e.select(
+        "event_id",
+        F.coalesce(F.get_json_object("props", "$.missing"), F.lit("—")).alias(
+            "missing_val"
+        ),
+        F.get_json_object("props", "$.k").alias("k_val"),
+    )
+
+
+@query(
+    "s_parse_number",
+    # §2.10: strip currency symbols + parse float — /root/reference/scraper/scraper2.py:160-164.
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(regexp_replace('€' || CAST(l_extendedprice AS VARCHAR), '[^0-9.]', '', 'g') AS DOUBLE) AS parsed
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def s_parse_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    price_str = F.concat(F.lit("€"), F.col("l_extendedprice").cast("string"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace(price_str, "[^0-9.]", "").cast("double").alias("parsed"),
+    )
+
+
+@query(
+    "s_tz_offset_normalize",
+    # §2.10: '-0400' offset parse — /root/reference/scraper/home_depo.py:407-431.
+    """
+    SELECT event_id,
+           CAST(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S') || '-0400',
+                         '%Y-%m-%dT%H:%M:%S%z') AS TIMESTAMP) AS utc_ts
+    FROM events WHERE event_id % 37 = 0
+    """,
+)
+def s_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    s = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("-0400"))
+    return e.select(
+        "event_id",
+        F.to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ssZ").alias("utc_ts"),
+    )
+
+
+@query(
+    "s_date_functions",
+    # §2.10: date+180d (library_event.py:90), %Y-%m-%d format (alert.py:105,115),
+    # year extraction (movie.py:120).
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 180 DAY AS plus_180,
+           strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+           EXTRACT(year FROM o_orderdate) AS yr
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+)
+def s_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.to_date("o_orderdate"), 180).cast("timestamp").alias("plus_180"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_str"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+
+
+@query(
+    "s_substring_truncate",
+    # §2.10: message[:500] truncation — /root/reference/scraper/canada_ircc.py:134,146.
+    """
+    SELECT doc_id, substring(text, 1, 100) AS msg FROM documents
+    """,
+)
+def s_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.substring("text", 1, 100).alias("msg"))
+
+
+@query(
+    "s_split_element_pick",
+    # §2.10: splitlines + index pick — /root/reference/scraper/scraper2.py:75-87.
+    """
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_tok,
+           string_split(text, ' ')[3] AS third_tok
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def s_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, 3).alias("third_tok"),
+    )
+
+
+@query(
+    "a1_element_count",
+    # A1: len(elements) logging — /root/reference/scraper/home_depo.py:137.
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    """,
+)
+def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+
+
+# =========================================================================
+# Training-data pipeline operators: dedup / similarity / text analysis.
+# =========================================================================
+
+
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_canonical_keep",
+    """
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents e
+      WHERE md5(e.text) = md5(d.text) AND e.doc_id < d.doc_id
+    )
+    """,
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = exact_dedup(docs)
+    return (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .join(groups, "fp")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH t AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS toks
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT a, b, n_common, n_union, round(n_common / n_union, 6) AS jaccard FROM (
+      SELECT ta.doc_id AS a, tb.doc_id AS b,
+             CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_common,
+             CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS BIGINT) AS n_union
+      FROM t ta, t tb WHERE ta.doc_id < tb.doc_id
+    ) WHERE round(n_common / n_union, 6) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+@query("dedup_minhash_lsh")  # rows-only: LSH banding is not SQL-expressible tersely
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.dedup import minhash_lsh_pairs
+
+    # k=1 (word-level) shingles: the synthetic docs share vocabulary, so
+    # word-set Jaccard is the regime with real near-dups to find.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return minhash_lsh_pairs(docs, k=1, threshold=0.5)
+
+
+@query("dedup_simhash")  # rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return simhash_near_dups(docs, max_hamming=8)
+
+
+@query(
+    "sim_bruteforce_topk",
+    """
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                x -> x / greatest(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y))), 1e-12)) AS unit
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.unit, c.unit), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round(list_dot_product(q.unit, c.unit), 6) DESC, c.vec_id) AS rank
+      FROM u q, u c
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@query(
+    "sim_embedding_near_dups",
+    """
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                x -> x / greatest(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y))), 1e-12)) AS unit
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.unit, b.unit), 6) AS cosine
+    FROM u a, u b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_dot_product(a.unit, b.unit), 6) >= 0.4
+    """,
+)
+def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@query("sim_lsh_topk")  # rows-only: approximate by construction
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@query(
+    "text_lang_id",
+    """
+    SELECT doc_id, lang,
+      CASE
+        WHEN greatest(en_s, fr_s, de_s) = 0 THEN 'und'
+        WHEN en_s = greatest(en_s, fr_s, de_s) THEN 'en'
+        WHEN fr_s = greatest(en_s, fr_s, de_s) THEN 'fr'
+        ELSE 'de'
+      END AS lang_pred
+    FROM (
+      SELECT doc_id, lang,
+        CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b')) AS BIGINT) AS en_s,
+        CAST(len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|un|une)\\b')) AS BIGINT) AS fr_s,
+        CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ein|nicht)\\b')) AS BIGINT) AS de_s
+      FROM documents
+    )
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           round((least(n_tokens / 100.0, 1.0)
+                + least(stopword_ratio * 5, 1.0)
+                + 1.0 - least(punct_ratio * 10, 1.0)) / 3, 6) AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+             round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b')) AS BIGINT)
+                   / greatest(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT), 1), 6) AS stopword_ratio
+      FROM documents
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.functions.text import bpe_ish_token_count, ws_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.functions.text import fingerprint_md5
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+@query("text_rolling_fingerprint")  # rows-only: rolling hash is a pandas UDF
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.functions.text import rolling_hash_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash_udf(F.col("text")).alias("roll_fp"))
+
+
+# =========================================================================
+# Remaining §2 operators: sampling, prefix/month/url scalar fns,
+# keyword-parameterized scans, rollup/pivot extensions.
+# =========================================================================
+
+
+@query(
+    "t5_seeded_random_pick",
+    # T5: random.choice(proxy_data) — /root/reference/proxy/geonode.py:26-32.
+    # Determinized: order by md5(id || seed) — identical in both engines.
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    ORDER BY md5(CAST(s_suppkey AS VARCHAR) || 'seed42') LIMIT 1
+    """,
+)
+def t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.orderBy(F.md5(F.concat(F.col("s_suppkey").cast("string"), F.lit("seed42"))))
+        .limit(1)
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "t6_first_element",
+    # T6: proxy_data[0] — /root/reference/proxy/geonode.py:47-56.
+    """
+    SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey LIMIT 1
+    """,
+)
+def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.orderBy("s_suppkey").limit(1).select("s_suppkey", "s_name")
+
+
+@query(
+    "s_prefix_startswith",
+    # §2.10: prefix test — /root/reference/scraper/home_depo.py:311-312.
+    """
+    SELECT doc_id, source FROM documents WHERE starts_with(source, 'src1')
+    """,
+)
+def s_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("source").startswith("src1")).select("doc_id", "source")
+
+
+@query(
+    "s_month_name_map",
+    # §2.10: string→num month map — /root/reference/scraper/canada_ircc.py:238-244.
+    """
+    SELECT o_orderkey,
+           CASE EXTRACT(month FROM o_orderdate)
+             WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb' WHEN 3 THEN 'Mar'
+             WHEN 4 THEN 'Apr' WHEN 5 THEN 'May' WHEN 6 THEN 'Jun'
+             WHEN 7 THEN 'Jul' WHEN 8 THEN 'Aug' WHEN 9 THEN 'Sep'
+             WHEN 10 THEN 'Oct' WHEN 11 THEN 'Nov' ELSE 'Dec'
+           END AS month_name
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+)
+def s_month_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    names = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    mapping = F.create_map(
+        *[x for i, nm in enumerate(names, 1) for x in (F.lit(i), F.lit(nm))]
+    )
+    return o.select(
+        "o_orderkey", F.element_at(mapping, F.month("o_orderdate")).alias("month_name")
+    )
+
+
+@query(
+    "s_format_key_build",
+    # §2.10: f-string key `pnp-ee-{year}/{month:02d}` — /root/reference/scraper/canada_ircc.py:244.
+    """
+    SELECT o_orderkey,
+           printf('pnp-ee-%d/%02d', EXTRACT(year FROM o_orderdate)::INT,
+                  EXTRACT(month FROM o_orderdate)::INT) AS bucket_key
+    FROM orders WHERE o_orderkey % 40 = 1
+    """,
+)
+def s_format_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 1)
+    return o.select(
+        "o_orderkey",
+        F.format_string(
+            "pnp-ee-%d/%02d", F.year("o_orderdate"), F.month("o_orderdate")
+        ).alias("bucket_key"),
+    )
+
+
+@query(
+    "p9_url_construction",
+    # P9: registration URL from two ids — /root/reference/scraper/home_depo.py:212.
+    """
+    SELECT o_orderkey,
+           'https://example.invalid/workshops/' || CAST(o_orderkey AS VARCHAR)
+             || '/register/' || CAST(o_custkey AS VARCHAR) AS reg_url
+    FROM orders WHERE o_orderkey % 60 = 0
+    """,
+)
+def p9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 60 == 0)
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("https://example.invalid/workshops/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("/register/"),
+            F.col("o_custkey").cast("string"),
+        ).alias("reg_url"),
+    )
+
+
+@query(
+    "s8_keyword_param_scan",
+    # S8: keyword-parameterized scan — /root/reference/scraper/scraper_educative.py:7-38.
+    """
+    SELECT kw, count(*) AS n_hits FROM (
+      SELECT k.kw FROM (VALUES ('spark'), ('join'), ('window')) AS k(kw)
+      JOIN documents d ON contains(d.text, k.kw)
+    ) GROUP BY kw
+    """,
+)
+def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kws = spark.createDataFrame([("spark",), ("join",), ("window",)], ["kw"])
+    return (
+        d.join(F.broadcast(kws), F.col("text").contains(F.col("kw")))
+        .groupBy("kw")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@query(
+    "a5_rollup_metrics",
+    # Engine extension (Catalyst freebie): rollup over type × day.
+    """
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY ROLLUP (event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+    """,
+)
+def a5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    return (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "a6_manual_pivot",
+    # Engine extension: pivot by status (manual CASE form for oracle parity).
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 2
+        ).alias("qty_open"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 2
+        ).alias("qty_filled"),
+    )
+
+
+@query(
+    "p3_struct_json_roundtrip",
+    # P3/P4: nested struct build + JSON field access —
+    # /root/reference/scraper/home_depo.py:393-405 (nested eventType).
+    """
+    SELECT event_id,
+           json_extract_string(to_json(struct_pack(t := event_type, v := value)), '$.t') AS t_back
+    FROM events WHERE event_id % 17 = 0
+    """,
+)
+def p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    j = F.to_json(F.struct(F.col("event_type").alias("t"), F.col("value").alias("v")))
+    return e.select("event_id", F.get_json_object(j, "$.t").alias("t_back"))
+
+
+@query(
+    "d2_registered_skip",
+    # D2: skip already-registered — /root/reference/scraper/home_depo.py:486-491,
+    # lookup /root/reference/service/alert.py:493-511.
+    """
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e WHERE e.event_type = 'purchase'
+        AND e.user_id = d.doc_id % 150
+        AND e.value > 19.0
+    ) AND d.doc_id < 300
+    """,
+)
+def d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 19.0)
+    )
+    return d.join(
+        e, d.doc_id % 150 == e.user_id, "left_anti"
+    ).select("doc_id")

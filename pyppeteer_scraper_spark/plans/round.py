@@ -1,0 +1,357 @@
+"""One scheduler round — the engine's core DataFrame job.
+
+Reference lifecycle being re-expressed (SURVEY.md §3.1, tracing
+/root/reference/scraper/home_depo.py:333-599 and the cron cadence):
+
+    frontier scan → robots gate (broadcast join) → politeness top-k per
+    domain (skew-safe two-phase window) → "fetch" = join against the
+    pages table → mapInPandas extraction (title/text/links/payload) →
+    workshop filter+dedup+register rules → anti-join url_seen → union
+    new links into frontier → state + metrics append.
+
+Everything except the single extraction UDF is JVM-side and
+Catalyst-optimized.  Determinism: no wall clock anywhere — the round
+timestamp is derived from the round number (the reference's
+``datetime.now()`` reads, e.g. home_depo.py:173, become parameters).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyppeteer_scraper_spark.functions.canonicalize import with_canonical_url
+from pyppeteer_scraper_spark.plans.extract import extract_pages
+from pyppeteer_scraper_spark.schemas import (
+    URL_SEEN_SCHEMA,
+    WORKSHOP_PAYLOAD_SCHEMA,
+)
+from pyppeteer_scraper_spark.sources.datagen import BASE_EPOCH
+
+# Total order for batch selection — crawl-order parity under any
+# parallelism requires a tie-broken total order (SURVEY.md §7 risk #1).
+ORDER_COLS = ["priority", "depth", "discovered_ts", "url"]
+
+WORKSHOPS_SCHEMA_DDL = (
+    "event_code string, workshop_id string, title string, event_date string, "
+    "start_time string, seats_taken int, is_registered boolean, discovered_round int"
+)
+
+
+@dataclass
+class CrawlState:
+    frontier: DataFrame
+    url_seen: DataFrame
+    workshops: DataFrame
+    round_no: int
+
+
+@dataclass
+class RoundOutputs:
+    batch: DataFrame
+    extracted: DataFrame
+    actions: DataFrame
+    metrics: DataFrame
+    cached: tuple = ()  # intra-round caches; unpersist after checkpoint
+
+    def unpersist(self) -> None:
+        for df in self.cached:
+            df.unpersist()
+
+
+def round_ts(round_no: int):
+    return F.timestamp_seconds(F.lit(BASE_EPOCH + 86400 * round_no))
+
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """Canonicalize page URLs and collapse duplicate spellings, keeping
+    the earliest (warc_ts, raw url) representative per canonical URL."""
+    p = with_canonical_url(pages.withColumnRenamed("url", "raw_url"), "raw_url")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("warc_ts", "raw_url")
+    return (
+        p.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("url", "url_hash", "warc_ts", "html", "text", "lang")
+    )
+
+
+def init_state(spark: SparkSession, seeds: DataFrame) -> CrawlState:
+    """Frontier from the seed list (reference: hardcoded target URLs,
+    /root/reference/scraper/home_depo.py:127-129 et al.)."""
+    frontier = (
+        with_canonical_url(seeds)
+        .filter(F.col("url") != "")
+        .groupBy("url", "url_hash", "host", "domain")
+        .agg(F.min("priority").cast("int").alias("priority"))
+        .select(
+            "url",
+            "url_hash",
+            "host",
+            "domain",
+            "priority",
+            F.lit(0).alias("depth"),
+            round_ts(0).alias("discovered_ts"),
+            F.lit("pending").alias("state"),
+        )
+    )
+    url_seen = spark.createDataFrame([], URL_SEEN_SCHEMA)
+    workshops = spark.createDataFrame([], WORKSHOPS_SCHEMA_DDL)
+    return CrawlState(frontier, url_seen, workshops, 0)
+
+
+def select_batch(
+    pending: DataFrame, robots: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame, tuple]:
+    """Robots gate + politeness cap.
+    Returns (batch, blocked, still_pending, cached_handles).
+
+    - robots is broadcast (tiny dimension; reference analog: the
+      per-scraper `is_active` gate, /root/reference/scraper/canada_ircc.py:63-74);
+      unknown domains default to allow with cap 4.
+    - per-domain cap enforced by a skew-safe two-phase top-k under the
+      total order (the politeness budget; reference analog: cron
+      cadence + once-per-day alert suppression, home_depo.py:171-179).
+
+    Every output is a FILTER over one of two cached window passes —
+    batch, blocked, and the rows deferred to the next round all come
+    from the same materialization, so the round's several sinks never
+    replay the window or need anti-joins to reconstruct "the rest".
+    Phase 1 ranks within (domain, salt) so the mega-host's rows spread
+    across 16 tasks; only ≤ 16·cap survivors per domain reach the
+    exact per-domain ranking.
+    """
+    aux = ["allow", "crawl_delay_ms", "max_per_round", "__allow", "__cap", "__salt"]
+    gated = (
+        pending.join(F.broadcast(robots), "domain", "left")
+        .withColumn("__allow", F.coalesce(F.col("allow"), F.lit(True)))
+        .withColumn("__cap", F.coalesce(F.col("max_per_round"), F.lit(4)))
+        .withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(16)))
+    )
+    order = [F.col(c) for c in ORDER_COLS]
+    w1 = Window.partitionBy("domain", "__salt").orderBy(*order)
+    p1 = gated.withColumn("__rn1", F.row_number().over(w1)).cache()
+
+    blocked = p1.filter(~F.col("__allow")).drop(*aux, "__rn1")
+    eliminated = p1.filter(F.col("__allow") & (F.col("__rn1") > F.col("__cap"))).drop(
+        *aux, "__rn1"
+    )
+    survivors = p1.filter(F.col("__allow") & (F.col("__rn1") <= F.col("__cap")))
+
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    p2 = survivors.withColumn("__rn2", F.row_number().over(w2)).cache()
+    batch = p2.filter(F.col("__rn2") <= F.col("__cap")).drop(*aux, "__rn1", "__rn2")
+    leftover = p2.filter(F.col("__rn2") > F.col("__cap")).drop(*aux, "__rn1", "__rn2")
+
+    still_pending = eliminated.unionByName(leftover)
+    return batch, blocked, still_pending, (p1, p2)
+
+
+def workshop_actions(
+    extracted: DataFrame, workshops: DataFrame, round_no: int
+) -> DataFrame:
+    """The reference's flagship decision pipeline, declaratively.
+
+    Mirrors /root/reference/scraper/home_depo.py:393-599:
+    nested-JSON projection (:394-405), seats/type/status filters
+    (:444-455), discovery anti-join against the seen-workshop state
+    (:472-491 via service/alert.py:460-511), and the auto-register
+    rule should_register_workshop (:296-330 — "08:30" in start_time
+    AND at least one seat already taken).
+    """
+    payload = (
+        extracted.filter(F.col("payload_json").isNotNull())
+        .withColumn("p", F.from_json("payload_json", WORKSHOP_PAYLOAD_SCHEMA))
+        .select("url", F.posexplode_outer("p.workshopEventWsDTO").alias("pos", "event"))
+        .filter(F.col("event").isNotNull())
+        .select(
+            "url",
+            "pos",
+            F.col("event.code").alias("event_code"),
+            F.col("event.workshopId").alias("workshop_id"),
+            F.col("event.eventType.name").alias("title"),
+            F.col("event.eventDate").alias("event_date"),
+            F.col("event.startTime").alias("start_time"),
+            F.col("event.remainingSeats").alias("seats_left"),
+            F.col("event.attendeeLimit").alias("attendee_limit"),
+            F.col("event.workshopStatus").alias("status"),
+            F.col("event.workshopType").alias("wtype"),
+        )
+    )
+    # Filter chain, same order as the reference (F3, F4, F5).
+    open_events = payload.filter(
+        (F.col("seats_left") > 0)
+        & (F.col("wtype") == "KID")
+        & (F.col("status") == "ACTIVE")
+    ).withColumn("seats_taken", F.col("attendee_limit") - F.col("seats_left"))
+
+    # Discovery dedup (D1/D2): drop events already in workshop state.
+    fresh = open_events.join(
+        workshops.select("event_code"), "event_code", "left_anti"
+    )
+
+    # Auto-register rule (F6).
+    return fresh.select(
+        "url",
+        "event_code",
+        "workshop_id",
+        "title",
+        "event_date",
+        "start_time",
+        "seats_taken",
+        (
+            F.col("start_time").contains("08:30") & (F.col("seats_taken") >= 1)
+        ).alias("register"),
+        F.lit(round_no).alias("round"),
+    )
+
+
+def run_round(
+    spark: SparkSession,
+    state: CrawlState,
+    pages_prepared: DataFrame,
+    robots: DataFrame,
+    bloom_dir: str | None = None,
+) -> tuple[CrawlState, RoundOutputs]:
+    round_no = state.round_no + 1
+    ts = round_ts(round_no)
+
+    pending = state.frontier.filter(
+        (F.col("state") == "pending") & (F.col("url") != "")
+    )
+    rest = state.frontier.filter(
+        (F.col("state") != "pending") | (F.col("url") == "")
+    )
+
+    # batch/found/extracted feed several sinks each round (frontier,
+    # url_seen, workshops, metrics); cache them or every write replays
+    # the politeness window + fetch join + extraction UDF from scratch
+    # (measured ~10x redundant work per round uncached).
+    batch, blocked, still_pending, window_caches = select_batch(pending, robots)
+
+    # "Fetch" — in-sandbox, a left join against the pages table (J5);
+    # at production scale this stage is a mapInPandas HTTP fetcher.
+    fetched = batch.join(
+        pages_prepared.select(
+            "url", F.col("warc_ts"), F.col("html"), F.col("lang").alias("page_lang")
+        ),
+        "url",
+        "left",
+    )
+    fetched = fetched.cache()
+    found = fetched.filter(F.col("html").isNotNull()).select(
+        "url", "url_hash", "host", "domain", "priority", "depth",
+        "discovered_ts", "html", F.col("page_lang").alias("lang"),
+    )
+    missing = fetched.filter(F.col("html").isNull())
+
+    extracted = extract_pages(found).cache()
+    actions = workshop_actions(extracted, state.workshops, round_no)
+
+    # Link discovery → canonicalize → in-round dedup → anti-join the
+    # url_seen set AND the live frontier (D1: left-anti joins on
+    # (url_hash, url) — hash first for cheap compares, string second
+    # so a 64-bit collision can never corrupt the seen-set).
+    parent = batch.select(
+        F.col("url").alias("src_url"), "priority", "depth"
+    )
+    raw_links = extracted.select(
+        F.col("url").alias("src_url"), F.explode("links").alias("link")
+    )
+    links = (
+        with_canonical_url(raw_links, "link", "url")
+        .filter(F.col("url").rlike(r"^https?://"))
+        .join(parent, "src_url")
+        .groupBy("url", "url_hash", "host", "domain")
+        .agg(
+            F.min("priority").cast("int").alias("priority"),
+            (F.min("depth") + 1).cast("int").alias("depth"),
+        )
+    )
+    if bloom_dir is not None:
+        # Bloom-accelerated D1: definitely-unseen links skip the exact
+        # anti-join entirely; positives are verified exactly (result is
+        # identical to the plain anti-join — no false negatives).
+        import os
+
+        from pyppeteer_scraper_spark.operators.bloom import anti_join_with_bloom
+
+        if os.path.isdir(bloom_dir):
+            unseen = anti_join_with_bloom(links, state.url_seen, bloom_dir)
+        else:
+            unseen = links.join(
+                state.url_seen.select("url_hash", "url"),
+                ["url_hash", "url"],
+                "left_anti",
+            )
+    else:
+        unseen = links.join(
+            state.url_seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+        )
+    new_links = unseen.join(
+        state.frontier.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+    )
+
+    # State updates.
+    seen_add = batch.select(
+        "url_hash", "url", F.lit(round_no).cast("int").alias("first_seen_round")
+    )
+    url_seen = state.url_seen.unionByName(seen_add)
+
+    frontier_cols = [
+        "url", "url_hash", "host", "domain", "priority", "depth",
+        "discovered_ts", "state",
+    ]
+    new_frontier = (
+        rest.select(frontier_cols)
+        .unionByName(still_pending.select(frontier_cols))
+        .unionByName(blocked.withColumn("state", F.lit("blocked")).select(frontier_cols))
+        .unionByName(
+            found.withColumn("state", F.lit("fetched"))
+            .withColumn("discovered_ts", F.col("discovered_ts"))
+            .select(frontier_cols)
+        )
+        .unionByName(missing.withColumn("state", F.lit("missing")).select(frontier_cols))
+        .unionByName(
+            new_links.select(
+                "url", "url_hash", "host", "domain", "priority", "depth",
+                ts.alias("discovered_ts"), F.lit("pending").alias("state"),
+            )
+        )
+    )
+
+    workshops_add = actions.select(
+        "event_code",
+        "workshop_id",
+        "title",
+        "event_date",
+        "start_time",
+        "seats_taken",
+        F.col("register").alias("is_registered"),
+        F.lit(round_no).cast("int").alias("discovered_round"),
+    )
+    workshops = state.workshops.unionByName(workshops_add)
+
+    # Per-partition lineage/metrics (north_rule; reference analog:
+    # scraper_runs, /root/reference/dashboard/lib/db/schema.sql:23-31).
+    metrics = (
+        found.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("fetched"))
+        .select(
+            F.lit(round_no).alias("round"),
+            "partition_id",
+            "fetched",
+            F.lit(None).cast("long").alias("deduped"),
+            F.lit(None).cast("long").alias("emitted"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+    )
+
+    new_state = CrawlState(new_frontier, url_seen, workshops, round_no)
+    return new_state, RoundOutputs(
+        batch, extracted, actions, metrics,
+        cached=(*window_caches, fetched, extracted),
+    )

@@ -53,7 +53,9 @@ def _workshop_payload_expr(doc_id):
     3: open KID @08:30 with 5 seats taken (→ auto-register rule fires)
     4: open KID @10:30 (→ alert only; 08:30 rule fails)
     """
-    variant = F.pmod(doc_id, F.lit(5))
+    # NB: payload pages all satisfy doc_id % 20 == 7, so the variant
+    # selector must not be doc_id % 5 (that would pin it to 2).
+    variant = F.pmod(F.floor(doc_id / 20), F.lit(5))
     remaining = (
         F.when(variant == 0, F.lit(0))
         .when(variant == 3, F.lit(15))
@@ -119,7 +121,10 @@ def generate_pages(documents: DataFrame, n_docs: int) -> DataFrame:
     link2 = F.when(
         F.pmod(d, F.lit(4)) == 0, F.concat(link2_base, F.lit("?utm_source=x"))
     ).otherwise(link2_base)
-    link3 = _url_expr(F.pmod(d * 31 + 5, n))
+    # Third outlink points at the payload page of this page's own
+    # 20-block, so workshop-payload pages are reachable from any seed
+    # by depth 1 (keeps the e2e filter-matrix exercised in few rounds).
+    link3 = _url_expr(F.pmod(d - F.pmod(d, F.lit(PAYLOAD_MOD)) + 7, n))
     dangling = F.when(
         F.pmod(d, F.lit(5)) == 0,
         F.concat(
@@ -191,16 +196,21 @@ def generate_pages(documents: DataFrame, n_docs: int) -> DataFrame:
     return out
 
 
-def generate_seeds(documents: DataFrame, n_docs: int) -> DataFrame:
-    """~50 seed URLs sampled deterministically; priority 0/1 mirrors the
+def generate_seeds(
+    documents: DataFrame, n_docs: int, n_seeds: int = 50
+) -> DataFrame:
+    """Seed URLs sampled deterministically; priority 0/1 mirrors the
     reference's hourly vs daily cron tiers
     (/root/reference/.github/workflows/*.yml)."""
-    stride = max(1, n_docs // 50)
+    # Stride of 7 (coprime to the 10-cycle of the host rule) spreads
+    # seeds across the domain universe instead of pinning them all to
+    # the mega-host.
+    stride = max(1, min(7, n_docs // n_seeds))
     d = F.col("doc_id")
     return (
         documents.filter(F.pmod(d, F.lit(stride)) == 0)
         .orderBy(d)
-        .limit(50)
+        .limit(n_seeds)
         .select(
             _url_expr(d).alias("url"),
             F.pmod(d, F.lit(2)).cast("int").alias("priority"),
@@ -208,7 +218,12 @@ def generate_seeds(documents: DataFrame, n_docs: int) -> DataFrame:
     )
 
 
-def generate_robots(pages: DataFrame) -> DataFrame:
+def generate_robots(
+    pages: DataFrame,
+    mega_cap: int = 8,
+    default_cap: int = 4,
+    parity_cap: int = 1,
+) -> DataFrame:
     """robots_rules(domain, allow, crawl_delay_ms, max_per_round).
 
     Reference analog: the `scrapers.is_active` gate
@@ -230,9 +245,9 @@ def generate_robots(pages: DataFrame) -> DataFrame:
         .otherwise(F.lit(100))
         .cast("long")
         .alias("crawl_delay_ms"),
-        F.when(F.col("domain") == MEGA_HOST, F.lit(8))
-        .when(F.pmod(h, F.lit(13)) == 0, F.lit(1))
-        .otherwise(F.lit(4))
+        F.when(F.col("domain") == MEGA_HOST, F.lit(mega_cap))
+        .when(F.pmod(h, F.lit(13)) == 0, F.lit(parity_cap))
+        .otherwise(F.lit(default_cap))
         .cast("int")
         .alias("max_per_round"),
     )

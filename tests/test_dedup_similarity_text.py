@@ -1,0 +1,175 @@
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (3, "completely different words entirely unrelated text here"),
+        (4, "le chat et la souris dans la maison des amis"),
+        (5, "der hund und die katze das haus ein garten nicht"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    from pyppeteer_scraper_spark.operators.dedup import exact_dedup
+
+    groups = {r["canonical_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert groups[2] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from pyppeteer_scraper_spark.operators.dedup import minhash_lsh_pairs
+
+    # k=2 shingles give docs 0/2 a true Jaccard ≈ 0.55; 32 bands × 2 rows
+    # catch that with probability ≈ 1.
+    pairs = {
+        (r["a"], r["b"]): r["jaccard_est"]
+        for r in minhash_lsh_pairs(docs, k=2, bands=32, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup → full agreement
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert all(b != 3 and a != 3 for a, b in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_near_dups(spark, docs):
+    from pyppeteer_scraper_spark.operators.dedup import simhash, simhash_near_dups
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_dups(docs, max_hamming=16).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    from pyppeteer_scraper_spark.operators.dedup import (
+        dedup_keep_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+
+    kept = {r["doc_id"] for r in dedup_keep_canonical(docs, ngram_jaccard_pairs(docs, threshold=0.5)).collect()}
+    assert 0 in kept and 1 not in kept and 2 not in kept and 3 in kept
+
+
+def test_similarity_topk_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from pyppeteer_scraper_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    got = brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=3).collect()
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    S = u @ u.T
+    for q in range(5):
+        qi = list(ids).index(q)
+        scores = [
+            (round(S[qi, j], 6), int(ids[j])) for j in range(len(ids)) if ids[j] != q
+        ]
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        want = [v for _, v in scores[:3]]
+        got_q = sorted(
+            [(r["rank"], r["neighbor_id"]) for r in got if r["query_id"] == q]
+        )
+        assert [n for _, n in got_q] == want, f"query {q}"
+
+
+def test_lsh_topk_is_subset_ranked(spark, sf_small):
+    from pyppeteer_scraper_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    rows = lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=3).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 3
+
+
+def test_text_functions(spark, docs):
+    from pyppeteer_scraper_spark.functions.text import (
+        bpe_ish_token_count,
+        lang_id,
+        quality_score,
+        ws_token_count,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            lang_id(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("q"),
+            ws_token_count(F.col("text")).alias("ws"),
+            bpe_ish_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert out[0]["lang"] == "en"
+    assert out[4]["lang"] == "fr"
+    assert out[5]["lang"] == "de"
+    assert out[6]["lang"] == "und"
+    assert out[0]["ws"] == 9
+    assert 0.0 <= out[0]["q"] <= 1.0
+
+
+def test_rolling_hash_deterministic(spark, docs):
+    from pyppeteer_scraper_spark.functions.text import (
+        rolling_hash_series,
+        rolling_hash_udf,
+    )
+
+    got = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", rolling_hash_udf("text").alias("h")).collect()
+    }
+    pdf = docs.toPandas()
+    want = dict(zip(pdf["doc_id"], rolling_hash_series(pdf["text"])))
+    assert got == want
+    assert got[0] == got[1] and got[0] != got[3]
+
+
+def test_multimodal_plumbing(spark):
+    from pyppeteer_scraper_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        fake_decode,
+        frame_sample_plan,
+        real_decode_stub,
+    )
+
+    rows = [
+        (0, "image", b"\x01\x02\x03\x04", (4, 2, None, None, "image/png")),
+        (1, "video", b"\xff" * 64, (16, 9, None, 100, "video/mp4")),
+        (2, "audio", None, (None, None, 44100, None, "audio/wav")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[0]["n_bytes"] == 4
+    assert len(feats[0]["feature"]) == 8
+    assert feats[2]["n_bytes"] == 0 and all(x == 0.0 for x in feats[2]["feature"])
+    # determinism of the fake decoder
+    assert list(fake_decode(b"\x01\x02\x03\x04")) == list(fake_decode(b"\x01\x02\x03\x04"))
+
+    frames = frame_sample_plan(media, every_n=10).collect()
+    assert {r["frame_idx"] for r in frames} == set(range(0, 100, 10))
+
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"x")
