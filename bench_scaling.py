@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 from datetime import datetime, timezone
@@ -24,12 +25,16 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env.setdefault("SPARK_GRAFT_BENCH_REP", "100")
+    # Pin the WHOLE process tree (JVM + Python UDF workers) to the
+    # first `cpus` cores.  Without this, local[8]'s Python workers are
+    # free to use all 32 cores, inflating the small config and making
+    # the N vs 4N comparison meaningless.
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=1800,
+        cmd, env=env, capture_output=True, text=True, timeout=3000
     )
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(last)
@@ -55,8 +60,11 @@ def main() -> None:
         "# BENCH — measured throughput & scaling efficiency",
         "",
         f"Generated {now} by `bench_scaling.py` on this host "
-        f"(32 cores, single JVM local mode; N=8 vs 4N=32 threads stand in "
-        "for N vs 4N executors per the driver instruction).",
+        f"(32 cores, single JVM local mode; N=8 vs 4N=32 stand in for N vs "
+        "4N executors per the driver instruction). Each config is pinned "
+        "with `taskset -c 0-(N-1)` so the JVM *and* its Python UDF workers "
+        "really get N cores — unpinned local[N] lets Python workers spill "
+        "onto all cores and corrupts the comparison.",
         "",
         f"Input: `{sf_dir}`; identical data and jobs at both parallelism levels.",
         "",

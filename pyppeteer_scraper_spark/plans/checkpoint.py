@@ -32,7 +32,7 @@ from pyppeteer_scraper_spark.plans.round import (
 STATE_TABLES = ["frontier", "url_seen", "workshops"]
 
 
-def save_state(state: CrawlState, ckpt_dir: str, n_partitions: int = 8) -> str:
+def save_state(state: CrawlState, ckpt_dir: str, n_partitions: int | None = None) -> str:
     """Persist round state.
 
     - ``frontier`` is rewritten in full (it is the mutating priority
@@ -44,6 +44,11 @@ def save_state(state: CrawlState, ckpt_dir: str, n_partitions: int = 8) -> str:
       full would be O(entire crawl history) per round — fatal at
       10^10-URL scale; deltas keep the round cost O(new URLs).
     """
+    if n_partitions is None:
+        # Writer parallelism follows the session (I/O scales with cores).
+        n_partitions = int(
+            state.frontier.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     rdir = os.path.join(ckpt_dir, f"round={state.round_no}")
     (
         state.frontier.repartition(n_partitions, "domain")
@@ -118,6 +123,7 @@ class CrawlResult:
     fetched_per_round: list[int]
     actions_per_round: list[int]
     wall_seconds: float
+    outputs: list[RoundOutputs] | None = None  # when collect_outputs=True
 
 
 def crawl(
@@ -159,6 +165,7 @@ def crawl(
         state, out = run_round(
             spark, state, pages_prepared, robots, bloom_dir=bloom_dir
         )
+        batch_count = out.materialize()
         rdir = save_state(state, ckpt_dir)
         if use_bloom:
             from pyppeteer_scraper_spark.operators.bloom import update_bloom_shards
@@ -178,11 +185,17 @@ def crawl(
             .parquet(os.path.join(rdir, "metrics"))
         )
         if collect_outputs:
-            fetched_per_round.append(out.batch.count())
+            fetched_per_round.append(batch_count)
             actions_per_round.append(out.actions.count())
             outputs.append(out)
         else:
-            fetched_per_round.append(out.batch.count())
+            fetched_per_round.append(batch_count)
             actions_per_round.append(0)
             out.unpersist()
-    return CrawlResult(state, fetched_per_round, actions_per_round, time.time() - t0)
+    return CrawlResult(
+        state,
+        fetched_per_round,
+        actions_per_round,
+        time.time() - t0,
+        outputs=outputs if collect_outputs else None,
+    )

@@ -38,6 +38,7 @@ class OracleResult:
     texts: dict[str, str] = field(default_factory=dict)  # url -> extracted text
     workshops: dict[str, dict] = field(default_factory=dict)  # event_code -> record
     frontier: dict[str, dict] = field(default_factory=dict)  # url -> row
+    actions: list[list[tuple]] = field(default_factory=list)  # per round: (code, register)
 
 
 def simulate(
@@ -71,9 +72,21 @@ def simulate(
                 "discovered": 0,
                 "state": "pending",
                 "domain": _domain(u),
+                # cron-tier analog: hourly (pr 0) vs daily (pr 1)
+                "revisit": 1 if pr == 0 else 2,
+                "last_fetch": -1,
             }
 
     for rnd in range(1, n_rounds + 1):
+        # due revisits re-enter pending (cron re-run analog)
+        for r in res.frontier.values():
+            if (
+                r["state"] == "fetched"
+                and r["revisit"] > 0
+                and rnd - r["last_fetch"] >= r["revisit"]
+            ):
+                r["state"] = "pending"
+
         pending = [r for r in res.frontier.values() if r["state"] == "pending"]
 
         # robots gate
@@ -101,7 +114,9 @@ def simulate(
         # fetch + extract (shared extraction code ⇒ byte-identical text)
         found_urls, found_raw = [], []
         for r in batch_rows:
-            res.seen[r["url"]] = rnd
+            if r["last_fetch"] == -1:
+                res.seen[r["url"]] = rnd
+            r["last_fetch"] = rnd
             if r["url"] in pp.index:
                 r["state"] = "fetched"
                 found_urls.append(r["url"])
@@ -123,6 +138,7 @@ def simulate(
 
         parent = {r["url"]: r for r in batch_rows}
         new_links: dict[str, dict] = {}
+        round_actions: list[tuple] = []
         for _, row in ext.iterrows():
             res.texts[row["url"]] = row["text"]
             p = parent[row["url"]]
@@ -139,12 +155,15 @@ def simulate(
                         "discovered": rnd,
                         "state": "pending",
                         "domain": _domain(u),
+                        "revisit": 0,
+                        "last_fetch": -1,
                     }
                 else:
                     cand["priority"] = min(cand["priority"], p["priority"])
                     cand["depth"] = min(cand["depth"], p["depth"] + 1)
 
-            # workshop decision replay (home_depo.py:393-599)
+            # workshop decision replay (home_depo.py:393-599, two-phase:
+            # discovered → alert every run until registered → registered)
             if isinstance(row["payload_json"], str) and row["payload_json"]:
                 payload = json.loads(row["payload_json"])
                 for event in payload.get("workshopEventWsDTO", []):
@@ -156,24 +175,31 @@ def simulate(
                     if event.get("workshopStatus") != "ACTIVE":
                         continue
                     code = event.get("code")
-                    if code in res.workshops:
-                        continue
+                    known = res.workshops.get(code)
+                    if known is not None and known["is_registered"]:
+                        continue  # registered → skip, no alert
                     taken = event.get("attendeeLimit", 0) - seats_left
                     start = event.get("startTime", "")
                     register = ("08:30" in start) and taken >= 1
-                    res.workshops[code] = {
-                        "event_code": code,
-                        "workshop_id": event.get("workshopId"),
-                        "title": event.get("eventType", {}).get("name"),
-                        "start_time": start,
-                        "seats_taken": taken,
-                        "is_registered": register,
-                        "discovered_round": rnd,
-                    }
+                    round_actions.append((code, register))
+                    if known is None:
+                        res.workshops[code] = {
+                            "event_code": code,
+                            "workshop_id": event.get("workshopId"),
+                            "title": event.get("eventType", {}).get("name"),
+                            "start_time": start,
+                            "seats_taken": taken,
+                            "is_registered": register,
+                            "discovered_round": rnd,
+                        }
+                    elif register:
+                        known["is_registered"] = True
+                        known["registered_round"] = rnd
 
         for u, row in new_links.items():
             if u in res.seen or u in res.frontier:
                 continue
             res.frontier[u] = row
+        res.actions.append(sorted(round_actions))
 
     return res

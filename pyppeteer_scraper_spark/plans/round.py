@@ -54,7 +54,18 @@ class RoundOutputs:
     extracted: DataFrame
     actions: DataFrame
     metrics: DataFrame
+    new_links: DataFrame | None = None
     cached: tuple = ()  # intra-round caches; unpersist after checkpoint
+
+    def materialize(self) -> int:
+        """Force the round's full compute chain (window → fetch →
+        extract → link dedup) under full parallelism, so the state
+        writes that follow are I/O only (the lazy alternative funnels
+        the whole DAG through the writer tasks)."""
+        n = self.batch.count()
+        if self.new_links is not None:
+            self.new_links.count()
+        return n
 
     def unpersist(self) -> None:
         for df in self.cached:
@@ -96,6 +107,14 @@ def init_state(spark: SparkSession, seeds: DataFrame) -> CrawlState:
             F.lit(0).alias("depth"),
             round_ts(0).alias("discovered_ts"),
             F.lit("pending").alias("state"),
+            # Cron-tier analog: priority-0 seeds are the "hourly"
+            # scrapers (refetch every round), priority-1 the "daily"
+            # ones (every 2 rounds) — /root/reference/README.md:120-131.
+            F.when(F.col("priority") == 0, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("int")
+            .alias("revisit_interval"),
+            F.lit(-1).cast("int").alias("last_fetch_round"),
         )
     )
     url_seen = spark.createDataFrame([], URL_SEEN_SCHEMA)
@@ -188,13 +207,22 @@ def workshop_actions(
         & (F.col("status") == "ACTIVE")
     ).withColumn("seats_taken", F.col("attendee_limit") - F.col("seats_left"))
 
-    # Discovery dedup (D1/D2): drop events already in workshop state.
-    fresh = open_events.join(
-        workshops.select("event_code"), "event_code", "left_anti"
+    # Two-phase state (reference home_depo.py:472-577): new events are
+    # saved as discovered; REGISTERED events are skipped; known-but-
+    # unregistered events alert EVERY run until the register rule
+    # fires.  State is append-only per round; is_registered is
+    # monotonic, so last-value == max().
+    current = workshops.groupBy("event_code").agg(
+        F.max("is_registered").alias("was_registered")
+    )
+    candidates = open_events.join(F.broadcast(current), "event_code", "left")
+    unregistered = candidates.filter(
+        ~F.coalesce(F.col("was_registered"), F.lit(False))
     )
 
-    # Auto-register rule (F6).
-    return fresh.select(
+    # Auto-register rule (F6) — re-evaluated every run, so an event
+    # discovered earlier registers later once someone else signed up.
+    return unregistered.select(
         "url",
         "event_code",
         "workshop_id",
@@ -202,6 +230,8 @@ def workshop_actions(
         "event_date",
         "start_time",
         "seats_taken",
+        F.col("was_registered").isNotNull().alias("known_before"),
+        F.lit(True).alias("alert"),
         (
             F.col("start_time").contains("08:30") & (F.col("seats_taken") >= 1)
         ).alias("register"),
@@ -219,12 +249,20 @@ def run_round(
     round_no = state.round_no + 1
     ts = round_ts(round_no)
 
-    pending = state.frontier.filter(
-        (F.col("state") == "pending") & (F.col("url") != "")
+    # Due revisits re-enter the pending set: a fetched URL with a
+    # revisit cadence becomes schedulable again `revisit_interval`
+    # rounds after its last fetch — the reference's cron re-runs of the
+    # same target URL (/root/reference/.github/workflows/*.yml).
+    is_due_revisit = (
+        (F.col("state") == "fetched")
+        & (F.col("revisit_interval") > 0)
+        & (F.lit(round_no) - F.col("last_fetch_round") >= F.col("revisit_interval"))
     )
-    rest = state.frontier.filter(
-        (F.col("state") != "pending") | (F.col("url") == "")
+    is_pending = (F.col("state") == "pending") & (F.col("url") != "")
+    pending = state.frontier.filter(is_pending | is_due_revisit).withColumn(
+        "state", F.lit("pending")
     )
+    rest = state.frontier.filter(~(is_pending | is_due_revisit))
 
     # batch/found/extracted feed several sinks each round (frontier,
     # url_seen, workshops, metrics); cache them or every write replays
@@ -244,9 +282,13 @@ def run_round(
     fetched = fetched.cache()
     found = fetched.filter(F.col("html").isNotNull()).select(
         "url", "url_hash", "host", "domain", "priority", "depth",
-        "discovered_ts", "html", F.col("page_lang").alias("lang"),
+        "discovered_ts", "revisit_interval",
+        F.lit(round_no).cast("int").alias("last_fetch_round"),
+        "html", F.col("page_lang").alias("lang"),
     )
-    missing = fetched.filter(F.col("html").isNull())
+    missing = fetched.withColumn(
+        "last_fetch_round", F.lit(round_no).cast("int")
+    ).filter(F.col("html").isNull())
 
     extracted = extract_pages(found).cache()
     actions = workshop_actions(extracted, state.workshops, round_no)
@@ -293,17 +335,18 @@ def run_round(
         )
     new_links = unseen.join(
         state.frontier.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
-    )
+    ).cache()
 
-    # State updates.
-    seen_add = batch.select(
+    # State updates.  Revisited URLs (last_fetch_round ≥ 0) are already
+    # in url_seen — only first-time fetches append.
+    seen_add = batch.filter(F.col("last_fetch_round") == -1).select(
         "url_hash", "url", F.lit(round_no).cast("int").alias("first_seen_round")
     )
     url_seen = state.url_seen.unionByName(seen_add)
 
     frontier_cols = [
         "url", "url_hash", "host", "domain", "priority", "depth",
-        "discovered_ts", "state",
+        "discovered_ts", "state", "revisit_interval", "last_fetch_round",
     ]
     new_frontier = (
         rest.select(frontier_cols)
@@ -319,11 +362,17 @@ def run_round(
             new_links.select(
                 "url", "url_hash", "host", "domain", "priority", "depth",
                 ts.alias("discovered_ts"), F.lit("pending").alias("state"),
+                F.lit(0).cast("int").alias("revisit_interval"),
+                F.lit(-1).cast("int").alias("last_fetch_round"),
             )
         )
     )
 
-    workshops_add = actions.select(
+    # State delta: insert newly-discovered events; append an upgrade
+    # row when a known event registers (is_registered monotonic).
+    workshops_add = actions.filter(
+        ~F.col("known_before") | F.col("register")
+    ).select(
         "event_code",
         "workshop_id",
         "title",
@@ -352,6 +401,6 @@ def run_round(
 
     new_state = CrawlState(new_frontier, url_seen, workshops, round_no)
     return new_state, RoundOutputs(
-        batch, extracted, actions, metrics,
-        cached=(*window_caches, fetched, extracted),
+        batch, extracted, actions, metrics, new_links=new_links,
+        cached=(*window_caches, fetched, extracted, new_links),
     )

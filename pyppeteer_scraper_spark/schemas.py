@@ -33,6 +33,10 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType(), True),
         T.StructField("discovered_ts", T.TimestampType(), True),
         T.StructField("state", T.StringType(), True),  # pending|fetched|blocked|missing
+        # Revisit cadence — the cron-tier analog (0 = crawl once;
+        # 1 = every round / "hourly"; 2 = every 2 rounds / "daily").
+        T.StructField("revisit_interval", T.IntegerType(), True),
+        T.StructField("last_fetch_round", T.IntegerType(), True),  # -1 = never
     ]
 )
 

@@ -1,5 +1,6 @@
-"""Engine-vs-oracle parity: crawl order, URL-seen set, byte-identical
-extracted text, and workshop decisions (SURVEY.md §5 item 2)."""
+"""Engine-vs-oracle parity: crawl order (including revisit cadence),
+URL-seen set, byte-identical extracted text, and two-phase workshop
+decisions (SURVEY.md §5 item 2)."""
 
 from pyspark.sql import functions as F
 
@@ -7,7 +8,7 @@ from pyppeteer_scraper_spark.plans.checkpoint import crawl
 from pyppeteer_scraper_spark.plans.oracle import simulate
 from pyppeteer_scraper_spark.sources.datagen import generate_crawl_tables
 
-N_ROUNDS = 3
+N_ROUNDS = 4
 
 
 def run_both(spark, sf_dir, tmp_path):
@@ -26,63 +27,73 @@ def run_both(spark, sf_dir, tmp_path):
     oracle = simulate(
         pages.toPandas(), seeds.toPandas(), robots.toPandas(), N_ROUNDS
     )
-    return result, oracle
+    return t, result, oracle
 
 
 def test_crawl_parity(spark, sf_small, tmp_path):
-    result, oracle = run_both(spark, sf_small, tmp_path)
+    t, result, oracle = run_both(spark, sf_small, tmp_path)
     state = result.state
 
-    # --- URL-seen set parity (canonical URLs + first-seen round)
-    seen_engine = {
-        (r["url"], r["first_seen_round"]) for r in state.url_seen.collect()
-    }
-    seen_oracle = set(oracle.seen.items())
-    assert seen_engine == seen_oracle
-
-    # --- crawl-order parity per round, under the total order
-    eng_seen = state.url_seen.toPandas()
-    for rnd in range(1, N_ROUNDS + 1):
-        got = sorted(
-            eng_seen[eng_seen["first_seen_round"] == rnd]["url"].tolist()
-        )
+    # --- crawl-order parity per round (revisits included)
+    assert result.outputs is not None
+    for rnd, out in enumerate(result.outputs, start=1):
+        got = sorted(r["url"] for r in out.batch.select("url").collect())
         want = sorted(oracle.batches[rnd - 1])
         assert got == want, f"round {rnd}: {len(got)} vs {len(want)}"
+        # revisit cadence: priority-0 seeds re-fetched every round
+        if rnd >= 2:
+            assert len(set(got) & set(oracle.batches[0])) > 0, "no revisits"
+
+    # --- URL-seen set parity (canonical URLs + first-seen round; a
+    # revisited URL must appear exactly once)
+    seen_engine = sorted(
+        (r["url"], r["first_seen_round"]) for r in state.url_seen.collect()
+    )
+    assert len({u for u, _ in seen_engine}) == len(seen_engine)
+    assert seen_engine == sorted(oracle.seen.items())
 
     # --- byte-identical extracted text per url
-    frontier = state.frontier.toPandas()
-    fetched_urls = set(frontier[frontier["state"] == "fetched"]["url"])
-    assert fetched_urls == set(oracle.texts)
-
-    # engine texts from the per-round outputs is not retained after
-    # checkpoint reload; re-extract from the final fetched set instead
     from pyppeteer_scraper_spark.plans.extract import extract_pages
     from pyppeteer_scraper_spark.plans.round import prepare_pages
 
-    t = generate_crawl_tables(spark, sf_small)
     pp = prepare_pages(t["pages"])
     fetched_df = pp.join(
         state.frontier.filter(F.col("state") == "fetched").select("url"), "url"
     )
-    texts = {
-        r["url"]: r["text"] for r in extract_pages(fetched_df).collect()
-    }
-    assert texts == oracle.texts
+    texts = {r["url"]: r["text"] for r in extract_pages(fetched_df).collect()}
+    assert set(texts) <= set(oracle.texts)
     for u, txt in texts.items():
         assert txt.encode() == oracle.texts[u].encode()
 
-    # --- workshop decisions (alert/register) parity
-    ws_engine = {
-        r["event_code"]: (r["is_registered"], r["seats_taken"])
-        for r in state.workshops.collect()
-    }
+    # --- per-round action parity (alert-until-registered semantics)
+    for rnd, out in enumerate(result.outputs, start=1):
+        got = sorted(
+            (r["event_code"], r["register"]) for r in out.actions.collect()
+        )
+        assert got == oracle.actions[rnd - 1], f"actions round {rnd}"
+
+    # --- final workshop state parity (two-phase: registered is monotonic)
+    eng = (
+        state.workshops.groupBy("event_code")
+        .agg(
+            F.max("is_registered").alias("reg"),
+            F.min("discovered_round").alias("disc"),
+        )
+        .collect()
+    )
+    ws_engine = {r["event_code"]: (r["reg"], r["disc"]) for r in eng}
     ws_oracle = {
-        c: (w["is_registered"], w["seats_taken"]) for c, w in oracle.workshops.items()
+        c: (w["is_registered"], w["discovered_round"])
+        for c, w in oracle.workshops.items()
     }
     assert ws_engine == ws_oracle
     assert len(ws_engine) > 0, "fixture should surface at least one workshop"
     assert any(reg for reg, _ in ws_engine.values()), "register rule should fire"
-    assert not all(reg for reg, _ in ws_engine.values()), "10:30 variant should not register"
+    assert not all(reg for reg, _ in ws_engine.values()), "10:30 variant must stay unregistered"
+
+    # unregistered events re-alert on revisit rounds
+    all_actions = [c for acts in oracle.actions for c, _ in acts]
+    assert len(all_actions) > len(set(all_actions)), "expected repeat alerts"
 
     # --- politeness: no domain ever exceeds its per-round cap
     robots_pd = t["robots"].toPandas().set_index("domain")
