@@ -143,30 +143,41 @@ def select_batch(
     across 16 tasks; only ≤ 16·cap survivors per domain reach the
     exact per-domain ranking.
     """
-    aux = ["allow", "crawl_delay_ms", "max_per_round", "__allow", "__cap", "__salt"]
+    aux = ["allow", "crawl_delay_ms", "max_per_round", "__allow", "__cap", "__salt", "__n"]
     gated = (
         pending.join(F.broadcast(robots), "domain", "left")
         .withColumn("__allow", F.coalesce(F.col("allow"), F.lit(True)))
         .withColumn("__cap", F.coalesce(F.col("max_per_round"), F.lit(4)))
-        .withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(16)))
     )
+    # Under-cap domains need NO ranking at all — their whole pending set
+    # is the batch.  Only domains whose pending count exceeds the budget
+    # pay the sort (at web scale that's the hot tail, not the bulk).
+    dom_counts = gated.groupBy("domain").agg(F.count("*").alias("__n"))
+    gated = gated.join(F.broadcast(dom_counts), "domain").cache()
+
+    blocked = gated.filter(~F.col("__allow")).drop(*aux)
+    passthrough = gated.filter(
+        F.col("__allow") & (F.col("__n") <= F.col("__cap"))
+    ).drop(*aux)
+
+    over_cap = gated.filter(
+        F.col("__allow") & (F.col("__n") > F.col("__cap"))
+    ).withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(16)))
     order = [F.col(c) for c in ORDER_COLS]
     w1 = Window.partitionBy("domain", "__salt").orderBy(*order)
-    p1 = gated.withColumn("__rn1", F.row_number().over(w1)).cache()
+    p1 = over_cap.withColumn("__rn1", F.row_number().over(w1)).cache()
 
-    blocked = p1.filter(~F.col("__allow")).drop(*aux, "__rn1")
-    eliminated = p1.filter(F.col("__allow") & (F.col("__rn1") > F.col("__cap"))).drop(
-        *aux, "__rn1"
-    )
-    survivors = p1.filter(F.col("__allow") & (F.col("__rn1") <= F.col("__cap")))
+    eliminated = p1.filter(F.col("__rn1") > F.col("__cap")).drop(*aux, "__rn1")
+    survivors = p1.filter(F.col("__rn1") <= F.col("__cap"))
 
     w2 = Window.partitionBy("domain").orderBy(*order)
     p2 = survivors.withColumn("__rn2", F.row_number().over(w2)).cache()
-    batch = p2.filter(F.col("__rn2") <= F.col("__cap")).drop(*aux, "__rn1", "__rn2")
+    ranked = p2.filter(F.col("__rn2") <= F.col("__cap")).drop(*aux, "__rn1", "__rn2")
     leftover = p2.filter(F.col("__rn2") > F.col("__cap")).drop(*aux, "__rn1", "__rn2")
 
+    batch = passthrough.unionByName(ranked)
     still_pending = eliminated.unionByName(leftover)
-    return batch, blocked, still_pending, (p1, p2)
+    return batch, blocked, still_pending, (gated, p1, p2)
 
 
 def workshop_actions(

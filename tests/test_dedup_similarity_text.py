@@ -173,3 +173,34 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         real_decode_stub(b"x")
+
+
+def test_alert_sink_messages(spark, tmp_path):
+    from pyppeteer_scraper_spark.operators.sinks import alert_messages, append_alerts
+
+    actions = spark.createDataFrame(
+        [
+            (1, "EV1", "KW0001", "Build a Birdhouse", "2026-03-14T08:30:00-0400", True, True, False),
+            (1, "EV2", "KW0002", "Paint a Planter", "2026-03-14T10:30:00-0400", True, False, False),
+        ],
+        "round int, event_code string, workshop_id string, title string, "
+        "start_time string, alert boolean, register boolean, known_before boolean",
+    )
+    msgs = alert_messages(actions).collect()
+    kinds = sorted((m["event_code"], m["kind"]) for m in msgs)
+    assert kinds == [("EV1", "alert"), ("EV1", "register"), ("EV2", "alert")]
+    std = next(m for m in msgs if m["event_code"] == "EV2" and m["kind"] == "alert")
+    assert std["message"] == (
+        "*<https://www.homedepot.ca/workshops?store=7265|Paint a Planter>* "
+        "starts on *2026-03-14T10:30:00-0400* is open for registration: "
+        "https://www.homedepot.ca/workshops?store=7265"
+    )
+    reg = next(m for m in msgs if m["kind"] == "register")
+    assert "🎯 Auto-registering" in reg["message"] and "*EV1*" in reg["message"]
+
+    out = str(tmp_path / "alerts")
+    append_alerts(actions, out)
+    append_alerts(actions.withColumn("round", actions["round"] + 1), out)
+    back = spark.read.parquet(out)
+    assert back.count() == 6
+    assert back.select("round").distinct().count() == 2
