@@ -46,8 +46,25 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     6. strip trailing slashes at the end of the path
     """
     s = s.astype("string").fillna("")
-    s = s.str.strip()
-    s = s.str.replace(r"#.*$", "", regex=True)
+
+    def masked_replace(series: pd.Series, find: str, pat: str, repl: str) -> pd.Series:
+        """Rewrite only rows that can match — a contains() scan is a
+        bool array; a str.replace over all rows reallocates every
+        string.  Most URLs have no fragment/port/tracking params, so
+        this cuts memory traffic by the non-matching fraction (the
+        dominant cost at 10^7-rows-per-executor batch sizes)."""
+        mask = series.str.contains(find, regex=True)
+        mask = mask.fillna(False).astype(bool)
+        if mask.any():
+            series = series.copy()
+            series[mask] = series[mask].str.replace(pat, repl, regex=True)
+        return series
+
+    ws = s.str.contains(r"^\s|\s$", regex=True).fillna(False).astype(bool)
+    if ws.any():
+        s = s.copy()
+        s[ws] = s[ws].str.strip()
+    s = masked_replace(s, r"#", r"#.*$", "")
 
     # Split into scheme, host[:port], rest.
     parts = s.str.extract(r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$")
@@ -57,21 +74,31 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     rest = parts["rest"].fillna("")
 
     # Default-port stripping, conditional on scheme.
-    http_mask = has_scheme & (scheme == "http")
-    https_mask = has_scheme & (scheme == "https")
-    host = host.mask(http_mask, host.str.replace(r":80$", "", regex=True))
-    host = host.mask(https_mask, host.str.replace(r":443$", "", regex=True))
+    port = host.str.contains(r":\d+$", regex=True).fillna(False).astype(bool)
+    http_mask = has_scheme & (scheme == "http") & port
+    https_mask = has_scheme & (scheme == "https") & port
+    if http_mask.any():
+        host = host.mask(http_mask, host[http_mask].str.replace(r":80$", "", regex=True))
+    if https_mask.any():
+        host = host.mask(https_mask, host[https_mask].str.replace(r":443$", "", regex=True))
 
     # Tracking-param removal (run twice for adjacent params), then tidy
     # dangling separators.
-    rest = rest.str.replace(_TRACKING_PARAM_RE + r"&", "", regex=True)
-    rest = rest.str.replace(_TRACKING_PARAM_RE + r"&", "", regex=True)
-    rest = rest.str.replace(r"[?&]" + _TRACKING_PARAM_RE, "", regex=True)
-    rest = rest.str.replace(r"\?&", "?", regex=True)
-    rest = rest.str.replace(r"[?&]$", "", regex=True)
+    tracked = rest.str.contains(
+        r"utm_|fbclid|gclid|msclkid", regex=True
+    ).fillna(False).astype(bool)
+    if tracked.any():
+        sub = rest[tracked]
+        sub = sub.str.replace(_TRACKING_PARAM_RE + r"&", "", regex=True)
+        sub = sub.str.replace(_TRACKING_PARAM_RE + r"&", "", regex=True)
+        sub = sub.str.replace(r"[?&]" + _TRACKING_PARAM_RE, "", regex=True)
+        sub = sub.str.replace(r"\?&", "?", regex=True)
+        sub = sub.str.replace(r"[?&]$", "", regex=True)
+        rest = rest.copy()
+        rest[tracked] = sub
 
     # Trailing-slash normalization on the path component.
-    rest = rest.str.replace(r"/+(\?|$)", r"\1", regex=True)
+    rest = masked_replace(rest, r"/(?:\?|$)", r"/+(\?|$)", r"\1")
 
     rebuilt = scheme.fillna("") + "://" + host.fillna("") + rest
     out = s.mask(has_scheme, rebuilt)
