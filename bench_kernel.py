@@ -92,7 +92,9 @@ def main() -> None:
         "the quick brown corpus text with several repeated tokens and "
         "some entropy present in every crawled page body " * 16
     )
-    pages = spark.range(n_pages).repartition(int(cores) * 4).select(
+    # numPartitions at generation — a .repartition here would shuffle
+    # ~6 GB of html through local disk and dominate the measurement
+    pages = spark.range(n_pages, numPartitions=int(cores) * 4).select(
         F.concat(F.lit("https://s.example/p"), F.col("id").cast("string")).alias("url"),
         F.encode(
             F.concat(
@@ -118,8 +120,10 @@ def main() -> None:
     from pyppeteer_scraper_spark.plans.round import select_batch
 
     t0 = time.time()
-    canon = with_canonical_url(raw).cache()
-    canon.count()  # one canonicalize pass, materialized
+    # canon stays lazy: select_batch's internal cache materializes the
+    # canonicalize exactly once (dom_counts aggregates before the cache
+    # exists, but that pass prunes to 4 columns)
+    canon = with_canonical_url(raw)
     batch, blocked, still_pending, caches = select_batch(canon, robots)
     fresh = batch.join(seen, ["url_hash", "url"], "left_anti")
     n_out = fresh.count()

@@ -61,8 +61,17 @@ def main() -> None:
     lo_n, hi_n = 4, 16
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Scratch I/O on tmpfs: a 4N-executor cluster has 4N nodes' worth
+    # of local disks and object-store bandwidth; a single box has one
+    # /tmp disk.  RAM-backed scratch emulates I/O-that-scales-with-N.
+    io_env = {
+        "SPARK_GRAFT_LOCAL_DIR": "/dev/shm/spark-local",
+        "TMPDIR": "/dev/shm/bench-tmp",
+    }
+    os.makedirs("/dev/shm/bench-tmp", exist_ok=True)
     kernel = {
-        c: best_of("bench_kernel.py", c, reps, "value") for c in (lo_n, hi_n, 8, 32)
+        c: best_of("bench_kernel.py", c, reps, "value", io_env)
+        for c in (lo_n, hi_n, 8, 32)
     }
     full = {
         c: best_of(
@@ -70,10 +79,16 @@ def main() -> None:
             c,
             reps,
             "frontier_urls_per_sec",
-            {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_BENCH_REP": "100"},
+            {
+                "SPARK_GRAFT_SF_DIR": sf_dir,
+                "SPARK_GRAFT_BENCH_REP": "100",
+                **io_env,
+            },
         )
         for c in (lo_n, hi_n)
     }
+    shutil.rmtree("/dev/shm/spark-local", ignore_errors=True)
+    shutil.rmtree("/dev/shm/bench-tmp", ignore_errors=True)
 
     k_lo, k_hi = kernel[lo_n], kernel[hi_n]
     eff_sched = eff_throughput(k_lo["value"], k_hi["value"])

@@ -144,16 +144,20 @@ def select_batch(
     exact per-domain ranking.
     """
     aux = ["allow", "crawl_delay_ms", "max_per_round", "__allow", "__cap", "__salt", "__n"]
-    gated = (
+    # Cache BEFORE the count aggregation: dom_counts then fills the
+    # cache, and every later branch (including any upstream pandas UDF
+    # like canonicalize) is computed exactly once.
+    gated0 = (
         pending.join(F.broadcast(robots), "domain", "left")
         .withColumn("__allow", F.coalesce(F.col("allow"), F.lit(True)))
         .withColumn("__cap", F.coalesce(F.col("max_per_round"), F.lit(4)))
+        .cache()
     )
     # Under-cap domains need NO ranking at all — their whole pending set
     # is the batch.  Only domains whose pending count exceeds the budget
     # pay the sort (at web scale that's the hot tail, not the bulk).
-    dom_counts = gated.groupBy("domain").agg(F.count("*").alias("__n"))
-    gated = gated.join(F.broadcast(dom_counts), "domain").cache()
+    dom_counts = gated0.groupBy("domain").agg(F.count("*").alias("__n"))
+    gated = gated0.join(F.broadcast(dom_counts), "domain")
 
     blocked = gated.filter(~F.col("__allow")).drop(*aux)
     passthrough = gated.filter(
@@ -177,7 +181,7 @@ def select_batch(
 
     batch = passthrough.unionByName(ranked)
     still_pending = eliminated.unionByName(leftover)
-    return batch, blocked, still_pending, (gated, p1, p2)
+    return batch, blocked, still_pending, (gated0, p1, p2)
 
 
 def workshop_actions(

@@ -57,6 +57,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # Shuffle/spill scratch space.  On a real cluster each executor
+        # has its own local NVMe — I/O bandwidth scales with node count.
+        # On this single box, point it at tmpfs (RAM) to emulate that
+        # (set SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local for benches).
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     if extra_conf:
