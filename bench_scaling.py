@@ -110,7 +110,10 @@ def main() -> None:
         f"Generated {now} by `bench_scaling.py`. Single 32-core host; each "
         "config pinned with `taskset -c 0-(N-1)` (JVM + Python UDF workers). "
         "Primary pair **4 vs 16 cores** = N vs 4N executors per the driver "
-        "instruction; 8 vs 32 shown for context (saturates the whole box).",
+        "instruction; 8 vs 32 shown for context (saturates the whole box). "
+        "Each number is best-of-N repetitions (SPARK_GRAFT_BENCH_REPS, "
+        "default 2) — this is a shared VM with visible run-to-run noise; "
+        "all raw runs appear in the JSON below.",
         "",
         "## 1. Scheduling kernel — URLs scheduled+deduped/sec (headline)",
         "",
@@ -148,10 +151,10 @@ def main() -> None:
         f"| {lo_n} | {f_lo['frontier_rounds']} | {f_lo['frontier_urls_scheduled']} | {f_lo['frontier_seconds']} | {f_lo['frontier_urls_per_sec']} |",
         f"| {hi_n} | {f_hi['frontier_rounds']} | {f_hi['frontier_urls_scheduled']} | {f_hi['frontier_seconds']} | {f_hi['frontier_urls_per_sec']} |",
         "",
-        f"Full-crawl efficiency (4→16): {eff_crawl:.3f} — bounded by",
-        "single-disk parquet checkpoint writes (state I/O); on a cluster this",
-        "scales with the object store / per-node disks, not with cores on",
-        "one box.",
+        f"Full-crawl efficiency (4→16): {eff_crawl:.3f} — at this input",
+        "size each round's state writes + reload are seconds-scale fixed",
+        "job latency (Spark stage scheduling), which does not parallelize;",
+        "the kernel section isolates the per-URL work that does.",
         "",
         "## 3. Analytical query suite (sum of per-query seconds)",
         "",
