@@ -130,11 +130,21 @@ def anti_join_with_bloom(
     n_shards: int = DEFAULT_SHARDS,
     m: int = DEFAULT_BITS,
     k: int = DEFAULT_K,
+    caches: list | None = None,
 ) -> DataFrame:
     """candidates ∖ url_seen, bloom-accelerated and exactly equal to the
     plain left-anti join: bloom-negatives pass straight through; only
-    bloom-positives pay the exact anti-join shuffle."""
-    annotated = bloom_annotate(candidates, bloom_dir, n_shards, m, k)
+    bloom-positives pay the exact anti-join shuffle.
+
+    ``annotated`` is cached because both branches (fresh / suspect)
+    filter it — uncached, the bloom probe and its whole upstream
+    lineage (canonicalize UDF, link explode) would run twice.  The
+    handle is appended to ``caches`` so the caller's round-level
+    unpersist sweep releases it.
+    """
+    annotated = bloom_annotate(candidates, bloom_dir, n_shards, m, k).cache()
+    if caches is not None:
+        caches.append(annotated)
     fresh = annotated.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = annotated.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified = suspect.join(

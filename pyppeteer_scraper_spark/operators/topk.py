@@ -29,13 +29,29 @@ def topk_per_group(
 
     ``k`` may be a per-row Column (e.g. a per-domain politeness cap —
     it must be constant within a group) or a plain int.  ``salt_on``
-    names a high-cardinality column used to derive the salt (defaults
-    to the first order column's string form).
+    names a high-cardinality column used to derive the salt; when
+    omitted, the salt is derived from the first order column that is a
+    plain expression (sort-order wrappers like ``F.desc(...)`` cannot
+    be cast/hashed — Spark fails codegen on them), and if every order
+    column is a sort-order expression, ``salt_on`` is required.
     """
     k_col = F.lit(k) if isinstance(k, int) else k
     df = df.withColumn("__k", k_col)
 
-    salt_src = F.col(salt_on) if salt_on else order_cols[-1].cast("string")
+    if salt_on:
+        salt_src = F.col(salt_on)
+    else:
+        def _is_sort_order(c: Column) -> bool:
+            s = c._jc.toString() if hasattr(c, "_jc") else str(c)
+            return s.endswith("NULLS FIRST") or s.endswith("NULLS LAST")
+
+        plain = [c for c in order_cols if not _is_sort_order(c)]
+        if not plain:
+            raise ValueError(
+                "topk_per_group: every order column is a sort-order "
+                "expression; pass salt_on=<column name> to derive the salt"
+            )
+        salt_src = plain[0].cast("string")
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
 
     w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)

@@ -144,6 +144,13 @@ def crawl(
     ``use_bloom=True`` maintains per-shard bloom sidecars under the
     checkpoint dir and routes the url_seen anti-join through them
     (identical results, cheaper at scale).
+
+    ``collect_outputs=True`` RETAINS every round's intra-round caches
+    (window passes, fetched, extracted, new_links) so the returned
+    ``outputs`` stay cheap to re-read: executor storage memory grows
+    with n_rounds.  It is a test/debug mode — long crawls should leave
+    it False (per-round caches are unpersisted as each round completes)
+    and read the checkpoint parquet instead.
     """
     pages_prepared = prepare_pages(pages)
     pages_prepared.cache().count()
@@ -192,6 +199,7 @@ def crawl(
             fetched_per_round.append(batch_count)
             actions_per_round.append(0)
             out.unpersist()
+    pages_prepared.unpersist()
     return CrawlResult(
         state,
         fetched_per_round,

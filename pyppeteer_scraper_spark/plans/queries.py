@@ -1111,14 +1111,17 @@ def p3(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (
       SELECT 1 FROM events e WHERE e.event_type = 'purchase'
         AND e.user_id = d.doc_id % 150
-        AND e.value > 19.0
+        AND e.value > 150.0
     ) AND d.doc_id < 300
     """,
 )
 def d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold 150.0 keeps BOTH sides of the anti-join non-empty at
+    # sf0.001/0.01/0.1 (166-298 of 300 rows survive) — a vacuous 0-row
+    # result would make the oracle comparison prove nothing.
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     e = load_table(spark, sf_dir, "events").filter(
-        (F.col("event_type") == "purchase") & (F.col("value") > 19.0)
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
     )
     return d.join(
         e, d.doc_id % 150 == e.user_id, "left_anti"

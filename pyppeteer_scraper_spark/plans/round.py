@@ -144,20 +144,22 @@ def select_batch(
     exact per-domain ranking.
     """
     aux = ["allow", "crawl_delay_ms", "max_per_round", "__allow", "__cap", "__salt", "__n"]
-    # Cache BEFORE the count aggregation: dom_counts then fills the
-    # cache, and every later branch (including any upstream pandas UDF
-    # like canonicalize) is computed exactly once.
-    gated0 = (
-        pending.join(F.broadcast(robots), "domain", "left")
-        .withColumn("__allow", F.coalesce(F.col("allow"), F.lit(True)))
-        .withColumn("__cap", F.coalesce(F.col("max_per_round"), F.lit(4)))
-        .cache()
-    )
     # Under-cap domains need NO ranking at all — their whole pending set
     # is the batch.  Only domains whose pending count exceeds the budget
     # pay the sort (at web scale that's the hot tail, not the bulk).
-    dom_counts = gated0.groupBy("domain").agg(F.count("*").alias("__n"))
-    gated = gated0.join(F.broadcast(dom_counts), "domain")
+    # The per-domain count is a window over the domain partitioning —
+    # NOT a broadcast of an aggregated per-domain table, which at web
+    # scale is 10^7-10^8 rows shipped to every executor per round.  The
+    # cache holds the post-window rows, so every later branch (including
+    # any upstream pandas UDF like canonicalize) is computed exactly
+    # once, and the single shuffle-by-domain is paid once.
+    gated = (
+        pending.join(F.broadcast(robots), "domain", "left")
+        .withColumn("__allow", F.coalesce(F.col("allow"), F.lit(True)))
+        .withColumn("__cap", F.coalesce(F.col("max_per_round"), F.lit(4)))
+        .withColumn("__n", F.count("*").over(Window.partitionBy("domain")))
+        .cache()
+    )
 
     blocked = gated.filter(~F.col("__allow")).drop(*aux)
     passthrough = gated.filter(
@@ -181,7 +183,7 @@ def select_batch(
 
     batch = passthrough.unionByName(ranked)
     still_pending = eliminated.unionByName(leftover)
-    return batch, blocked, still_pending, (gated0, p1, p2)
+    return batch, blocked, still_pending, (gated, p1, p2)
 
 
 def workshop_actions(
@@ -227,10 +229,15 @@ def workshop_actions(
     # unregistered events alert EVERY run until the register rule
     # fires.  State is append-only per round; is_registered is
     # monotonic, so last-value == max().
+    # No broadcast hint: the workshops state grows monotonically with
+    # rounds, so forcing a broadcast is an eventual driver/executor OOM.
+    # The join key is the state's own key; AQE picks broadcast while the
+    # state is genuinely small and switches to a shuffled hash join once
+    # it isn't.
     current = workshops.groupBy("event_code").agg(
         F.max("is_registered").alias("was_registered")
     )
-    candidates = open_events.join(F.broadcast(current), "event_code", "left")
+    candidates = open_events.join(current, "event_code", "left")
     unregistered = candidates.filter(
         ~F.coalesce(F.col("was_registered"), F.lit(False))
     )
@@ -328,6 +335,7 @@ def run_round(
             (F.min("depth") + 1).cast("int").alias("depth"),
         )
     )
+    extra_caches: list = []
     if bloom_dir is not None:
         # Bloom-accelerated D1: definitely-unseen links skip the exact
         # anti-join entirely; positives are verified exactly (result is
@@ -337,7 +345,9 @@ def run_round(
         from pyppeteer_scraper_spark.operators.bloom import anti_join_with_bloom
 
         if os.path.isdir(bloom_dir):
-            unseen = anti_join_with_bloom(links, state.url_seen, bloom_dir)
+            unseen = anti_join_with_bloom(
+                links, state.url_seen, bloom_dir, caches=extra_caches
+            )
         else:
             unseen = links.join(
                 state.url_seen.select("url_hash", "url"),
@@ -417,5 +427,5 @@ def run_round(
     new_state = CrawlState(new_frontier, url_seen, workshops, round_no)
     return new_state, RoundOutputs(
         batch, extracted, actions, metrics, new_links=new_links,
-        cached=(*window_caches, fetched, extracted, new_links),
+        cached=(*window_caches, fetched, extracted, new_links, *extra_caches),
     )

@@ -84,7 +84,26 @@ def test_frontier_round_plan_shape(spark, sf_small, tmp_path):
     plan = plan_of(new_state.frontier)
     assert "BroadcastHashJoin" in plan  # robots gate
     assert "BroadcastNestedLoopJoin" not in plan
+    # Politeness counts come from a window over the domain partitioning,
+    # not a broadcast-joined per-domain aggregate (unbounded at scale).
+    batch_plan = plan_of(out.batch)
+    assert "Window" in batch_plan
     out.unpersist()
+
+
+def test_no_unbounded_broadcast_hints():
+    """The flagship round must never force-broadcast DERIVED tables
+    (per-domain counts, the monotonically-growing workshops state) —
+    those are unbounded at web scale.  The only allowed hint in
+    round.py is the genuinely tiny robots rules dimension."""
+    import pathlib
+
+    src = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "pyppeteer_scraper_spark" / "plans" / "round.py"
+    ).read_text()
+    hints = re.findall(r"F\.broadcast\(\s*(\w+)", src)
+    assert hints == ["robots"], f"unexpected broadcast hints in round.py: {hints}"
 
 
 def test_no_python_row_udfs_registered():
@@ -97,3 +116,6 @@ def test_no_python_row_udfs_registered():
     for p in root.rglob("*.py"):
         src = p.read_text()
         assert "@F.udf" not in src and "@udf" not in src, f"row UDF in {p}"
+        # call form too: F.udf(...) / udf(...) as an expression
+        assert not re.search(r"\bF\.udf\s*\(", src), f"row UDF call in {p}"
+        assert not re.search(r"(?<![\w.])udf\s*\(", src), f"row UDF call in {p}"

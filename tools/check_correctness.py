@@ -49,6 +49,10 @@ def main() -> int:
     spark = get_spark("correctness", cores=8, shuffle_partitions=8)
 
     con = duckdb.connect()
+    # Pin the session TZ: strptime('%z')→TIMESTAMP casts convert via the
+    # session TimeZone; Spark is pinned to UTC, so DuckDB must be too or
+    # s_tz_offset_normalize spuriously fails on non-UTC hosts.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
