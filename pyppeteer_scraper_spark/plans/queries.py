@@ -1126,3 +1126,33 @@ def d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(
         e, d.doc_id % 150 == e.user_id, "left_anti"
     ).select("doc_id")
+
+
+@query(
+    "p1_extract_fields",
+    # P1/P2: parameterized extract_one/extract_many —
+    # /root/reference/scraper/home_depo.py:78-101 (arbitrary selector/attr
+    # arguments); here driven through the generic ExtractSpec operator.
+    r"""
+    SELECT doc_id,
+           NULLIF(regexp_extract(text, '\b(scan|merge|join)\b', 1), '') AS first_op,
+           len(regexp_extract_all(text, '(value)', 1)) AS n_value
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def p1_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.plans.extract import ExtractSpec, extract_fields
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    ex = extract_fields(
+        d,
+        [
+            ExtractSpec("first_op", r"\b(scan|merge|join)\b"),
+            ExtractSpec("value_hits", r"(value)", many=True),
+        ],
+        input_col="text",
+        keep=("doc_id",),
+    )
+    return ex.select(
+        "doc_id", "first_op", F.size("value_hits").cast("long").alias("n_value")
+    )
