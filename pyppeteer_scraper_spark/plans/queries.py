@@ -785,8 +785,71 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus deterministic planted near-duplicates: +0.02
+    offset copies of vec_id%7==0 (cosine ≈ 0.988) and ×2 scaled copies
+    of vec_id%13==0 (cosine exactly 1).  The raw synthetic table has no
+    pairs above 0.95, which would make a near-dup query vacuous."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + 0.02).alias("embedding"),
+    )
+    scaled = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    return emb.unionByName(pert).unionByName(scaled)
+
+
+_NEAR_DUP_CORPUS_SQL = """
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.02)
+      FROM embeddings WHERE vec_id % 7 = 0
+      UNION ALL
+      SELECT vec_id + 200000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+      FROM embeddings WHERE vec_id % 13 = 0
+    ),
+    u AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / greatest(sqrt(list_sum(list_transform(v, y -> y*y))), 1e-12)) AS unit
+      FROM corpus
+    )
+"""
+
+
 @query(
     "sim_embedding_near_dups",
+    # Default scale path: banded-SRP candidates + exact verification.
+    # The oracle is the brute-force ground truth — equality proves the
+    # LSH recall is 1.0 on this corpus (verification makes precision
+    # exact by construction).
+    f"""
+    WITH {_NEAR_DUP_CORPUS_SQL}
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.unit, b.unit), 6) AS cosine
+    FROM u a, u b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_dot_product(a.unit, b.unit), 6) >= 0.95
+    """,
+)
+def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _near_dup_corpus(spark, sf_dir), threshold=0.95, method="lsh"
+    )
+
+
+@query(
+    "sim_similar_pairs_exact",
+    # The demoted brute-force form: ground-truth verifier for recall
+    # tests and the bounded-candidate baseline at low thresholds where
+    # LSH banding has no pruning power.  NEVER the default path.
     """
     WITH u AS (
       SELECT vec_id,
@@ -801,11 +864,11 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND round(list_dot_product(a.unit, b.unit), 6) >= 0.4
     """,
 )
-def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_similar_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyppeteer_scraper_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, method="exact"
     )
 
 

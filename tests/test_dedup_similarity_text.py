@@ -92,6 +92,31 @@ def test_similarity_topk_matches_numpy(spark, sf_small):
         assert [n for _, n in got_q] == want, f"query {q}"
 
 
+def test_embedding_near_dups_lsh_matches_bruteforce(spark, sf_small):
+    """The default (banded-SRP) near-dup path must reproduce the exact
+    crossJoin ground truth on the planted-near-dup corpus: precision is
+    exact by construction (candidates are cosine-verified), so equality
+    means recall 1.0 at this scale."""
+    from pyppeteer_scraper_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from pyppeteer_scraper_spark.plans.queries import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_small)
+    lsh = {
+        (r["a"], r["b"], r["cosine"])
+        for r in embedding_near_dup_pairs(corpus, 0.95, method="lsh").collect()
+    }
+    exact = {
+        (r["a"], r["b"], r["cosine"])
+        for r in embedding_near_dup_pairs(corpus, 0.95, method="exact").collect()
+    }
+    assert len(exact) > 50, "planted corpus should contain real near-dups"
+    assert lsh == exact
+    # every pair emitted is genuinely above threshold (verified, not assumed)
+    assert all(c >= 0.95 for _, _, c in lsh)
+
+
 def test_lsh_topk_is_subset_ranked(spark, sf_small):
     from pyppeteer_scraper_spark.operators.similarity import lsh_topk
 
