@@ -16,13 +16,33 @@ analog of an Iceberg puffin blob), built/updated incrementally from
 each round's url_seen delta inside ``applyInPandas`` — vectorized
 double hashing, no per-row Python.
 
+Sizing: a bloom filter saturates when n ≫ m/bits_per_key — past that
+the FP rate → 1 and every candidate falls through to the exact
+anti-join (still correct, but the optimization evaporates exactly when
+it matters).  ``params_for(expected_n)`` sizes m at ~10 bits/key with
+k=4, giving FP ≈ (1-e^{-kn/m})^k ≈ 1.2% at capacity.  The parameters
+are persisted in ``params.json`` beside the shards: a probe or update
+with different parameters would read garbage bit positions, so loads
+assert the stored params and the crawl driver rebuilds from the full
+url_seen table on mismatch (or when the sidecar is first enabled on a
+resumed crawl — delta-only inserts would otherwise let previously-seen
+URLs through the "definitely unseen" fast path).
+
+Storage: shard I/O uses plain local-filesystem paths from inside
+executor tasks — correct in local[N]; on a multi-node cluster
+``bloom_dir`` MUST be a shared filesystem (NFS/FUSE-mounted object
+store), or shard files silently land on per-executor local disks.  The
+Iceberg-native form of this sidecar is a puffin blob per snapshot.
+
 Reference analog: the whole-file JSON seen-set re-read every run
 (/root/reference/service/alert.py:460-490) — the thing this replaces.
 """
 
 from __future__ import annotations
 
+import json
 import os
+from dataclasses import asdict, dataclass
 
 import numpy as np
 import pandas as pd
@@ -32,6 +52,59 @@ from pyspark.sql import functions as F
 DEFAULT_SHARDS = 16
 DEFAULT_BITS = 1 << 20  # 1 Mi bits/shard ≈ 131 KiB packed
 DEFAULT_K = 4
+
+
+@dataclass(frozen=True)
+class BloomParams:
+    n_shards: int = DEFAULT_SHARDS
+    m: int = DEFAULT_BITS
+    k: int = DEFAULT_K
+
+
+def params_for(
+    expected_n: int,
+    n_shards: int = DEFAULT_SHARDS,
+    bits_per_key: int = 10,
+    k: int = DEFAULT_K,
+) -> BloomParams:
+    """Size shards for ``expected_n`` total keys at ``bits_per_key``
+    (default 10 bits/key + k=4 → ~1.2% FP at capacity), rounding m up
+    to a power of two, floor 2^16 bits/shard."""
+    per_shard = expected_n // max(1, n_shards) + 1
+    m = 1 << max(16, int(per_shard * bits_per_key - 1).bit_length())
+    return BloomParams(n_shards=n_shards, m=m, k=k)
+
+
+def _params_path(bloom_dir: str) -> str:
+    return os.path.join(bloom_dir, "params.json")
+
+
+def save_params(bloom_dir: str, params: BloomParams) -> None:
+    os.makedirs(bloom_dir, exist_ok=True)
+    with open(_params_path(bloom_dir), "w") as f:
+        json.dump(asdict(params), f)
+
+
+def load_params(bloom_dir: str) -> BloomParams | None:
+    path = _params_path(bloom_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return BloomParams(**json.load(f))
+
+
+def resolve_params(bloom_dir: str, params: BloomParams | None) -> BloomParams:
+    """Stored params win; explicit params must MATCH stored ones (a
+    probe with different (n_shards, m, k) reads garbage bits)."""
+    stored = load_params(bloom_dir)
+    if stored is None:
+        return params or BloomParams()
+    if params is not None and params != stored:
+        raise ValueError(
+            f"bloom params mismatch: dir has {stored}, caller wants {params}; "
+            "rebuild the sidecar (crawl(..., bloom_params=...) does this)"
+        )
+    return stored
 
 
 def _indices(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
@@ -65,17 +138,21 @@ def _save_shard(bloom_dir: str, shard: int, bits: np.ndarray) -> None:
 def update_bloom_shards(
     url_seen_delta: DataFrame,
     bloom_dir: str,
-    n_shards: int = DEFAULT_SHARDS,
-    m: int = DEFAULT_BITS,
-    k: int = DEFAULT_K,
+    params: BloomParams | None = None,
 ) -> int:
     """OR this round's url_hash delta into the persisted shards.
     Returns the number of hashes inserted.
 
     Each shard group is processed by one task that loads its bit
     array, sets bits for its batch, and writes it back — O(delta)
-    work per round, never O(history).
+    work per round, never O(history).  The sidecar's (n_shards, m, k)
+    are persisted in params.json on first update; later updates and
+    probes must use the same values or the bit positions are garbage.
     """
+    params = resolve_params(bloom_dir, params)
+    save_params(bloom_dir, params)
+    n_shards, m, k = params.n_shards, params.m, params.k
+
     def upd(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         bits = _load_shard(bloom_dir, shard, m)
@@ -91,16 +168,43 @@ def update_bloom_shards(
     return sum(r["n"] for r in out.collect())
 
 
+def ensure_bloom_sidecar(
+    url_seen: DataFrame,
+    bloom_dir: str,
+    params: BloomParams | None = None,
+) -> BloomParams:
+    """Make the sidecar consistent with ``url_seen`` and ``params``:
+    (re)build from the FULL url_seen table when the dir is new or the
+    stored params differ.  Without this, enabling bloom on a resumed
+    crawl (or resizing it) would insert only future deltas — previously
+    seen URLs would pass the "definitely unseen" fast path and re-enter
+    the frontier.  Rebuild cost is one pass over url_seen; at 10^10
+    keys that is the same order as a single round's exact anti-join,
+    paid once per resize instead of every round."""
+    stored = load_params(bloom_dir)
+    want = params or stored or BloomParams()
+    if stored == want:
+        return want
+    if os.path.isdir(bloom_dir):
+        for name in os.listdir(bloom_dir):
+            if name.endswith(".npz") or name == "params.json":
+                os.remove(os.path.join(bloom_dir, name))
+    save_params(bloom_dir, want)
+    update_bloom_shards(url_seen.select("url_hash"), bloom_dir, want)
+    return want
+
+
 def bloom_annotate(
     candidates: DataFrame,
     bloom_dir: str,
-    n_shards: int = DEFAULT_SHARDS,
-    m: int = DEFAULT_BITS,
-    k: int = DEFAULT_K,
+    params: BloomParams | None = None,
     hash_col: str = "url_hash",
 ) -> DataFrame:
     """Add ``maybe_seen`` (bool): False ⇒ definitely unseen (no exact
     join needed); True ⇒ check exactly."""
+    params = resolve_params(bloom_dir, params)
+    n_shards, m, k = params.n_shards, params.m, params.k
+
     def test(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["__shard"].iloc[0])
         bits = _load_shard(bloom_dir, shard, m)
@@ -127,9 +231,7 @@ def anti_join_with_bloom(
     candidates: DataFrame,
     url_seen: DataFrame,
     bloom_dir: str,
-    n_shards: int = DEFAULT_SHARDS,
-    m: int = DEFAULT_BITS,
-    k: int = DEFAULT_K,
+    params: BloomParams | None = None,
     caches: list | None = None,
 ) -> DataFrame:
     """candidates ∖ url_seen, bloom-accelerated and exactly equal to the
@@ -142,7 +244,7 @@ def anti_join_with_bloom(
     handle is appended to ``caches`` so the caller's round-level
     unpersist sweep releases it.
     """
-    annotated = bloom_annotate(candidates, bloom_dir, n_shards, m, k).cache()
+    annotated = bloom_annotate(candidates, bloom_dir, params).cache()
     if caches is not None:
         caches.append(annotated)
     fresh = annotated.filter(~F.col("maybe_seen")).drop("maybe_seen")

@@ -136,6 +136,7 @@ def crawl(
     resume: bool = False,
     collect_outputs: bool = False,
     use_bloom: bool = False,
+    bloom_params=None,
 ) -> CrawlResult:
     """Drive ``n_rounds`` scheduler rounds with per-round checkpoints.
 
@@ -167,6 +168,12 @@ def crawl(
     t0 = time.time()
     target = state.round_no + n_rounds
     bloom_dir = os.path.join(ckpt_dir, "bloom") if use_bloom else None
+    if use_bloom:
+        from pyppeteer_scraper_spark.operators.bloom import ensure_bloom_sidecar
+
+        # Build/rebuild from the FULL url_seen on first enable or param
+        # change — delta-only inserts would miss crawl history.
+        ensure_bloom_sidecar(state.url_seen, bloom_dir, bloom_params)
     while state.round_no < target:
         t_round = time.time()
         state, out = run_round(

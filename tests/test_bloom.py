@@ -1,8 +1,14 @@
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from pyppeteer_scraper_spark.operators.bloom import (
+    BloomParams,
+    _indices,
     anti_join_with_bloom,
     bloom_annotate,
+    load_params,
+    params_for,
     update_bloom_shards,
 )
 
@@ -55,6 +61,65 @@ def test_bloom_incremental_update(spark, tmp_path):
         _seen_df(spark, range(0, 200)).drop("first_seen_round"), bloom_dir
     )
     assert ann.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_params_sizing_fp_rate_at_10m_keys():
+    """params_for must keep the FP rate < 5% at the declared capacity —
+    the round-1 fixed 2^20-bit shards saturated near 10^6 insertions.
+    Pure-numpy check over the same _indices hashing, 10^7 keys."""
+    n_keys = 10_000_000
+    p = params_for(n_keys, n_shards=64)
+    assert p.m * 64 >= n_keys * 8, "sizing must scale with expected_n"
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=n_keys, dtype=np.int64)
+    shards = (keys % 64).astype(np.int64)
+    # representative shard: insert its keys, probe fresh non-keys
+    shard0 = keys[shards == 0]
+    bits = np.zeros(p.m, dtype=bool)
+    bits[_indices(shard0, p.m, p.k).ravel()] = True
+    probes = rng.integers(0, 2**63, size=200_000, dtype=np.int64)
+    fp = bits[_indices(probes, p.m, p.k)].all(axis=1).mean()
+    assert fp < 0.05, f"fp rate {fp} at {len(shard0)} keys/shard, m={p.m}"
+
+
+def test_bloom_param_mismatch_rejected_and_rebuilt(spark, tmp_path):
+    bloom_dir = str(tmp_path / "bloom3")
+    seen = _seen_df(spark, range(0, 500))
+    update_bloom_shards(seen, bloom_dir)  # default params persisted
+    assert load_params(bloom_dir) == BloomParams()
+    other = params_for(50_000, n_shards=8)
+    # direct probe/update with different params must refuse (bit
+    # positions would be garbage) ...
+    with pytest.raises(ValueError, match="mismatch"):
+        update_bloom_shards(seen, bloom_dir, other)
+    with pytest.raises(ValueError, match="mismatch"):
+        bloom_annotate(seen.drop("first_seen_round"), bloom_dir, other).count()
+    # ... while the crawl-level ensure path rebuilds and stays exact
+    from pyppeteer_scraper_spark.operators.bloom import ensure_bloom_sidecar
+
+    got = ensure_bloom_sidecar(seen, bloom_dir, other)
+    assert got == other and load_params(bloom_dir) == other
+    ann = bloom_annotate(_seen_df(spark, range(0, 500)).drop("first_seen_round"), bloom_dir)
+    assert ann.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
+
+
+def test_enable_bloom_on_resume_is_exact(spark, sf_small, tmp_path):
+    """Turning the sidecar on for a RESUMED crawl must backfill crawl
+    history — delta-only inserts would let previously-seen URLs through
+    the 'definitely unseen' fast path and re-enter the frontier."""
+    from pyppeteer_scraper_spark.plans.checkpoint import crawl
+    from pyppeteer_scraper_spark.sources.datagen import generate_crawl_tables
+
+    t = generate_crawl_tables(spark, sf_small)
+    plain = crawl(spark, t["pages"], t["seeds"], t["robots"], 4, str(tmp_path / "p"))
+    crawl(spark, t["pages"], t["seeds"], t["robots"], 2, str(tmp_path / "m"))
+    mixed = crawl(
+        spark, t["pages"], t["seeds"], t["robots"], 2, str(tmp_path / "m"),
+        resume=True, use_bloom=True,
+    )
+    a = sorted((r["url"], r["first_seen_round"]) for r in plain.state.url_seen.collect())
+    b = sorted((r["url"], r["first_seen_round"]) for r in mixed.state.url_seen.collect())
+    assert a == b
 
 
 def test_crawl_with_bloom_matches_plain(spark, sf_small, tmp_path):
