@@ -100,20 +100,49 @@ _ROLL_INIT = np.uint64(14695981039346656037)
 
 
 def rolling_hash_series(s: pd.Series) -> pd.Series:
-    """FNV-1a-style rolling hash over UTF-8 bytes, vectorized per batch
-    (bounded loop over byte positions, numpy over rows)."""
+    """FNV-1a-style rolling hash over UTF-8 bytes.
+
+    Memory is O(total bytes in the batch): rows are folded
+    position-by-position by gathering from ONE flat concatenated buffer
+    via per-row offsets — never a rows×maxlen padded matrix (one 1 MB
+    document in a 10k-row batch would otherwise allocate 10 GB) and no
+    per-row Python fill loop.  Rows are processed in length order so
+    the active set is a shrinking suffix; once only a handful of long
+    outlier rows remain, their tails are folded individually (the hash
+    is sequential per row — a vectorized gather over ≤8 rows costs more
+    than direct integer folding).
+    """
     b = s.fillna("").astype(str).str.encode("utf-8")
-    maxlen = int(b.str.len().max() or 0)
-    arr = np.zeros(len(b), dtype=np.uint64) + _ROLL_INIT
+    n = len(b)
+    arr = np.zeros(n, dtype=np.uint64) + _ROLL_INIT
+    lens = b.str.len().to_numpy(dtype=np.int64) if n else np.zeros(0, np.int64)
+    maxlen = int(lens.max()) if n else 0
     if maxlen:
-        # pad to a fixed-width byte matrix, then fold column-by-column
-        mat = np.zeros((len(b), maxlen), dtype=np.uint8)
-        for i, bs in enumerate(b):  # row fill; cheap relative to hashing
-            mat[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
-        lens = b.str.len().to_numpy()
-        for j in range(maxlen):
-            active = lens > j
-            arr[active] = (arr[active] ^ mat[active, j].astype(np.uint64)) * _ROLL_BASE
+        flat = np.frombuffer(b"".join(b.tolist()), dtype=np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        order = np.argsort(lens, kind="stable")
+        ptr = 0  # rows order[:ptr] are fully folded
+        j = 0
+        small = 8
+        while j < maxlen:
+            while ptr < n and lens[order[ptr]] <= j:
+                ptr += 1
+            active = order[ptr:]
+            if len(active) <= small:
+                break
+            vals = flat[starts[active] + j]
+            arr[active] = (arr[active] ^ vals.astype(np.uint64)) * _ROLL_BASE
+            j += 1
+        # tail: the few longest rows, folded sequentially per row
+        mask = (1 << 64) - 1
+        base = int(_ROLL_BASE)
+        for i in order[ptr:]:
+            if lens[i] <= j:
+                continue
+            h = int(arr[i])
+            for byte in flat[starts[i] + j : starts[i] + lens[i]].tolist():
+                h = ((h ^ byte) * base) & mask
+            arr[i] = h
     return pd.Series(arr.view(np.int64), index=s.index)
 
 

@@ -128,6 +128,45 @@ def test_lsh_topk_is_subset_ranked(spark, sf_small):
         assert 1 <= r["rank"] <= 3
 
 
+def test_rolling_hash_golden_and_bounded_memory():
+    """Golden values pin the hash function across implementations; the
+    memory bound pins the O(total-bytes) behavior — the padded-matrix
+    form would allocate rows×maxlen ≈ 10 GB for this input."""
+    import tracemalloc
+
+    import pandas as pd
+
+    from pyppeteer_scraper_spark.functions.text import rolling_hash_series
+
+    golden = [
+        -3750763034362895579, -5808556873153909620, -1792535898324117685,
+        8618312879776256743, -2184859513441168699, -3750763034362895579,
+        -7084427419218711332, 7665414082170103366,
+    ]
+    s = pd.Series([
+        "", "a", "abc", "hello world", "x" * 1000, None,
+        "héllo ünïcode", "the quick brown fox jumps over the lazy dog" * 3,
+    ])
+    assert list(rolling_hash_series(s)) == golden
+
+    # vectorized path and per-row tail path must agree byte-for-byte:
+    # 20 equal-length copies stay on the gather path; a lone copy in a
+    # short batch takes the tail fold.
+    long = "z" * 50_000
+    vec = rolling_hash_series(pd.Series([long] * 20)).iloc[0]
+    tail = rolling_hash_series(pd.Series([long, "a", "b"])).iloc[0]
+    assert vec == tail
+
+    # one 1 MB doc mixed into a 10k-row batch: bounded memory
+    big = pd.Series(["doc %d" % i for i in range(10_000)] + ["z" * 1_000_000])
+    tracemalloc.start()
+    out = rolling_hash_series(big)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 200_000_000, f"peak {peak} bytes — padded matrix is back?"
+    assert out.iloc[0] == rolling_hash_series(pd.Series(["doc 0"])).iloc[0]
+
+
 def test_text_functions(spark, docs):
     from pyppeteer_scraper_spark.functions.text import (
         bpe_ish_token_count,
