@@ -52,6 +52,25 @@ def alert_messages(actions: DataFrame) -> DataFrame:
     return base.unionByName(register)
 
 
+def error_alert_messages(errors: DataFrame) -> DataFrame:
+    """Error alert rows (kind="error") for one round's fetch/parse
+    failures — exactly one per failed URL per round, with the mrkdwn
+    shape of the reference's ``send_api_error_alert``
+    (/root/reference/service/alert.py:308-335: "🚨 *API ERROR - {service}*
+    🚨\\n{error}" plus a fenced details block)."""
+    return errors.select(
+        "round",
+        F.col("url").alias("event_code"),
+        F.lit("error").alias("kind"),
+        F.format_string(
+            "🚨 *API ERROR - %s* 🚨\n%s\n*Details:*\n```%s```",
+            F.col("url"),
+            F.col("error_message"),
+            F.col("details"),
+        ).alias("message"),
+    )
+
+
 def append_alerts(actions: DataFrame, alerts_path: str) -> None:
     """K1/K2 sink: append this round's alert rows (partitioned by round
     — each cron run's alerts are one immutable partition)."""

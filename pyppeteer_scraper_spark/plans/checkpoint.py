@@ -153,7 +153,16 @@ def crawl(
     it False (per-round caches are unpersisted as each round completes)
     and read the checkpoint parquet instead.
     """
-    pages_prepared = prepare_pages(pages)
+    # Primary vs fallback fetch channels (reference playwright→requests
+    # fallback): rows the primary source misses are retried against the
+    # fallback source inside each round, with fetch_attempt recorded.
+    pp = prepare_pages(pages)
+    if "fetch_via" in pp.columns:
+        pages_prepared = pp.filter(F.col("fetch_via") != "fallback").drop("fetch_via")
+        pages_fallback = pp.filter(F.col("fetch_via") == "fallback").drop("fetch_via")
+        pages_fallback.cache().count()
+    else:
+        pages_prepared, pages_fallback = pp, None
     pages_prepared.cache().count()
 
     if resume:
@@ -177,7 +186,8 @@ def crawl(
     while state.round_no < target:
         t_round = time.time()
         state, out = run_round(
-            spark, state, pages_prepared, robots, bloom_dir=bloom_dir
+            spark, state, pages_prepared, robots, bloom_dir=bloom_dir,
+            pages_fallback=pages_fallback,
         )
         batch_count = out.materialize()
         rdir = save_state(state, ckpt_dir)
@@ -207,6 +217,8 @@ def crawl(
             actions_per_round.append(0)
             out.unpersist()
     pages_prepared.unpersist()
+    if pages_fallback is not None:
+        pages_fallback.unpersist()
     return CrawlResult(
         state,
         fetched_per_round,

@@ -39,6 +39,8 @@ class OracleResult:
     workshops: dict[str, dict] = field(default_factory=dict)  # event_code -> record
     frontier: dict[str, dict] = field(default_factory=dict)  # url -> row
     actions: list[list[tuple]] = field(default_factory=list)  # per round: (code, register)
+    errors: list[list[tuple]] = field(default_factory=list)  # per round: (url, error_kind)
+    fetch_attempts: dict[str, int] = field(default_factory=dict)  # url -> last attempt
 
 
 def simulate(
@@ -111,18 +113,26 @@ def simulate(
         batch_rows.sort(key=lambda r: (r["priority"], r["depth"], r["discovered"], r["url"]))
         res.batches.append([r["url"] for r in batch_rows])
 
-        # fetch + extract (shared extraction code ⇒ byte-identical text)
+        # fetch + extract (shared extraction code ⇒ byte-identical text).
+        # Two channels: primary first; fallback-only pages are recovered
+        # on attempt 2 (the reference's playwright→requests fallback);
+        # URLs in neither source raise one fetch_empty error per round.
         found_urls, found_raw = [], []
+        round_errors: list[tuple] = []
         for r in batch_rows:
             if r["last_fetch"] == -1:
                 res.seen[r["url"]] = rnd
             r["last_fetch"] = rnd
             if r["url"] in pp.index:
                 r["state"] = "fetched"
+                page = pp.loc[r["url"]]
+                via = page.get("fetch_via", "primary") if hasattr(page, "get") else "primary"
+                res.fetch_attempts[r["url"]] = 2 if via == "fallback" else 1
                 found_urls.append(r["url"])
-                found_raw.append(pp.loc[r["url"]])
+                found_raw.append(page)
             else:
                 r["state"] = "missing"
+                round_errors.append((r["url"], "fetch_empty"))
 
         if found_raw:
             fetched_pdf = pd.DataFrame(
@@ -163,10 +173,19 @@ def simulate(
                     cand["depth"] = min(cand["depth"], p["depth"] + 1)
 
             # workshop decision replay (home_depo.py:393-599, two-phase:
-            # discovered → alert every run until registered → registered)
+            # discovered → alert every run until registered → registered).
+            # Error contract (e2e:599-700): bad JSON → json_parse error;
+            # parsed but key absent → missing_key; EMPTY list → no error.
             if isinstance(row["payload_json"], str) and row["payload_json"]:
-                payload = json.loads(row["payload_json"])
-                for event in payload.get("workshopEventWsDTO", []):
+                try:
+                    payload = json.loads(row["payload_json"])
+                except json.JSONDecodeError:
+                    round_errors.append((row["url"], "json_parse"))
+                    continue
+                if "workshopEventWsDTO" not in payload:
+                    round_errors.append((row["url"], "missing_key"))
+                    continue
+                for event in payload["workshopEventWsDTO"] or []:
                     seats_left = event.get("remainingSeats", 0)
                     if seats_left == 0:
                         continue
@@ -201,5 +220,6 @@ def simulate(
                 continue
             res.frontier[u] = row
         res.actions.append(sorted(round_actions))
+        res.errors.append(sorted(round_errors))
 
     return res

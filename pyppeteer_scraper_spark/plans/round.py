@@ -55,6 +55,7 @@ class RoundOutputs:
     actions: DataFrame
     metrics: DataFrame
     new_links: DataFrame | None = None
+    errors: DataFrame | None = None  # one row per fetch/parse failure
     cached: tuple = ()  # intra-round caches; unpersist after checkpoint
 
     def materialize(self) -> int:
@@ -78,15 +79,20 @@ def round_ts(round_no: int):
 
 def prepare_pages(pages: DataFrame) -> DataFrame:
     """Canonicalize page URLs and collapse duplicate spellings, keeping
-    the earliest (warc_ts, raw url) representative per canonical URL."""
+    the earliest (warc_ts, raw url) representative per canonical URL.
+    A ``fetch_via`` column (primary/fallback channel) passes through
+    when present."""
     p = with_canonical_url(pages.withColumnRenamed("url", "raw_url"), "raw_url")
     from pyspark.sql import Window
 
+    cols = ["url", "url_hash", "warc_ts", "html", "text", "lang"]
+    if "fetch_via" in pages.columns:
+        cols.append("fetch_via")
     w = Window.partitionBy("url").orderBy("warc_ts", "raw_url")
     return (
         p.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("url", "url_hash", "warc_ts", "html", "text", "lang")
+        .select(*cols)
     )
 
 
@@ -115,6 +121,7 @@ def init_state(spark: SparkSession, seeds: DataFrame) -> CrawlState:
             .cast("int")
             .alias("revisit_interval"),
             F.lit(-1).cast("int").alias("last_fetch_round"),
+            F.lit(0).cast("int").alias("fetch_attempt"),
         )
     )
     url_seen = spark.createDataFrame([], URL_SEEN_SCHEMA)
@@ -261,12 +268,77 @@ def workshop_actions(
     )
 
 
+def fetch_error_rows(
+    extracted: DataFrame, missing: DataFrame, round_no: int
+) -> DataFrame:
+    """Exactly-one error row per failed URL per round, with the
+    reference's alert texts (/root/reference/scraper/home_depo.py:358-391,
+    600-618; e2e contract tests/test_home_depot_e2e.py:599-700):
+
+    - fetch miss after all attempts  → "Received empty response from …"
+    - unparsable JSON payload        → "JSON parsing error"
+    - parsed but expected key absent → "… missing expected
+      'workshopEventWsDTO' key"
+    - an EMPTY workshop list is handled gracefully — no error row.
+    """
+    # PERMISSIVE from_json yields a struct of NULLS (not a null struct)
+    # for malformed input — a corrupt-record column is the only way to
+    # tell "bad JSON" from "valid JSON, key absent".  Fresh StructType:
+    # .add() would mutate the shared schema object.
+    from pyspark.sql import types as T
+
+    parse_schema = T.StructType(
+        list(WORKSHOP_PAYLOAD_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = extracted.filter(F.col("payload_json").isNotNull()).withColumn(
+        "p",
+        F.from_json(
+            "payload_json",
+            parse_schema,
+            {"columnNameOfCorruptRecord": "_corrupt_record", "mode": "PERMISSIVE"},
+        ),
+    )
+    json_err = parsed.filter(F.col("p._corrupt_record").isNotNull()).select(
+        "url",
+        F.lit("json_parse").alias("error_kind"),
+        F.lit("JSON parsing error").alias("error_message"),
+        F.format_string(
+            "First 500 chars of response: %s", F.substring("payload_json", 1, 500)
+        ).alias("details"),
+    )
+    key_err = parsed.filter(
+        F.col("p._corrupt_record").isNull() & F.col("p.workshopEventWsDTO").isNull()
+    ).select(
+        "url",
+        F.lit("missing_key").alias("error_kind"),
+        F.lit("response missing expected 'workshopEventWsDTO' key").alias(
+            "error_message"
+        ),
+        F.format_string("URL: %s", F.col("url")).alias("details"),
+    )
+    fetch_err = missing.select(
+        "url",
+        F.lit("fetch_empty").alias("error_kind"),
+        F.format_string("Received empty response from %s", F.col("domain")).alias(
+            "error_message"
+        ),
+        F.format_string("URL: %s", F.col("url")).alias("details"),
+    )
+    return (
+        json_err.unionByName(key_err)
+        .unionByName(fetch_err)
+        .withColumn("round", F.lit(round_no).cast("int"))
+    )
+
+
 def run_round(
     spark: SparkSession,
     state: CrawlState,
     pages_prepared: DataFrame,
     robots: DataFrame,
     bloom_dir: str | None = None,
+    pages_fallback: DataFrame | None = None,
 ) -> tuple[CrawlState, RoundOutputs]:
     round_no = state.round_no + 1
     ts = round_ts(round_no)
@@ -294,23 +366,51 @@ def run_round(
 
     # "Fetch" — in-sandbox, a left join against the pages table (J5);
     # at production scale this stage is a mapInPandas HTTP fetcher.
-    fetched = batch.join(
-        pages_prepared.select(
-            "url", F.col("warc_ts"), F.col("html"), F.col("lang").alias("page_lang")
-        ),
-        "url",
-        "left",
-    )
-    fetched = fetched.cache()
-    found = fetched.filter(F.col("html").isNotNull()).select(
+    # Two passes mirror the reference's playwright→requests fallback
+    # (/root/reference/tests/test_home_depot_api.py:322-326): rows the
+    # PRIMARY channel misses are retried against the fallback source —
+    # a join over only the missing rows, so the retry cost is O(misses).
+    def _fetch(rows: DataFrame, source: DataFrame) -> DataFrame:
+        return rows.join(
+            source.select(
+                "url", F.col("warc_ts"), F.col("html"),
+                F.col("lang").alias("page_lang"),
+            ),
+            "url",
+            "left",
+        )
+
+    found_cols = [
         "url", "url_hash", "host", "domain", "priority", "depth",
         "discovered_ts", "revisit_interval",
-        F.lit(round_no).cast("int").alias("last_fetch_round"),
-        "html", F.col("page_lang").alias("lang"),
-    )
-    missing = fetched.withColumn(
+    ]
+    page_cols = ["warc_ts", "html", "page_lang"]
+
+    def _found(fetched_df: DataFrame, attempt: int) -> DataFrame:
+        return fetched_df.filter(F.col("html").isNotNull()).select(
+            *found_cols,
+            F.lit(round_no).cast("int").alias("last_fetch_round"),
+            F.lit(attempt).cast("int").alias("fetch_attempt"),
+            "html", F.col("page_lang").alias("lang"),
+        )
+
+    fetched1 = _fetch(batch, pages_prepared).cache()
+    found1 = _found(fetched1, 1)
+    missing1 = fetched1.filter(F.col("html").isNull()).drop(*page_cols)
+    fetch_caches: list = [fetched1]
+    if pages_fallback is not None:
+        fetched2 = _fetch(missing1.drop("fetch_attempt"), pages_fallback).cache()
+        fetch_caches.append(fetched2)
+        found = found1.unionByName(_found(fetched2, 2))
+        missing = fetched2.filter(F.col("html").isNull()).drop(*page_cols)
+        attempts_tried = 2
+    else:
+        found = found1
+        missing = missing1.drop("fetch_attempt")
+        attempts_tried = 1
+    missing = missing.withColumn(
         "last_fetch_round", F.lit(round_no).cast("int")
-    ).filter(F.col("html").isNull())
+    ).withColumn("fetch_attempt", F.lit(attempts_tried).cast("int"))
 
     extracted = extract_pages(found).cache()
     actions = workshop_actions(extracted, state.workshops, round_no)
@@ -372,6 +472,7 @@ def run_round(
     frontier_cols = [
         "url", "url_hash", "host", "domain", "priority", "depth",
         "discovered_ts", "state", "revisit_interval", "last_fetch_round",
+        "fetch_attempt",
     ]
     new_frontier = (
         rest.select(frontier_cols)
@@ -389,6 +490,7 @@ def run_round(
                 ts.alias("discovered_ts"), F.lit("pending").alias("state"),
                 F.lit(0).cast("int").alias("revisit_interval"),
                 F.lit(-1).cast("int").alias("last_fetch_round"),
+                F.lit(0).cast("int").alias("fetch_attempt"),
             )
         )
     )
@@ -424,8 +526,10 @@ def run_round(
         )
     )
 
+    errors = fetch_error_rows(extracted, missing, round_no)
+
     new_state = CrawlState(new_frontier, url_seen, workshops, round_no)
     return new_state, RoundOutputs(
-        batch, extracted, actions, metrics, new_links=new_links,
-        cached=(*window_caches, fetched, extracted, new_links, *extra_caches),
+        batch, extracted, actions, metrics, new_links=new_links, errors=errors,
+        cached=(*window_caches, *fetch_caches, extracted, new_links, *extra_caches),
     )

@@ -133,11 +133,23 @@ def generate_pages(documents: DataFrame, n_docs: int) -> DataFrame:
             F.lit('.example/x">dx</a>'),
         ),
     ).otherwise(F.lit(""))
+    # Error-path variant matrix (the reference e2e error scenarios,
+    # /root/reference/tests/test_home_depot_e2e.py:599-700): besides the
+    # good payloads (%20==7), some pages carry malformed JSON (%20==13,
+    # → "JSON parsing error"), valid JSON without the expected key
+    # (%20==17, → "missing expected ... key"), or an empty workshop
+    # list (%20==19, → handled gracefully, NO alert).
+    payload_body = (
+        F.when(F.pmod(d, F.lit(PAYLOAD_MOD)) == 7, _workshop_payload_expr(d))
+        .when(F.pmod(d, F.lit(PAYLOAD_MOD)) == 13, F.lit("{ not valid JSON !!!"))
+        .when(F.pmod(d, F.lit(PAYLOAD_MOD)) == 17, F.lit('{"someOtherKey": []}'))
+        .when(F.pmod(d, F.lit(PAYLOAD_MOD)) == 19, F.lit('{"workshopEventWsDTO": []}'))
+    )
     payload = F.when(
-        F.pmod(d, F.lit(PAYLOAD_MOD)) == 7,
+        payload_body.isNotNull(),
         F.concat(
             F.lit('<script type="application/json">'),
-            _workshop_payload_expr(d),
+            payload_body,
             F.lit("</script>"),
         ),
     ).otherwise(F.lit(""))
@@ -159,12 +171,24 @@ def generate_pages(documents: DataFrame, n_docs: int) -> DataFrame:
         F.lit("</body></html>"),
     )
 
+    # Fetch-channel split (reference fallback playwright→requests,
+    # /root/reference/tests/test_home_depot_api.py:322-326): pages with
+    # doc_id%20==6 are reachable only through the FALLBACK channel —
+    # the primary fetch pass misses them and the retry pass must
+    # recover them with fetch_attempt=2.  (%20==6 keeps them off the
+    # cap-throttled mega-host — %10 ∈ {0,1,2} — and includes round-1
+    # seeds, so short parity crawls exercise the fallback.)
+    fetch_via = F.when(
+        F.pmod(d, F.lit(PAYLOAD_MOD)) == 6, F.lit("fallback")
+    ).otherwise(F.lit("primary"))
+
     base = documents.select(
         _url_expr(d).alias("url"),
         F.timestamp_seconds(F.lit(BASE_EPOCH) + d).alias("warc_ts"),
         F.encode(html_str, "UTF-8").alias("html"),
         F.col("text").alias("text"),
         F.col("lang").alias("lang"),
+        fetch_via.alias("fetch_via"),
     )
 
     # Duplicate-variant spellings of every 20th page (same content);
@@ -188,6 +212,7 @@ def generate_pages(documents: DataFrame, n_docs: int) -> DataFrame:
                 F.encode(html_str, "UTF-8").alias("html"),
                 F.col("text").alias("text"),
                 F.col("lang").alias("lang"),
+                F.lit("primary").alias("fetch_via"),
             )
         )
     out = base

@@ -72,6 +72,41 @@ def test_crawl_parity(spark, sf_small, tmp_path):
         )
         assert got == oracle.actions[rnd - 1], f"actions round {rnd}"
 
+    # --- error-path parity: exactly one error row per failure per round
+    # (fetch miss / bad JSON / missing key), reference-faithful texts;
+    # empty workshop lists raise NO error
+    any_errors = False
+    for rnd, out in enumerate(result.outputs, start=1):
+        rows = out.errors.collect()
+        got = sorted((r["url"], r["error_kind"]) for r in rows)
+        assert got == oracle.errors[rnd - 1], f"errors round {rnd}"
+        assert len(got) == len(set(got)), "duplicate error rows"
+        any_errors = any_errors or bool(got)
+        for r in rows:
+            if r["error_kind"] == "json_parse":
+                assert r["error_message"] == "JSON parsing error"
+            elif r["error_kind"] == "missing_key":
+                assert "missing expected" in r["error_message"]
+            elif r["error_kind"] == "fetch_empty":
+                assert "empty" in r["error_message"].lower()
+    assert any_errors, "fixture should exercise the error paths"
+    kinds = {
+        r["error_kind"] for out in result.outputs for r in out.errors.collect()
+    }
+    assert kinds == {"fetch_empty", "json_parse", "missing_key"}
+
+    # --- retry/fallback parity: fallback-only pages are fetched on
+    # attempt 2, primary pages on attempt 1
+    att_engine = {
+        r["url"]: r["fetch_attempt"]
+        for r in state.frontier.filter(F.col("state") == "fetched").collect()
+    }
+    att_oracle = {
+        u: a for u, a in oracle.fetch_attempts.items() if u in att_engine
+    }
+    assert att_engine == att_oracle
+    assert 2 in att_engine.values(), "fixture should exercise the fallback"
+
     # --- final workshop state parity (two-phase: registered is monotonic)
     eng = (
         state.workshops.groupBy("event_code")
