@@ -1219,3 +1219,104 @@ def p1_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select(
         "doc_id", "first_op", F.size("value_hits").cast("long").alias("n_value")
     )
+
+
+@query(
+    "d4_multifield_change",
+    # D4 (struct form): has_changed compares the WHOLE tracked field set
+    # (/root/reference/scraper/canada_ircc.py:153-155) — a row emits when
+    # ANY field differs from the previous snapshot of its key.
+    """
+    SELECT user_id, event_id, value, event_type, prev_value, prev_type FROM (
+      SELECT user_id, event_id, value, event_type,
+             lag(value) OVER w AS prev_value,
+             lag(event_type) OVER w AS prev_type
+      FROM events WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE prev_value IS NULL OR value <> prev_value OR event_type <> prev_type
+    """,
+)
+def d4_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        "event_type",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return out.filter(
+        F.col("prev_value").isNull()
+        | (F.col("value") != F.col("prev_value"))
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+
+
+@query(
+    "p6_currency_struct",
+    # P6: the scraper2.py currency-detail pipeline end-to-end
+    # (/root/reference/scraper/scraper2.py:51-104): splitlines → strip →
+    # drop empties → index picks → parse_number / rank-int → struct
+    # {name, symbol, price, price24h, percentage24h, rank}.
+    """
+    WITH det AS (
+      SELECT doc_id,
+        '  Coin ' || doc_id || '  ' || chr(10) || '   ' || chr(10) ||
+        '$' || (doc_id % 9 + 1) || ',' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '.50' || chr(10) ||
+        '+' || (doc_id % 40) || '.25%' || chr(10) ||
+        '$' || (doc_id % 7) || '.10' || chr(10) ||
+        'Rank' || (doc_id % 30 + 1) AS detail
+      FROM documents WHERE doc_id % 11 = 0
+    ), l AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(detail, chr(10)), x -> trim(x)),
+                         x -> len(x) > 0) AS ls
+      FROM det
+    )
+    SELECT doc_id,
+      ls[1] AS name,
+      upper(substr(ls[1], 1, 3)) AS symbol,
+      CAST(regexp_replace(ls[2], '[^0-9.]', '', 'g') AS DOUBLE) AS price,
+      CAST(regexp_replace(ls[4], '[^0-9.]', '', 'g') AS DOUBLE) AS price24h,
+      CAST(regexp_replace(ls[3], '[^0-9.]', '', 'g') AS DOUBLE) AS percentage24h,
+      CAST(regexp_replace(ls[5], '[^0-9]', '', 'g') AS INT) AS mcap_rank
+    FROM l
+    """,
+)
+def p6_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    detail = F.concat_ws(
+        "\n",
+        F.concat(F.lit("  Coin "), s(i), F.lit("  ")),
+        F.lit("   "),
+        F.concat(
+            F.lit("$"), s(i % 9 + 1), F.lit(","),
+            F.lpad(s(i % 1000), 3, "0"), F.lit(".50"),
+        ),
+        F.concat(F.lit("+"), s(i % 40), F.lit(".25%")),
+        F.concat(F.lit("$"), s(i % 7), F.lit(".10")),
+        F.concat(F.lit("Rank"), s(i % 30 + 1)),
+    )
+    lines = F.filter(
+        F.transform(F.split(detail, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    parse_num = lambda c: F.regexp_replace(c, r"[^0-9.]", "").cast("double")  # noqa: E731
+    cur = F.struct(
+        F.element_at(lines, 1).alias("name"),
+        F.upper(F.substring(F.element_at(lines, 1), 1, 3)).alias("symbol"),
+        parse_num(F.element_at(lines, 2)).alias("price"),
+        parse_num(F.element_at(lines, 4)).alias("price24h"),
+        parse_num(F.element_at(lines, 3)).alias("percentage24h"),
+        F.regexp_replace(F.element_at(lines, 5), r"[^0-9]", "")
+        .cast("int")
+        .alias("mcap_rank"),
+    )
+    return d.select("doc_id", cur.alias("c")).select(
+        "doc_id", "c.name", "c.symbol", "c.price", "c.price24h",
+        "c.percentage24h", "c.mcap_rank",
+    )
