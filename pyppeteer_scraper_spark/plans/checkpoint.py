@@ -32,13 +32,30 @@ from pyppeteer_scraper_spark.plans.round import (
 STATE_TABLES = ["frontier", "url_seen", "workshops"]
 
 
-def save_state(state: CrawlState, ckpt_dir: str, n_partitions: int | None = None) -> str:
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64("domain"), F.lit(n_buckets)).cast("int")
+
+
+def save_state(
+    state: CrawlState,
+    ckpt_dir: str,
+    n_partitions: int | None = None,
+    incremental: bool = False,
+    touched_domains=None,
+    n_buckets: int = 64,
+) -> str:
     """Persist round state.
 
-    - ``frontier`` is rewritten in full (it is the mutating priority
-      queue; with an Iceberg runtime this becomes MERGE INTO touching
-      only changed host-buckets).  Host-aligned partitioning: the
-      politeness window and bloom shards both group by domain.
+    - ``frontier``: full rewrite by default (the mutating priority
+      queue).  With ``touched_domains`` (incremental mode) the frontier
+      is domain-hash bucketed and ONLY buckets containing a touched
+      domain are rewritten this round — the parquet emulation of
+      Iceberg MERGE INTO on a bucket(domain) layout.  The manifest
+      records, per bucket, the round of its latest rewrite, so resume
+      reads each bucket's newest file; untouched buckets cost nothing.
+      Per-round write cost drops from O(frontier) to O(active buckets)
+      — at 10^10 URLs with 4096 buckets, rewriting the ~budgeted
+      domains' buckets instead of the whole queue.
     - ``url_seen`` and ``workshops`` are APPEND-ONLY: each round writes
       only its delta (rows first seen this round).  Rewriting them in
       full would be O(entire crawl history) per round — fatal at
@@ -50,11 +67,52 @@ def save_state(state: CrawlState, ckpt_dir: str, n_partitions: int | None = None
             state.frontier.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     rdir = os.path.join(ckpt_dir, f"round={state.round_no}")
-    (
-        state.frontier.repartition(n_partitions, "domain")
-        .write.mode("overwrite")
-        .parquet(os.path.join(rdir, "frontier"))
-    )
+    frontier_meta: dict = {"layout": "full"}
+    if incremental:
+        bdir = os.path.join(ckpt_dir, "frontier_buckets", f"round={state.round_no}")
+        fb = state.frontier.withColumn("__bucket", _bucket_col(n_buckets))
+        pointers: dict[str, int] = {}
+        if state.round_no > 0:
+            prev = os.path.join(
+                ckpt_dir, f"round={state.round_no - 1}", "manifest.json"
+            )
+            with open(prev) as f:
+                prev_meta = json.load(f).get("frontier", {"layout": "full"})
+            if (
+                prev_meta["layout"] == "bucketed"
+                and prev_meta.get("n_buckets") == n_buckets
+            ):
+                pointers = dict(prev_meta["pointers"])
+        if touched_domains is not None and pointers:
+            # prior round is bucket-consistent → rewrite ONLY touched
+            # buckets; otherwise fall through to an all-bucket write
+            # (first incremental round, or layout/bucket-count change).
+            tb = touched_domains.select(
+                _bucket_col(n_buckets).alias("__b")
+            ).distinct()
+            touched = sorted(r["__b"] for r in tb.collect())
+            fb = fb.filter(F.col("__bucket").isin(touched))
+        (
+            fb.repartition(n_buckets, "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(bdir)
+        )
+        # pointers: previous round's, overridden by buckets written now
+        for name in os.listdir(bdir):
+            if name.startswith("__bucket="):
+                pointers[name.split("=", 1)[1]] = state.round_no
+        frontier_meta = {
+            "layout": "bucketed",
+            "n_buckets": n_buckets,
+            "pointers": pointers,
+        }
+    else:
+        (
+            state.frontier.repartition(n_partitions, "domain")
+            .write.mode("overwrite")
+            .parquet(os.path.join(rdir, "frontier"))
+        )
     if state.round_no > 0:
         (
             state.url_seen.filter(F.col("first_seen_round") == state.round_no)
@@ -72,7 +130,9 @@ def save_state(state: CrawlState, ckpt_dir: str, n_partitions: int | None = None
         "round_no": state.round_no,
         "n_partitions": n_partitions,
         "tables": STATE_TABLES,
+        "frontier": frontier_meta,
     }
+    os.makedirs(rdir, exist_ok=True)  # bucketed layout writes no rdir/frontier
     with open(os.path.join(rdir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     # Latest-pointer, written last (commit point — a torn checkpoint is
@@ -107,8 +167,20 @@ def load_state(spark: SparkSession, ckpt_dir: str, round_no: int | None = None) 
     with open(os.path.join(rdir, "manifest.json")) as f:
         manifest = json.load(f)
     assert manifest["round_no"] == round_no
+    fmeta = manifest.get("frontier", {"layout": "full"})
+    if fmeta["layout"] == "bucketed":
+        # each bucket's newest rewrite at-or-before round_no
+        paths = [
+            os.path.join(
+                ckpt_dir, "frontier_buckets", f"round={r}", f"__bucket={b}"
+            )
+            for b, r in fmeta["pointers"].items()
+        ]
+        frontier = spark.read.parquet(*paths)
+    else:
+        frontier = spark.read.parquet(os.path.join(rdir, "frontier"))
     return CrawlState(
-        frontier=spark.read.parquet(os.path.join(rdir, "frontier")),
+        frontier=frontier,
         url_seen=_load_deltas(spark, ckpt_dir, "url_seen", URL_SEEN_SCHEMA, round_no),
         workshops=_load_deltas(
             spark, ckpt_dir, "workshops", WORKSHOPS_SCHEMA_DDL, round_no
@@ -137,6 +209,8 @@ def crawl(
     collect_outputs: bool = False,
     use_bloom: bool = False,
     bloom_params=None,
+    incremental_frontier: bool = False,
+    n_buckets: int = 64,
 ) -> CrawlResult:
     """Drive ``n_rounds`` scheduler rounds with per-round checkpoints.
 
@@ -169,7 +243,9 @@ def crawl(
         state = load_state(spark, ckpt_dir)
     else:
         state = init_state(spark, seeds)
-        save_state(state, ckpt_dir)
+        save_state(
+            state, ckpt_dir, incremental=incremental_frontier, n_buckets=n_buckets
+        )
 
     fetched_per_round: list[int] = []
     actions_per_round: list[int] = []
@@ -190,7 +266,13 @@ def crawl(
             pages_fallback=pages_fallback,
         )
         batch_count = out.materialize()
-        rdir = save_state(state, ckpt_dir)
+        rdir = save_state(
+            state,
+            ckpt_dir,
+            incremental=incremental_frontier,
+            touched_domains=out.touched_domains,
+            n_buckets=n_buckets,
+        )
         if use_bloom:
             from pyppeteer_scraper_spark.operators.bloom import update_bloom_shards
 

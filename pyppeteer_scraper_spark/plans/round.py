@@ -56,6 +56,7 @@ class RoundOutputs:
     metrics: DataFrame
     new_links: DataFrame | None = None
     errors: DataFrame | None = None  # one row per fetch/parse failure
+    touched_domains: DataFrame | None = None  # domains whose frontier rows changed
     cached: tuple = ()  # intra-round caches; unpersist after checkpoint
 
     def materialize(self) -> int:
@@ -528,8 +529,25 @@ def run_round(
 
     errors = fetch_error_rows(extracted, missing, round_no)
 
+    # Frontier rows change only for domains with a selected (batch) or
+    # newly-blocked row, or a new link — deferred (still_pending) rows
+    # are carried byte-identical, and every allowed pending domain
+    # contributes ≥1 batch row under the politeness cap, so deferred
+    # domains are already covered by `batch`.  An incremental
+    # checkpoint need only rewrite these domains' buckets; at recrawl
+    # steady state (discovery dried up, revisit tiers staggered) that
+    # is a small fraction of the frontier.  All inputs are filters over
+    # this round's caches; the distinct is over domains, not rows.
+    touched_domains = (
+        batch.select("domain")
+        .unionByName(blocked.select("domain"))
+        .unionByName(new_links.select("domain"))
+        .distinct()
+    )
+
     new_state = CrawlState(new_frontier, url_seen, workshops, round_no)
     return new_state, RoundOutputs(
         batch, extracted, actions, metrics, new_links=new_links, errors=errors,
+        touched_domains=touched_domains,
         cached=(*window_caches, *fetch_caches, extracted, new_links, *extra_caches),
     )

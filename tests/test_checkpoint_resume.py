@@ -60,3 +60,39 @@ def test_partitioning_invariance(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     assert _state_snapshot(a.state) == _state_snapshot(b.state)
+
+
+def test_incremental_frontier_equals_full(spark, sf_small, tmp_path):
+    """Bucketed incremental frontier checkpoints (only touched
+    domain-buckets rewritten per round, Iceberg-MERGE emulation) must
+    be state-identical to full rewrites, resumable mid-crawl, and must
+    actually skip untouched buckets."""
+    import json
+    import os
+
+    t = generate_crawl_tables(spark, sf_small)
+    pages, seeds, robots = t["pages"], t["seeds"], t["robots"]
+
+    full = crawl(spark, pages, seeds, robots, 3, str(tmp_path / "f"))
+    inc_dir = str(tmp_path / "i")
+    crawl(spark, pages, seeds, robots, 2, inc_dir, incremental_frontier=True)
+    inc = crawl(
+        spark, pages, seeds, robots, 1, inc_dir,
+        resume=True, incremental_frontier=True,
+    )
+    assert _state_snapshot(inc.state) == _state_snapshot(full.state)
+
+    # every intermediate round is individually loadable via its pointers
+    for rnd in range(0, 4):
+        st = load_state(spark, inc_dir, rnd)
+        assert st.frontier.count() > 0
+
+    # later rounds rewrite a strict subset of buckets; pointers span rounds
+    with open(os.path.join(inc_dir, "round=3", "manifest.json")) as f:
+        meta = json.load(f)["frontier"]
+    assert meta["layout"] == "bucketed"
+    rounds_pointed = set(meta["pointers"].values())
+    assert len(rounds_pointed) > 1, "no bucket skipped a rewrite — not incremental"
+    bdir3 = os.path.join(inc_dir, "frontier_buckets", "round=3")
+    written3 = {n for n in os.listdir(bdir3) if n.startswith("__bucket=")}
+    assert len(written3) < len(meta["pointers"]), "round 3 rewrote every bucket"
