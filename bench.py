@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_bruteforce_topk",
+    "sim_embedding_near_dups",
+    "p1_extract_fields",
     "text_lang_id",
     "text_quality_score",
 ]

@@ -60,29 +60,14 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    n_perm: int = 64,
-    bands: int = 16,
-    threshold: float = 0.5,
+def minhash_band_candidates(
+    sig: DataFrame, id_col: str, n_perm: int, bands: int
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via LSH banding, verified by
-    estimated Jaccard (fraction of agreeing minhashes).
-
-    Pipeline: shingle → minhash (n_perm) → band signature (md5 of the
-    band's minhash vector) → self-join on (band, signature) → estimate
-    jaccard from full signatures → filter ≥ threshold.
-
-    Output: (a, b, jaccard_est) with a < b.  Scale notes: the band
-    self-join is an equi-join on uniformly-distributed signatures (no
-    skew); true duplicates cluster in small buckets, so the join
-    output stays near-linear in the duplicate count.
-    """
+    """Candidate (a, b) pairs sharing ≥1 LSH band signature.  The band
+    self-join is an equi-join on uniformly-distributed md5 signatures
+    (no skew); true duplicates cluster in small buckets, so the join
+    output stays near-linear in the duplicate count."""
     rows_per_band = n_perm // bands
-    sig = minhash_signatures(word_shingles(df, text_col, id_col, k), id_col, n_perm)
     banded = (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
@@ -97,12 +82,34 @@ def minhash_lsh_pairs(
     )
     a = banded.select(F.col(id_col).alias("a"), "band", "band_sig")
     b = banded.select(F.col(id_col).alias("b"), "band", "band_sig")
-    candidates = (
+    return (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding, verified by
+    estimated Jaccard (fraction of agreeing minhashes).
+
+    Pipeline: shingle → minhash (n_perm) → band signature → self-join
+    on (band, signature) → estimate jaccard from full signatures →
+    filter ≥ threshold.
+
+    Output: (a, b, jaccard_est) with a < b.
+    """
+    sig = minhash_signatures(word_shingles(df, text_col, id_col, k), id_col, n_perm)
+    candidates = minhash_band_candidates(sig, id_col, n_perm, bands)
     sa = sig.select(F.col(id_col).alias("a"), "perm", F.col("minhash").alias("ma"))
     sb = sig.select(F.col(id_col).alias("b"), "perm", F.col("minhash").alias("mb"))
     est = (
@@ -226,6 +233,45 @@ def ngram_jaccard_pairs(
         .withColumn(
             "jaccard", F.round(F.col("n_common") / F.col("n_union"), 6)
         )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingle_jaccard_pairs_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT k-shingle Jaccard near-dup pairs without the crossJoin:
+    MinHash-LSH banding proposes candidates (sublinear bucket equi-join),
+    then each candidate is verified with the exact shingle-set Jaccard —
+    precision is exact by construction; a true pair at jaccard j is
+    missed with probability (1-j^r)^b (r=n_perm/bands rows per band),
+    ≈ 7e-14 at j=0.96 with the defaults.  This is the scale path for
+    what ``ngram_jaccard_pairs`` computes by brute force.
+
+    Output: (a, b, n_common, n_union, jaccard) with a < b.
+    """
+    shingles = word_shingles(df, text_col, id_col, k)
+    sig = minhash_signatures(shingles, id_col, n_perm)
+    candidates = minhash_band_candidates(sig, id_col, n_perm, bands)
+    sets = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    sa = sets.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col(id_col).alias("b"), F.col("sh").alias("shb"))
+    return (
+        candidates.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias("n_common"),
+            F.size(F.array_union("sha", "shb")).cast("long").alias("n_union"),
+        )
+        .withColumn("jaccard", F.round(F.col("n_common") / F.col("n_union"), 6))
         .filter(F.col("jaccard") >= threshold)
     )
 

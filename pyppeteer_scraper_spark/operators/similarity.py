@@ -11,8 +11,11 @@ no Python in the scoring loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -112,9 +115,10 @@ def srp_bucket(df: DataFrame, vec_col: str = "unit", n_planes: int = 8) -> DataF
 def srp_band_keys(
     df: DataFrame,
     vec_col: str = "unit",
-    n_planes: int = 64,
-    n_bands: int = 8,
+    n_planes: int = 96,
+    n_bands: int = 12,
     out_col: str = "bands",
+    seed: int = 42,
 ) -> DataFrame:
     """Banded SRP signature: ``n_planes`` sign bits split into
     ``n_bands`` keys of width w = n_planes/n_bands (the cosine analog
@@ -123,20 +127,36 @@ def srp_band_keys(
     so recall = 1 - (1 - p^w)^L — tune (w, L) to the target threshold.
     Candidate rate for random pairs ≈ L·2^-w (sublinear bucket joins).
     Band index is packed into the key's high bits so a single equi-join
-    column suffices after posexplode."""
+    column suffices after explode.
+
+    Implementation: one Arrow-vectorized pandas UDF doing a single
+    (rows × dim) @ (dim × n_planes) matmul against Gaussian hyperplanes
+    derived deterministically from ``seed`` — no stored model,
+    reproducible across runs/executors/batches.  (The expression-tree
+    form — one interpreted higher-order aggregate per plane with a hash
+    per (dim, plane) — measured 350 s for 6k vectors at 96 planes; the
+    matmul is milliseconds.)
+    """
     if n_planes % n_bands:
         raise ValueError("n_planes must be divisible by n_bands")
     w = n_planes // n_bands
-    keys = []
-    for band in range(n_bands):
-        key = F.lit(band << (w + 1)).cast("long")
-        for q in range(w):
-            p = band * w + q
-            key = key + F.when(_plane_dot(vec_col, p) > 0, F.lit(1 << q)).otherwise(
-                F.lit(0)
-            )
-        keys.append(key)
-    return df.withColumn(out_col, F.array(*keys))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        rng = np.random.default_rng(seed)  # same planes every batch
+        planes = rng.standard_normal((m.shape[1], n_planes))
+        bits = (m @ planes) > 0
+        weights = 1 << np.arange(w, dtype=np.int64)
+        keys = np.empty((len(vs), n_bands), dtype=np.int64)
+        for band in range(n_bands):
+            keys[:, band] = bits[:, band * w : (band + 1) * w] @ weights
+            keys[:, band] += band << (w + 1)
+        return pd.Series(list(keys))
+
+    return df.withColumn(out_col, band_keys(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -224,6 +244,24 @@ def embedding_near_dup_pairs(
             .filter(F.col("a") < F.col("b"))
             .groupBy("a", "b")
             .agg(F.first("ua").alias("ua"), F.first("ub").alias("ub"))
+        )
+        # Arrow-vectorized verification: candidate volume is ~L·2^-w of
+        # all pairs, but still large enough that the interpreted
+        # higher-order dot product is the bottleneck — one einsum per
+        # batch instead.  Rounding stays JVM-side (F.round) so the
+        # oracle comparison semantics match the exact path.
+        @F.pandas_udf(T.DoubleType())
+        def pair_dot(ua: pd.Series, ub: pd.Series) -> pd.Series:
+            if not len(ua):
+                return pd.Series([], dtype=float)
+            ma = np.stack([np.asarray(v, dtype=np.float64) for v in ua])
+            mb = np.stack([np.asarray(v, dtype=np.float64) for v in ub])
+            return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+        return (
+            cand.withColumn("cosine", F.round(pair_dot("ua", "ub"), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine")
         )
     else:
         raise ValueError(f"unknown method {method!r}")

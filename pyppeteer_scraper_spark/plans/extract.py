@@ -66,6 +66,18 @@ def decode_utf8_series(col: pd.Series) -> pd.Series:
     return col.astype("string").fillna("")
 
 
+def apply_specs(s: pd.Series, specs: Sequence[ExtractSpec]) -> dict[str, pd.Series]:
+    """Run every spec over a decoded string series → {name: series}."""
+    return {
+        spec.name: (
+            s.str.findall(spec.pattern)
+            if spec.many
+            else s.str.extract(spec.pattern, expand=False)
+        )
+        for spec in specs
+    }
+
+
 def extract_fields_pdf(
     pdf: pd.DataFrame,
     specs: Sequence[ExtractSpec],
@@ -76,12 +88,7 @@ def extract_fields_pdf(
     Pure + vectorized — shared by the engine and the parity oracle."""
     s = decode_utf8_series(pdf[input_col])
     out = {k: pdf[k] for k in keep}
-    for spec in specs:
-        out[spec.name] = (
-            s.str.findall(spec.pattern)
-            if spec.many
-            else s.str.extract(spec.pattern, expand=False)
-        )
+    out.update(apply_specs(s, specs))
     return pd.DataFrame(out)
 
 
@@ -117,8 +124,9 @@ def extract_fields(
 def extract_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """(url, html:bytes, lang) → (url, title, text, lang, links,
     payload_json) — the crawl round's page projection, expressed as
-    ``PAGE_SPECS`` through the generic operator."""
-    ex = extract_fields_pdf(pdf, PAGE_SPECS, input_col="html", keep=())
+    ``PAGE_SPECS`` through the generic spec machinery (one decoded
+    series, no intermediate frame)."""
+    ex = apply_specs(decode_utf8_series(pdf["html"]), PAGE_SPECS)
     return pd.DataFrame(
         {
             "url": pdf["url"].astype("string"),

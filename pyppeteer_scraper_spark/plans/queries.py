@@ -1222,6 +1222,54 @@ def p1_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_lsh_verified_jaccard",
+    # Scale-safe EXACT n-gram Jaccard: MinHash-band candidates + exact
+    # shingle-set verification (operators/dedup.py::shingle_jaccard_pairs_lsh).
+    # Oracle = brute-force exact shingle Jaccard: equality proves recall
+    # 1.0 on this corpus (precision is exact by construction).  Near-dup
+    # pairs are planted (base text + 3 appended tokens → j ≈ s/(s+3));
+    # the raw corpus has no high-Jaccard pairs.
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0 AND len(text) > 0
+      UNION ALL
+      SELECT doc_id + 100000, text || ' padfoot moony wormtail'
+      FROM documents WHERE doc_id % 12 = 0 AND len(text) > 0
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS sh
+      FROM corpus
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.sh, b.sh)) AS n_common,
+           len(list_distinct(list_concat(a.sh, b.sh))) AS n_union,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.dedup import shingle_jaccard_pairs_lsh
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 4 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+    copies = d.filter(F.col("doc_id") % 12 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" padfoot moony wormtail")).alias("text"),
+    )
+    return shingle_jaccard_pairs_lsh(d.unionByName(copies), threshold=0.8)
+
+
+@query(
     "d4_multifield_change",
     # D4 (struct form): has_changed compares the WHOLE tracked field set
     # (/root/reference/scraper/canada_ircc.py:153-155) — a row emits when
