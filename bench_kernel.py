@@ -124,7 +124,7 @@ def main() -> None:
     # canonicalize exactly once (dom_counts aggregates before the cache
     # exists, but that pass prunes to 4 columns)
     canon = with_canonical_url(raw)
-    batch, blocked, still_pending, caches = select_batch(canon, robots)
+    batch, blocked, still_pending, caches = select_batch(canon, robots, expected_domains=198)
     fresh = batch.join(seen, ["url_hash", "url"], "left_anti")
     n_out = fresh.count()
     t_sched = time.time() - t0

@@ -281,6 +281,115 @@ def dedup_keep_canonical(
 ) -> DataFrame:
     """Resolve near-dup pairs to a keep-set: drop every id that appears
     as the larger member of a pair (min-id-wins union-find
-    approximation, single pass — the standard corpus-dedup shortcut)."""
+    approximation, single pass — the standard corpus-dedup shortcut).
+    NOT transitive: in a chain a–b, b–c the pair (a,c) may be absent and
+    b is dropped anyway, so c survives even though it transitively
+    matches a.  For true transitive resolution use
+    :func:`connected_components` + :func:`dedup_keep_components`."""
     drop = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node points its strictly-larger
+    neighbors at the minimum of its closed neighborhood."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("__mn"))
+    return (
+        sym.join(mins, "a")
+        .withColumn("__m", F.least(F.col("a"), F.col("__mn")))
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large→small, then every
+    node points its ≤-neighbors (and itself) at the neighborhood min."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).distinct()
+    mins = oriented.groupBy("a").agg(F.min("b").alias("__mn"))
+    joined = oriented.join(mins, "a")
+    return (
+        joined.select(F.col("b").alias("a"), F.col("__mn").alias("b"))
+        .union(mins.select("a", F.col("__mn").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive near-dup resolution: connected components over a pair
+    graph via alternating large-star / small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    O(log n) rounds of groupBy-min + self-join, all JVM-side, no
+    driver-held state beyond one 2-long convergence aggregate per round.
+
+    ``pairs``: (a, b) edges (e.g. the output of :func:`minhash_lsh_pairs`
+    or :func:`ngram_jaccard_pairs`).  ``nodes``: optional one-column
+    frame of ``id_col`` members; isolated nodes label themselves.
+
+    Output: (``id_col``, component) where component is the minimum id in
+    the node's component.
+
+    Scale notes: each round is two shuffles on uniformly-hashed ids; the
+    high-degree "min" node of a giant component is exactly what
+    large-star contracts first, so skew self-resolves (the paper's
+    point).  Lineage is truncated every round with an eager
+    localCheckpoint — without it the plan doubles per iteration.  The
+    reference resolves duplicates one record at a time against a JSON
+    seen-set (/root/reference/scraper/home_depo.py:472-491); this is the
+    corpus-scale equivalent for pair graphs.
+    """
+    edges = (
+        pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # Convergence = edge set fixed point; one tiny aggregate per
+        # round (order-independent xor-hash signature — xor, not sum,
+        # which overflows under ANSI mode), no collect of the edge set.
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # At the fixpoint every edge is (member, component-min).
+    labels = edges.select(F.col("a").alias(id_col), F.col("b").alias("component"))
+    if nodes is None:
+        return labels
+    return (
+        nodes.select(F.col(id_col).cast("long"))
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+
+
+def dedup_keep_components(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Transitive keep-set: one survivor (the min id) per connected
+    component of the pair graph — the exact version of
+    :func:`dedup_keep_canonical`."""
+    comp = connected_components(pairs, nodes=df.select(id_col), id_col=id_col)
+    keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

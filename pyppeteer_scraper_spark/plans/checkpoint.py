@@ -250,6 +250,10 @@ def crawl(
     fetched_per_round: list[int] = []
     actions_per_round: list[int] = []
     outputs: list[RoundOutputs] = []
+    # Domain-cardinality metadata for select_batch's join-strategy pick:
+    # the robots table has one row per known domain; computed once, not
+    # per round.  Order-of-magnitude accuracy is all the pick needs.
+    n_domains_hint = robots.count()
     t0 = time.time()
     target = state.round_no + n_rounds
     bloom_dir = os.path.join(ckpt_dir, "bloom") if use_bloom else None
@@ -263,7 +267,7 @@ def crawl(
         t_round = time.time()
         state, out = run_round(
             spark, state, pages_prepared, robots, bloom_dir=bloom_dir,
-            pages_fallback=pages_fallback,
+            pages_fallback=pages_fallback, expected_domains=n_domains_hint,
         )
         batch_count = out.materialize()
         rdir = save_state(

@@ -1,4 +1,5 @@
-"""Query registry — every SQL-expressible operator from SURVEY.md §2,
+"""Query registry (58 entries, 54 DuckDB-oracled) — every
+SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
 Each entry is named for the operator row it implements (F=filters,
@@ -739,6 +740,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+@query(
+    "dedup_connected_components",
+    # Oracle: the same Jaccard pair graph, resolved transitively with a
+    # recursive CTE (full reachability closure — fine at oracle scale,
+    # exponentially worse than the O(log n) star-contraction the engine
+    # runs at corpus scale).
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS toks
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT ta.doc_id AS a, tb.doc_id AS b,
+               CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_common,
+               CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS BIGINT) AS n_union
+        FROM t ta, t tb WHERE ta.doc_id < tb.doc_id
+      ) WHERE round(n_common / n_union, 6) >= 0.8
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, x) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT reach.node, s.v FROM reach JOIN sym s ON s.u = reach.x
+    )
+    SELECT node AS doc_id, MIN(x) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return connected_components(pairs, nodes=docs.select("doc_id"))
 
 
 @query("dedup_minhash_lsh")  # rows-only: LSH banding is not SQL-expressible tersely

@@ -34,6 +34,10 @@ from pyppeteer_scraper_spark.sources.datagen import BASE_EPOCH
 # parallelism requires a tie-broken total order (SURVEY.md §7 risk #1).
 ORDER_COLS = ["priority", "depth", "discovered_ts", "url"]
 
+# Per-domain count tables up to this many rows (~tens of MB) may be
+# broadcast; larger ones join by shuffle (AQE skew-split on the probe).
+BROADCAST_DOMAINS_MAX = 1_000_000
+
 WORKSHOPS_SCHEMA_DDL = (
     "event_code string, workshop_id string, title string, event_date string, "
     "start_time string, seats_taken int, is_registered boolean, discovered_round int"
@@ -131,7 +135,7 @@ def init_state(spark: SparkSession, seeds: DataFrame) -> CrawlState:
 
 
 def select_batch(
-    pending: DataFrame, robots: DataFrame
+    pending: DataFrame, robots: DataFrame, expected_domains: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame, tuple]:
     """Robots gate + politeness cap.
     Returns (batch, blocked, still_pending, cached_handles).
@@ -164,16 +168,30 @@ def select_batch(
     # Under-cap domains need NO ranking at all — their whole pending set
     # is the batch.  Only domains whose pending count exceeds the budget
     # pay the sort (at web scale that's the hot tail, not the bulk).
-    # The count side is a map-side-combined groupBy (no skew); the join
-    # back carries NO broadcast hint — the per-domain table is unbounded
-    # at web scale (10^7-10^8 rows would ship to every executor), so AQE
-    # picks broadcast while it is genuinely small and a shuffled join
-    # (with AQE skew-split absorbing the mega-host probe side) once it
-    # is not.  A window count over the domain partitioning is NOT an
-    # option: it funnels the mega-host's rows through one task —
-    # measured 2.4× slower at 16 cores on the 24M-URL kernel.
+    # The count side is a map-side-combined groupBy (no skew).  Join
+    # strategy is decided on the DRIVER from the measured domain count:
+    # a bounded broadcast (≤ BROADCAST_DOMAINS_MAX rows, ~tens of MB)
+    # avoids shuffling the whole pending set; past the bound the hint is
+    # dropped and the join shuffles, with AQE skew-split absorbing the
+    # mega-host probe side.  An UNCONDITIONAL hint would OOM at 10^7-10^8
+    # pending domains; an unconditional non-hint pays the full shuffle
+    # write before AQE can demote to broadcast (measured 2× slower on
+    # the 24M-URL kernel); a window count over the domain partitioning
+    # funnels the mega-host through one task (2.4× slower).  The count()
+    # that informs the decision doubles as the cache fill for gated0.
+    # ``expected_domains`` is the caller's cardinality knowledge (a real
+    # crawler tracks its domain universe as metadata — here the robots
+    # table's row count, computed once per crawl); order-of-magnitude
+    # accuracy suffices to pick a join strategy, and passing it skips
+    # the extra action (measured ~0.7 µs/URL on the 24M-URL kernel).
     dom_counts = gated0.groupBy("domain").agg(F.count("*").alias("__n"))
-    gated = gated0.join(dom_counts, "domain")
+    n_domains = (
+        expected_domains if expected_domains is not None else dom_counts.count()
+    )
+    counts = (
+        F.broadcast(dom_counts) if n_domains <= BROADCAST_DOMAINS_MAX else dom_counts
+    )
+    gated = gated0.join(counts, "domain")
 
     blocked = gated.filter(~F.col("__allow")).drop(*aux)
     passthrough = gated.filter(
@@ -346,6 +364,7 @@ def run_round(
     robots: DataFrame,
     bloom_dir: str | None = None,
     pages_fallback: DataFrame | None = None,
+    expected_domains: int | None = None,
 ) -> tuple[CrawlState, RoundOutputs]:
     round_no = state.round_no + 1
     ts = round_ts(round_no)
@@ -369,7 +388,9 @@ def run_round(
     # url_seen, workshops, metrics); cache them or every write replays
     # the politeness window + fetch join + extraction UDF from scratch
     # (measured ~10x redundant work per round uncached).
-    batch, blocked, still_pending, window_caches = select_batch(pending, robots)
+    batch, blocked, still_pending, window_caches = select_batch(
+        pending, robots, expected_domains=expected_domains
+    )
 
     # "Fetch" — in-sandbox, a left join against the pages table (J5);
     # at production scale this stage is a mapInPandas HTTP fetcher.

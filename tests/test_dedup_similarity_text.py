@@ -268,3 +268,64 @@ def test_alert_sink_messages(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 6
     assert back.select("round").distinct().count() == 2
+
+
+def test_connected_components_chain_and_random(spark):
+    """Star-contraction CC equals a driver-side union-find on a seeded
+    random graph, and resolves chains transitively (the case min-id-wins
+    dedup_keep_canonical explicitly gets wrong)."""
+    import random
+
+    from pyppeteer_scraper_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_components,
+    )
+
+    # chain 10-11, 11-12, 12-13: one component labeled 10
+    chain = spark.createDataFrame([(11, 10), (11, 12), (13, 12)], ["a", "b"])
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(chain).collect()
+    }
+    assert got == {(11, 10), (12, 10), (13, 10)}
+
+    # random sparse graph vs union-find
+    rng = random.Random(42)
+    n = 400
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(250)
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member of each component
+    members: dict[int, list[int]] = {}
+    for x in range(n):
+        members.setdefault(find(x), []).append(x)
+    expect = {
+        (x, min(ms)) for ms in members.values() for x in ms
+    }
+
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == expect
+
+    # keep-set: exactly one survivor (the min) per component
+    df = nodes
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_components(df, pairs).collect()
+    )
+    assert kept == sorted(min(ms) for ms in members.values())

@@ -92,10 +92,11 @@ def test_frontier_round_plan_shape(spark, sf_small, tmp_path):
 
 
 def test_no_unbounded_broadcast_hints():
-    """The flagship round must never force-broadcast DERIVED tables
-    (per-domain counts, the monotonically-growing workshops state) —
-    those are unbounded at web scale.  The only allowed hint in
-    round.py is the genuinely tiny robots rules dimension."""
+    """The flagship round must never force-broadcast UNBOUNDED derived
+    tables (the monotonically-growing workshops state; an unguarded
+    per-domain count table).  Allowed: the genuinely tiny robots rules
+    dimension, and the per-domain counts ONLY behind the driver-side
+    cardinality guard (bounded by BROADCAST_DOMAINS_MAX)."""
     import pathlib
 
     src = (
@@ -103,7 +104,14 @@ def test_no_unbounded_broadcast_hints():
         / "pyppeteer_scraper_spark" / "plans" / "round.py"
     ).read_text()
     hints = re.findall(r"F\.broadcast\(\s*(\w+)", src)
-    assert hints == ["robots"], f"unexpected broadcast hints in round.py: {hints}"
+    assert sorted(hints) == ["dom_counts", "robots"], (
+        f"unexpected broadcast hints in round.py: {hints}"
+    )
+    # the dom_counts hint must be conditional on the measured cardinality
+    assert re.search(
+        r"F\.broadcast\(dom_counts\)\s*if\s*n_domains\s*<=\s*BROADCAST_DOMAINS_MAX",
+        src,
+    ), "dom_counts broadcast lost its cardinality guard"
 
 
 def test_no_python_row_udfs_registered():
