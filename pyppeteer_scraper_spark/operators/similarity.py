@@ -270,3 +270,136 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def _assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str, out_col: str):
+    """Nearest-centroid assignment (spherical k-means): one Arrow batch
+    matmul per partition against the broadcast centroid matrix —
+    centroids are bounded (n_centroids × dim doubles, e.g. 256×128 =
+    256 KB), so closure capture is a true broadcast, never a shuffle."""
+    cu = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series((m @ cu.T).argmax(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray, DataFrame]:
+    """IVF coarse quantizer: spherical k-means over unit vectors with a
+    deterministic init (the ``n_centroids`` corpus vectors of smallest
+    xxhash64(id) — a seeded sample with no stored model).
+
+    Returns (corpus with ``unit`` + ``cell`` columns, centroid matrix,
+    cache handle) — the handle is the frame the Lloyd iterations
+    cached; callers unpersist it when done with the index.
+
+    Scale notes: each Lloyd iteration is one corpus pass (Arrow matmul
+    assignment) + a posexplode/groupBy-avg centroid update whose result
+    is n_centroids × dim rows — KBs collected to the driver, never the
+    corpus.  The corpus is cached across iterations and unpersisted by
+    the caller via the returned frame's lineage (assignment is lazy).
+    """
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col), F.col("unit")
+    )
+    c = c.cache()
+    init = (
+        c.select(id_col, "unit")
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([r["unit"] for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = _assign_cells(c, centroids, "unit", "cell")
+        means = (
+            assigned.select("cell", F.posexplode("unit").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()  # empty cells keep their old centroid
+        upd = {}
+        for r in means:
+            upd.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, comps in upd.items():
+            for pos, m in comps.items():
+                new[cell, pos] = m
+        centroids = new
+    return _assign_cells(c, centroids, "unit", "cell"), centroids, c
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Approximate cosine top-k via an IVF index (the FAISS-style scale
+    path, complementary to :func:`lsh_topk`): corpus vectors are
+    partitioned into ``n_centroids`` k-means cells; each query scans
+    only its ``n_probe`` nearest cells, so the candidate set is
+    ~(n_probe/n_centroids) of the corpus — an equi-join on ``cell``,
+    never a crossJoin.  Recall is tunable with n_probe (n_probe =
+    n_centroids degrades gracefully to exact brute force).
+
+    Returns (result, cache_handle); the result frame is
+    (query_id, neighbor_id, rank, cosine) like the other top-k ops, and
+    ``cache_handle`` is the frame the Lloyd iterations cached —
+    ``unpersist()`` it once the result is materialized.
+    """
+    assigned, centroids, cache_handle = ivf_index(
+        corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cu = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe = min(n_probe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        order = np.argsort(-(m @ cu.T), axis=1)[:, :probe].astype("int32")
+        return pd.Series(list(order))
+
+    q = (
+        with_unit_norm(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col("unit").alias("qv"))
+        .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+    )
+    cand = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cv"), "cell"
+        )
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qv"), F.col("cv")), 6))
+        # no dedup needed: each corpus vector lives in exactly one cell,
+        # so a (query, neighbor) pair matches at most one probed cell
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    result = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+    return result, cache_handle

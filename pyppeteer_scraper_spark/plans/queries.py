@@ -1,4 +1,4 @@
-"""Query registry (58 entries, 54 DuckDB-oracled) — every
+"""Query registry (59 entries, 54 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -918,6 +918,17 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@query("sim_ivf_topk")  # rows-only: k-means cells are approximate by construction
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    result, indexed = ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=32, n_probe=8
+    )
+    return result
 
 
 @query(

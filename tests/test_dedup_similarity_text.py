@@ -128,6 +128,44 @@ def test_lsh_topk_is_subset_ranked(spark, sf_small):
         assert 1 <= r["rank"] <= 3
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_small):
+    """IVF with full probing is EXACT (equals brute force); partial
+    probing keeps high recall@k on the planted-neighbor corpus."""
+    from pyppeteer_scraper_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(q, emb, k=3).collect()
+    }
+
+    # probing every cell must reproduce brute force exactly
+    full, indexed = ivf_topk(q, emb, k=3, n_centroids=8, n_probe=8, iters=2)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    assert got == exact
+    indexed.unpersist()
+
+    # partial probing: recall@3 ≥ 0.8 on planted near-neighbors
+    part, indexed = ivf_topk(q, emb, k=3, n_centroids=8, n_probe=5, iters=3)
+    # candidate generation must be an equi-join on cell, never all-pairs
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        part.explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
+    gotp = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+    exact_pairs = {(a, b) for a, b, _ in exact}
+    recall = len(gotp & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"recall {recall}"
+    indexed.unpersist()
+
+
 def test_rolling_hash_golden_and_bounded_memory():
     """Golden values pin the hash function across implementations; the
     memory bound pins the O(total-bytes) behavior — the padded-matrix
