@@ -1,4 +1,4 @@
-"""Query registry (59 entries, 54 DuckDB-oracled) — every
+"""Query registry (60 entries, 55 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -779,6 +779,44 @@ def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8)
     return connected_components(pairs, nodes=docs.select("doc_id"))
+
+
+@query(
+    "dedup_keep_transitive",
+    # Keep-set under TRANSITIVE resolution: one survivor (the min id)
+    # per connected component — contrast with dedup_canonical_keep's
+    # per-pair shortcut.
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS toks
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT ta.doc_id AS a, tb.doc_id AS b,
+               CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_common,
+               CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS BIGINT) AS n_union
+        FROM t ta, t tb WHERE ta.doc_id < tb.doc_id
+      ) WHERE round(n_common / n_union, 6) >= 0.8
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, x) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT reach.node, s.v FROM reach JOIN sym s ON s.u = reach.x
+    )
+    SELECT node AS doc_id FROM reach GROUP BY node HAVING node = MIN(x)
+    """,
+)
+def dedup_keep_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.dedup import (
+        dedup_keep_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return dedup_keep_components(docs, pairs).select("doc_id")
 
 
 @query("dedup_minhash_lsh")  # rows-only: LSH banding is not SQL-expressible tersely
