@@ -79,9 +79,13 @@ def main() -> None:
     # Realistic politeness budgets (a crawl cap is 10^3-ish per round,
     # not 10^5 — the cap IS the skew defence): every domain exceeds its
     # cap here, so the full two-phase ranked path is what gets timed.
+    # crawl_delay_ms values are deliberately NON-binding here
+    # (floor(ROUND_INTERVAL_MS/delay) ≥ max_per_round), so the delay
+    # enforcement doesn't shrink the scheduled batch and the benchmark
+    # keeps timing the full ranked path at the same workload.
     robots = spark.createDataFrame(
-        [("mega-host.example", True, 1000, 2000)]
-        + [(f"site-{i}.example", i % 20 != 0, 100, 1000) for i in range(197)],
+        [("mega-host.example", True, 20, 2000)]
+        + [(f"site-{i}.example", i % 20 != 0, 50, 1000) for i in range(197)],
         "domain string, allow boolean, crawl_delay_ms long, max_per_round int",
     )
 

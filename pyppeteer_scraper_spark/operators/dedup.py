@@ -370,10 +370,17 @@ def connected_components(
         prev_sig = sig
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
-    # At the fixpoint every edge is (member, component-min).
+    # At the fixpoint every edge is (member, component-min) with
+    # member > min, so the component roots never appear on the `a` side;
+    # union in their self-labels so every non-isolated node gets a row
+    # even without an explicit `nodes` frame (isolated nodes still need
+    # `nodes` — the pair graph never saw them).
     labels = edges.select(F.col("a").alias(id_col), F.col("b").alias("component"))
     if nodes is None:
-        return labels
+        roots = edges.select(
+            F.col("b").alias(id_col), F.col("b").alias("component")
+        ).distinct()
+        return labels.union(roots)
     return (
         nodes.select(F.col(id_col).cast("long"))
         .join(labels, id_col, "left")

@@ -13,6 +13,8 @@ its salt bucket.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +45,12 @@ def topk_per_group(
     else:
         def _is_sort_order(c: Column) -> bool:
             s = c._jc.toString() if hasattr(c, "_jc") else str(c)
+            # Spark Connect has no _jc; str(Column) renders as
+            # "Column<'x DESC NULLS LAST'>" — strip the wrapper so the
+            # suffix test still recognizes sort-order expressions there.
+            m = re.fullmatch(r"Column<'(.*)'>", s, flags=re.DOTALL)
+            if m:
+                s = m.group(1)
             return s.endswith("NULLS FIRST") or s.endswith("NULLS LAST")
 
         plain = [c for c in order_cols if not _is_sort_order(c)]

@@ -250,9 +250,16 @@ def crawl(
     fetched_per_round: list[int] = []
     actions_per_round: list[int] = []
     outputs: list[RoundOutputs] = []
-    # Domain-cardinality metadata for select_batch's join-strategy pick:
-    # the robots table has one row per known domain; computed once, not
-    # per round.  Order-of-magnitude accuracy is all the pick needs.
+    # Domain-cardinality metadata for select_batch's join-strategy pick.
+    # The robots row count seeds the hint, but link discovery adds
+    # domains ABSENT from robots (select_batch left-joins, unknown
+    # domains default-allowed), so a crawl-long constant would become a
+    # stale UNDER-count — exactly the OOM the broadcast guard exists to
+    # prevent.  Refresh it every few rounds from the frontier's distinct
+    # domain count (an upper bound on pending domains; one cheap job
+    # over the freshly-checkpointed parquet).  Order-of-magnitude
+    # accuracy is all the join-strategy pick needs.
+    HINT_REFRESH_ROUNDS = 8
     n_domains_hint = robots.count()
     t0 = time.time()
     target = state.round_no + n_rounds
@@ -263,7 +270,14 @@ def crawl(
         # Build/rebuild from the FULL url_seen on first enable or param
         # change — delta-only inserts would miss crawl history.
         ensure_bloom_sidecar(state.url_seen, bloom_dir, bloom_params)
+    rounds_done = 0
     while state.round_no < target:
+        if rounds_done and rounds_done % HINT_REFRESH_ROUNDS == 0:
+            n_domains_hint = max(
+                n_domains_hint,
+                state.frontier.select("domain").distinct().count(),
+            )
+        rounds_done += 1
         t_round = time.time()
         state, out = run_round(
             spark, state, pages_prepared, robots, bloom_dir=bloom_dir,

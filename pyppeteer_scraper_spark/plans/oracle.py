@@ -17,11 +17,13 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
+from zlib import crc32
 
 import pandas as pd
 
 from pyppeteer_scraper_spark.functions.canonicalize import canonicalize_url
 from pyppeteer_scraper_spark.plans.extract import extract_pdf
+from pyppeteer_scraper_spark.plans.round import ROUND_INTERVAL_MS
 
 
 def _domain(url: str) -> str:
@@ -101,12 +103,27 @@ def simulate(
 
         pending = [r for r in res.frontier.values() if r["state"] == "pending"]
 
-        # per-domain politeness cap under the total order
+        # per-domain politeness cap under the total order, scaled by the
+        # crawl delay (cap = min(max_per_round, window // delay); delay
+        # past the window → skip-round turns, crc32-phased — mirrors
+        # select_batch exactly)
         by_dom: dict[str, list[dict]] = {}
         for r in pending:
             by_dom.setdefault(r["domain"], []).append(r)
         for dom, rows in by_dom.items():
-            cap = int(robots.loc[dom, "max_per_round"]) if dom in robots.index else 4
+            if dom in robots.index:
+                row = robots.loc[dom]
+                cap = int(row["max_per_round"])
+                delay = int(row.get("crawl_delay_ms", 0) or 0)
+            else:
+                cap, delay = 4, 0
+            if delay > 0:
+                if delay <= ROUND_INTERVAL_MS:
+                    cap = min(cap, ROUND_INTERVAL_MS // delay)
+                else:
+                    stride = -(-delay // ROUND_INTERVAL_MS)  # ceil
+                    on_turn = rnd % stride == crc32(dom.encode()) % stride
+                    cap = 1 if on_turn else 0
             rows.sort(key=lambda r: (r["priority"], r["depth"], r["discovered"], r["url"]))
             batch_rows.extend(rows[:cap])
 

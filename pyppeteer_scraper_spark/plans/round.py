@@ -38,6 +38,17 @@ ORDER_COLS = ["priority", "depth", "discovered_ts", "url"]
 # broadcast; larger ones join by shuffle (AQE skew-split on the probe).
 BROADCAST_DOMAINS_MAX = 1_000_000
 
+# Politeness time model: each scheduler round gives every domain a
+# fetch window of this many milliseconds, so a domain's
+# ``crawl_delay_ms`` bounds its per-round fetches at
+# floor(ROUND_INTERVAL_MS / crawl_delay_ms) — the reference's analog is
+# the cron cadence budget (~44 calls/day tuned per scraper,
+# /root/reference/docs/CRON_SCHEDULE_RECOMMENDATIONS.md:20-55).  A
+# delay LONGER than the window (floor 0) means the domain is fetched
+# only every ceil(delay/window) rounds — a skip-round modulus, phased
+# per domain by crc32 so slow domains don't all wake on round 0.
+ROUND_INTERVAL_MS = 60_000
+
 WORKSHOPS_SCHEMA_DDL = (
     "event_code string, workshop_id string, title string, event_date string, "
     "start_time string, seats_taken int, is_registered boolean, discovered_round int"
@@ -135,14 +146,25 @@ def init_state(spark: SparkSession, seeds: DataFrame) -> CrawlState:
 
 
 def select_batch(
-    pending: DataFrame, robots: DataFrame, expected_domains: int | None = None
+    pending: DataFrame,
+    robots: DataFrame,
+    expected_domains: int | None = None,
+    round_no: int = 0,
 ) -> tuple[DataFrame, DataFrame, DataFrame, tuple]:
     """Robots gate + politeness cap.
     Returns (batch, blocked, still_pending, cached_handles).
 
     - robots is broadcast (tiny dimension; reference analog: the
       per-scraper `is_active` gate, /root/reference/scraper/canada_ircc.py:63-74);
-      unknown domains default to allow with cap 4.
+      unknown domains default to allow with cap 4 and no crawl delay.
+    - the effective per-round cap is
+      ``min(max_per_round, floor(ROUND_INTERVAL_MS / crawl_delay_ms))``;
+      a delay longer than the round window defers the whole domain to
+      its skip-round turn (``round_no % stride == crc32(domain) % stride``,
+      ``stride = ceil(delay / window)``) with cap 1 on that turn —
+      deferred rows stay pending, they are not blocked.  ``round_no``
+      phases those turns; callers that never use slow domains may leave
+      it 0.
     - per-domain cap enforced by a skew-safe two-phase top-k under the
       total order (the politeness budget; reference analog: cron
       cadence + once-per-day alert suppression, home_depo.py:171-179).
@@ -159,10 +181,28 @@ def select_batch(
     # Cache BEFORE the count aggregation: dom_counts then fills the
     # cache, and every later branch (including any upstream pandas UDF
     # like canonicalize) is computed exactly once.
+    # Delay-aware effective cap (all JVM-side, codegen'd).  nullif keeps
+    # the division ANSI-safe when crawl_delay_ms is 0/absent; the stride
+    # branch is only reached when delay > window, so stride ≥ 2 there
+    # (greatest() guards pmod against eager evaluation anyway).
+    delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(0)).cast("long")
+    base_cap = F.coalesce(F.col("max_per_round"), F.lit(4)).cast("long")
+    budget = F.floor(F.lit(ROUND_INTERVAL_MS) / F.nullif(delay, F.lit(0)))
+    stride = F.greatest(
+        F.ceil(delay / F.lit(ROUND_INTERVAL_MS)).cast("long"), F.lit(1).cast("long")
+    )
+    on_turn = F.pmod(F.lit(round_no).cast("long"), stride) == F.pmod(
+        F.crc32(F.encode(F.col("domain"), "UTF-8")).cast("long"), stride
+    )
+    eff_cap = (
+        F.when(delay <= 0, base_cap)
+        .when(budget >= 1, F.least(base_cap, budget))
+        .otherwise(F.when(on_turn, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    ).cast("int")
     gated0 = (
         pending.join(F.broadcast(robots), "domain", "left")
         .withColumn("__allow", F.coalesce(F.col("allow"), F.lit(True)))
-        .withColumn("__cap", F.coalesce(F.col("max_per_round"), F.lit(4)))
+        .withColumn("__cap", eff_cap)
         .cache()
     )
     # Under-cap domains need NO ranking at all — their whole pending set
@@ -389,7 +429,7 @@ def run_round(
     # the politeness window + fetch join + extraction UDF from scratch
     # (measured ~10x redundant work per round uncached).
     batch, blocked, still_pending, window_caches = select_batch(
-        pending, robots, expected_domains=expected_domains
+        pending, robots, expected_domains=expected_domains, round_no=round_no
     )
 
     # "Fetch" — in-sandbox, a left join against the pages table (J5);

@@ -248,6 +248,9 @@ def generate_robots(
     mega_cap: int = 8,
     default_cap: int = 4,
     parity_cap: int = 1,
+    mega_delay_ms: int = 1000,
+    slow_tier_mod: int | None = None,
+    slow_delay_ms: int = 180_000,
 ) -> DataFrame:
     """robots_rules(domain, allow, crawl_delay_ms, max_per_round).
 
@@ -258,18 +261,29 @@ def generate_robots(
     per-round cap so the politeness bucket visibly throttles; domains
     with hash%13==0 get cap 1 (the once-per-day-alert parity tier,
     /root/reference/scraper/home_depo.py:171-179).
+
+    ``crawl_delay_ms`` is ENFORCED by ``select_batch`` (effective cap =
+    min(max_per_round, floor(ROUND_INTERVAL_MS/delay)); a delay past
+    the round window defers the domain to crc32-phased skip-round
+    turns).  Defaults are non-binding so the cap tiers above stay the
+    visible throttle; pass ``mega_delay_ms`` ≥ ROUND_INTERVAL_MS /
+    mega_cap to make the delay bind on the mega-host, and
+    ``slow_tier_mod=k`` to give domains with hash%k==3 a delay past the
+    window (the skip-round tier).
     """
     from pyppeteer_scraper_spark.functions.canonicalize import domain_of
 
     domains = pages.select(domain_of(F.col("url")).alias("domain")).distinct()
     h = F.xxhash64(F.col("domain"))
+    delay = F.when(F.col("domain") == MEGA_HOST, F.lit(mega_delay_ms))
+    if slow_tier_mod is not None:
+        delay = delay.when(
+            F.pmod(h, F.lit(slow_tier_mod)) == 3, F.lit(slow_delay_ms)
+        )
     return domains.select(
         F.col("domain"),
         (F.pmod(h, F.lit(20)) != 0).alias("allow"),
-        F.when(F.col("domain") == MEGA_HOST, F.lit(1000))
-        .otherwise(F.lit(100))
-        .cast("long")
-        .alias("crawl_delay_ms"),
+        delay.otherwise(F.lit(100)).cast("long").alias("crawl_delay_ms"),
         F.when(F.col("domain") == MEGA_HOST, F.lit(mega_cap))
         .when(F.pmod(h, F.lit(13)) == 0, F.lit(parity_cap))
         .otherwise(F.lit(default_cap))

@@ -84,11 +84,39 @@ def test_frontier_round_plan_shape(spark, sf_small, tmp_path):
     plan = plan_of(new_state.frontier)
     assert "BroadcastHashJoin" in plan  # robots gate
     assert "BroadcastNestedLoopJoin" not in plan
-    # Politeness counts come from a window over the domain partitioning,
-    # not a broadcast-joined per-domain aggregate (unbounded at scale).
+    # Politeness caps use groupBy per-domain counts joined back with a
+    # driver-side cardinality guard (broadcast only when the measured
+    # domain count is bounded; shuffle+AQE otherwise — see
+    # test_no_unbounded_broadcast_hints), and the over-cap domains rank
+    # their URLs through a Window over the domain partitioning.
     batch_plan = plan_of(out.batch)
     assert "Window" in batch_plan
     out.unpersist()
+
+
+def test_driver_window_covers_unchecked():
+    """The correctness driver checks only the FIRST 50 registered
+    queries — registration order is load-bearing (see
+    plans/queries.py::_finalize_order and __spark_entry__ docstring).
+    Assert every query that has never had a driver CORRECTNESS row sits
+    inside the window, so CORRECTNESS_r03+ records it."""
+    from pyppeteer_scraper_spark.plans.queries import (
+        ORACLE_SQL,
+        QUERIES,
+        _WINDOW_FIRST,
+    )
+
+    names = list(QUERIES)
+    window = set(names[:50])
+    for n in _WINDOW_FIRST:
+        assert n in window, f"{n} fell outside the driver's 50-query window"
+    # order pin: the never-checked entries are literally first
+    assert names[: len(_WINDOW_FIRST)] == _WINDOW_FIRST
+    # oracle dict stays aligned (subset, same relative order)
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    pos = {n: i for i, n in enumerate(names)}
+    oracle_pos = [pos[n] for n in ORACLE_SQL]
+    assert oracle_pos == sorted(oracle_pos)
 
 
 def test_no_unbounded_broadcast_hints():
