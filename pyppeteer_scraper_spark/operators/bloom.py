@@ -28,11 +28,15 @@ url_seen table on mismatch (or when the sidecar is first enabled on a
 resumed crawl — delta-only inserts would otherwise let previously-seen
 URLs through the "definitely unseen" fast path).
 
-Storage: shard I/O uses plain local-filesystem paths from inside
-executor tasks — correct in local[N]; on a multi-node cluster
-``bloom_dir`` MUST be a shared filesystem (NFS/FUSE-mounted object
-store), or shard files silently land on per-executor local disks.  The
-Iceberg-native form of this sidecar is a puffin blob per snapshot.
+Storage: all shard/params I/O goes through a pluggable ``ShardStore``
+(read/write/list/delete of named blobs).  The default maps the
+``bloom_dir`` path to the local filesystem — correct in local[N], and
+on a multi-node cluster ONLY if ``bloom_dir`` is a shared mount.  A
+cluster deploy passes ``store_factory=`` (any callable ``uri ->
+ShardStore``; it is serialized into the executor closures, so locally
+defined classes work) implementing the same four methods over S3/HDFS/
+object storage — no engine edits.  The Iceberg-native form of this
+sidecar is a puffin blob per snapshot.
 
 Reference analog: the whole-file JSON seen-set re-read every run
 (/root/reference/service/alert.py:460-490) — the thing this replaces.
@@ -52,6 +56,65 @@ from pyspark.sql import functions as F
 DEFAULT_SHARDS = 16
 DEFAULT_BITS = 1 << 20  # 1 Mi bits/shard ≈ 131 KiB packed
 DEFAULT_K = 4
+
+
+class ShardStore:
+    """Blob storage seam for bloom shards + params: four methods over
+    named byte blobs.  Implementations must be safe to pickle into
+    executor closures (keep them stateless beyond config strings)."""
+
+    def read(self, name: str) -> bytes | None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def write(self, name: str, data: bytes) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def list(self) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
+    def delete(self, name: str) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class LocalShardStore(ShardStore):
+    """Default store: blobs are files under ``base`` (a local or shared
+    mount path)."""
+
+    def __init__(self, base: str):
+        self.base = base
+
+    def read(self, name: str) -> bytes | None:
+        path = os.path.join(self.base, name)
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write(self, name: str, data: bytes) -> None:
+        os.makedirs(self.base, exist_ok=True)
+        tmp = os.path.join(self.base, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(self.base, name))
+
+    def list(self) -> list[str]:
+        if not os.path.isdir(self.base):
+            return []
+        return [n for n in os.listdir(self.base) if not n.startswith(".")]
+
+    def delete(self, name: str) -> None:
+        path = os.path.join(self.base, name)
+        if os.path.exists(path):
+            os.remove(path)
+
+
+def _store(bloom_dir: str, store_factory=None) -> ShardStore:
+    """Resolve the store INSIDE the task (the factory travels through
+    the closure, the store object itself need not pre-exist on the
+    executor)."""
+    if store_factory is not None:
+        return store_factory(bloom_dir)
+    return LocalShardStore(bloom_dir)
 
 
 @dataclass(frozen=True)
@@ -75,28 +138,25 @@ def params_for(
     return BloomParams(n_shards=n_shards, m=m, k=k)
 
 
-def _params_path(bloom_dir: str) -> str:
-    return os.path.join(bloom_dir, "params.json")
+def save_params(bloom_dir: str, params: BloomParams, store_factory=None) -> None:
+    _store(bloom_dir, store_factory).write(
+        "params.json", json.dumps(asdict(params)).encode()
+    )
 
 
-def save_params(bloom_dir: str, params: BloomParams) -> None:
-    os.makedirs(bloom_dir, exist_ok=True)
-    with open(_params_path(bloom_dir), "w") as f:
-        json.dump(asdict(params), f)
-
-
-def load_params(bloom_dir: str) -> BloomParams | None:
-    path = _params_path(bloom_dir)
-    if not os.path.exists(path):
+def load_params(bloom_dir: str, store_factory=None) -> BloomParams | None:
+    raw = _store(bloom_dir, store_factory).read("params.json")
+    if raw is None:
         return None
-    with open(path) as f:
-        return BloomParams(**json.load(f))
+    return BloomParams(**json.loads(raw))
 
 
-def resolve_params(bloom_dir: str, params: BloomParams | None) -> BloomParams:
+def resolve_params(
+    bloom_dir: str, params: BloomParams | None, store_factory=None
+) -> BloomParams:
     """Stored params win; explicit params must MATCH stored ones (a
     probe with different (n_shards, m, k) reads garbage bits)."""
-    stored = load_params(bloom_dir)
+    stored = load_params(bloom_dir, store_factory)
     if stored is None:
         return params or BloomParams()
     if params is not None and params != stored:
@@ -119,26 +179,28 @@ def _indices(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     )
 
 
-def _shard_path(bloom_dir: str, shard: int) -> str:
-    return os.path.join(bloom_dir, f"shard={shard}.npz")
+def _load_shard(store: ShardStore, shard: int, m: int) -> np.ndarray:
+    raw = store.read(f"shard={shard}.npz")
+    if raw is not None:
+        import io
 
-
-def _load_shard(bloom_dir: str, shard: int, m: int) -> np.ndarray:
-    path = _shard_path(bloom_dir, shard)
-    if os.path.exists(path):
-        return np.unpackbits(np.load(path)["bits"]).astype(bool)[:m]
+        return np.unpackbits(np.load(io.BytesIO(raw))["bits"]).astype(bool)[:m]
     return np.zeros(m, dtype=bool)
 
 
-def _save_shard(bloom_dir: str, shard: int, bits: np.ndarray) -> None:
-    os.makedirs(bloom_dir, exist_ok=True)
-    np.savez_compressed(_shard_path(bloom_dir, shard), bits=np.packbits(bits))
+def _save_shard(store: ShardStore, shard: int, bits: np.ndarray) -> None:
+    import io
+
+    buf = io.BytesIO()
+    np.savez_compressed(buf, bits=np.packbits(bits))
+    store.write(f"shard={shard}.npz", buf.getvalue())
 
 
 def update_bloom_shards(
     url_seen_delta: DataFrame,
     bloom_dir: str,
     params: BloomParams | None = None,
+    store_factory=None,
 ) -> int:
     """OR this round's url_hash delta into the persisted shards.
     Returns the number of hashes inserted.
@@ -149,16 +211,17 @@ def update_bloom_shards(
     are persisted in params.json on first update; later updates and
     probes must use the same values or the bit positions are garbage.
     """
-    params = resolve_params(bloom_dir, params)
-    save_params(bloom_dir, params)
+    params = resolve_params(bloom_dir, params, store_factory)
+    save_params(bloom_dir, params, store_factory)
     n_shards, m, k = params.n_shards, params.m, params.k
 
     def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+        store = _store(bloom_dir, store_factory)
         shard = int(pdf["shard"].iloc[0])
-        bits = _load_shard(bloom_dir, shard, m)
+        bits = _load_shard(store, shard, m)
         idx = _indices(pdf["url_hash"].to_numpy(), m, k)
         bits[idx.ravel()] = True
-        _save_shard(bloom_dir, shard, bits)
+        _save_shard(store, shard, bits)
         return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
 
     delta = url_seen_delta.select(
@@ -172,6 +235,7 @@ def ensure_bloom_sidecar(
     url_seen: DataFrame,
     bloom_dir: str,
     params: BloomParams | None = None,
+    store_factory=None,
 ) -> BloomParams:
     """Make the sidecar consistent with ``url_seen`` and ``params``:
     (re)build from the FULL url_seen table when the dir is new or the
@@ -181,16 +245,18 @@ def ensure_bloom_sidecar(
     the frontier.  Rebuild cost is one pass over url_seen; at 10^10
     keys that is the same order as a single round's exact anti-join,
     paid once per resize instead of every round."""
-    stored = load_params(bloom_dir)
+    store = _store(bloom_dir, store_factory)
+    stored = load_params(bloom_dir, store_factory)
     want = params or stored or BloomParams()
     if stored == want:
         return want
-    if os.path.isdir(bloom_dir):
-        for name in os.listdir(bloom_dir):
-            if name.endswith(".npz") or name == "params.json":
-                os.remove(os.path.join(bloom_dir, name))
-    save_params(bloom_dir, want)
-    update_bloom_shards(url_seen.select("url_hash"), bloom_dir, want)
+    for name in store.list():
+        if name.endswith(".npz") or name == "params.json":
+            store.delete(name)
+    save_params(bloom_dir, want, store_factory)
+    update_bloom_shards(
+        url_seen.select("url_hash"), bloom_dir, want, store_factory
+    )
     return want
 
 
@@ -199,15 +265,16 @@ def bloom_annotate(
     bloom_dir: str,
     params: BloomParams | None = None,
     hash_col: str = "url_hash",
+    store_factory=None,
 ) -> DataFrame:
     """Add ``maybe_seen`` (bool): False ⇒ definitely unseen (no exact
     join needed); True ⇒ check exactly."""
-    params = resolve_params(bloom_dir, params)
+    params = resolve_params(bloom_dir, params, store_factory)
     n_shards, m, k = params.n_shards, params.m, params.k
 
     def test(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["__shard"].iloc[0])
-        bits = _load_shard(bloom_dir, shard, m)
+        bits = _load_shard(_store(bloom_dir, store_factory), shard, m)
         idx = _indices(pdf[hash_col].to_numpy(), m, k)
         pdf = pdf.drop(columns="__shard")
         pdf["maybe_seen"] = bits[idx].all(axis=1)
@@ -233,6 +300,7 @@ def anti_join_with_bloom(
     bloom_dir: str,
     params: BloomParams | None = None,
     caches: list | None = None,
+    store_factory=None,
 ) -> DataFrame:
     """candidates ∖ url_seen, bloom-accelerated and exactly equal to the
     plain left-anti join: bloom-negatives pass straight through; only
@@ -244,7 +312,9 @@ def anti_join_with_bloom(
     handle is appended to ``caches`` so the caller's round-level
     unpersist sweep releases it.
     """
-    annotated = bloom_annotate(candidates, bloom_dir, params).cache()
+    annotated = bloom_annotate(
+        candidates, bloom_dir, params, store_factory=store_factory
+    ).cache()
     if caches is not None:
         caches.append(annotated)
     fresh = annotated.filter(~F.col("maybe_seen")).drop("maybe_seen")

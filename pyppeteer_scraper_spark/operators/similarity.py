@@ -228,22 +228,22 @@ def embedding_near_dup_pairs(
         cand = a.crossJoin(b).filter(F.col("a") < F.col("b"))
     elif method == "lsh":
         sig = srp_band_keys(u, "unit", n_planes=n_planes, n_bands=n_bands)
-        e = sig.select(
-            F.col(id_col), "unit", F.explode("bands").alias("key")
-        )
-        a = e.select(
-            F.col(id_col).alias("a"), F.col("unit").alias("ua"), "key"
-        )
-        b = e.select(
-            F.col(id_col).alias("b"), F.col("unit").alias("ub"), "key"
-        )
-        # A pair sharing several bands must score once: dedupe on the
-        # pair key before the (comparatively expensive) dot product.
-        cand = (
-            a.join(b, "key")
-            .filter(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.first("ua").alias("ua"), F.first("ub").alias("ub"))
+        # ids ONLY through the band join and the pair dedup: both sides
+        # of the L-way-exploded equi-join and the distinct shuffle carry
+        # an (id, key) pair — 16 bytes/row — instead of dim-sized unit
+        # vectors (dim×8 bytes, ~1 KB at dim 128: a ~30× shuffle-byte
+        # reduction on the widest exchanges of this plan).  Unit vectors
+        # re-join only for the (much smaller) verified-candidate set.
+        e = sig.select(F.col(id_col), F.explode("bands").alias("key"))
+        a = e.select(F.col(id_col).alias("a"), "key")
+        b = e.select(F.col(id_col).alias("b"), "key")
+        cand_ids = a.join(b, "key").filter(F.col("a") < F.col("b")).select(
+            "a", "b"
+        ).distinct()
+        cand = cand_ids.join(
+            u.select(F.col(id_col).alias("a"), F.col("unit").alias("ua")), "a"
+        ).join(
+            u.select(F.col(id_col).alias("b"), F.col("unit").alias("ub")), "b"
         )
         # Arrow-vectorized verification: candidate volume is ~L·2^-w of
         # all pairs, but still large enough that the interpreted

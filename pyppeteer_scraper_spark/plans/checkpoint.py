@@ -31,6 +31,17 @@ from pyppeteer_scraper_spark.plans.round import (
 
 STATE_TABLES = ["frontier", "url_seen", "workshops"]
 
+# Delta→base compaction cadence: every k rounds the append-only tables
+# (url_seen, workshops, metrics) are merged into one compacted snapshot
+# and the manifest points loads at (compacted, deltas-after) — the
+# parquet emulation of Iceberg's rewrite_data_files + snapshot
+# expiry.  Without it a load reads one small-file directory PER ROUND
+# (O(rounds) listings — the classic streaming small-file problem; the
+# reference re-reads its whole JSON seen-set each run,
+# /root/reference/service/alert.py:460-490).  With it a load reads
+# 1 compacted dir + < k delta dirs regardless of crawl length.
+COMPACT_EVERY = 16
+
 
 def _bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("domain"), F.lit(n_buckets)).cast("int")
@@ -43,6 +54,7 @@ def save_state(
     incremental: bool = False,
     touched_domains=None,
     n_buckets: int = 64,
+    compact_every: int | None = COMPACT_EVERY,
 ) -> str:
     """Persist round state.
 
@@ -60,6 +72,16 @@ def save_state(
       only its delta (rows first seen this round).  Rewriting them in
       full would be O(entire crawl history) per round — fatal at
       10^10-URL scale; deltas keep the round cost O(new URLs).
+    - every ``compact_every`` rounds the deltas are additionally merged
+      into ``compacted/{table}/round=N`` and the manifest's
+      ``compacted`` pointers advance, so a load reads ≤ 1 compacted dir
+      + ``compact_every`` delta dirs however long the crawl ran.  The
+      compacted snapshot is written straight from the in-memory state
+      (already the full table — no disk re-read); old deltas are kept
+      so earlier rounds stay loadable (Iceberg snapshot-expiry would
+      reclaim them on a real deploy).  Compaction cost is
+      O(state size) every k rounds ⇒ amortized O(state/k) per round —
+      bounded, unlike the O(rounds) load it prevents.
     """
     if n_partitions is None:
         # Writer parallelism follows the session (I/O scales with cores).
@@ -67,17 +89,22 @@ def save_state(
             state.frontier.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     rdir = os.path.join(ckpt_dir, f"round={state.round_no}")
+    prev_manifest: dict = {}
+    if state.round_no > 0:
+        prev_path = os.path.join(
+            ckpt_dir, f"round={state.round_no - 1}", "manifest.json"
+        )
+        if os.path.isfile(prev_path):
+            with open(prev_path) as f:
+                prev_manifest = json.load(f)
+    compacted: dict[str, int] = dict(prev_manifest.get("compacted", {}))
     frontier_meta: dict = {"layout": "full"}
     if incremental:
         bdir = os.path.join(ckpt_dir, "frontier_buckets", f"round={state.round_no}")
         fb = state.frontier.withColumn("__bucket", _bucket_col(n_buckets))
         pointers: dict[str, int] = {}
         if state.round_no > 0:
-            prev = os.path.join(
-                ckpt_dir, f"round={state.round_no - 1}", "manifest.json"
-            )
-            with open(prev) as f:
-                prev_meta = json.load(f).get("frontier", {"layout": "full"})
+            prev_meta = prev_manifest.get("frontier", {"layout": "full"})
             if (
                 prev_meta["layout"] == "bucketed"
                 and prev_meta.get("n_buckets") == n_buckets
@@ -126,11 +153,66 @@ def save_state(
             .write.mode("overwrite")
             .parquet(os.path.join(ckpt_dir, "workshops", f"round={state.round_no}"))
         )
+    if (
+        compact_every
+        and state.round_no > 0
+        and state.round_no % compact_every == 0
+    ):
+        # The in-memory state IS the full table (compacted-so-far +
+        # deltas) — write it once as the new base.
+        (
+            state.url_seen.repartition(n_partitions, "url_hash")
+            .write.mode("overwrite")
+            .parquet(
+                os.path.join(
+                    ckpt_dir, "compacted", "url_seen", f"round={state.round_no}"
+                )
+            )
+        )
+        (
+            state.workshops.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(
+                os.path.join(
+                    ckpt_dir, "compacted", "workshops", f"round={state.round_no}"
+                )
+            )
+        )
+        compacted["url_seen"] = state.round_no
+        compacted["workshops"] = state.round_no
+        # Metrics deltas exist only through the PREVIOUS round (the
+        # caller appends this round's metrics after save_state, so its
+        # duration can include the checkpoint write) — compact ≤ r-1
+        # from disk.
+        spark = state.frontier.sparkSession
+        mdirs = _delta_dirs(
+            ckpt_dir,
+            "metrics",
+            state.round_no - 1,
+            compacted.get("metrics", 0),
+            compacted_table="metrics",
+        )
+        if mdirs:
+            (
+                spark.read.parquet(*mdirs)
+                .coalesce(max(1, n_partitions // 8))
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(
+                        ckpt_dir,
+                        "compacted",
+                        "metrics",
+                        f"round={state.round_no - 1}",
+                    )
+                )
+            )
+            compacted["metrics"] = state.round_no - 1
     manifest = {
         "round_no": state.round_no,
         "n_partitions": n_partitions,
         "tables": STATE_TABLES,
         "frontier": frontier_meta,
+        "compacted": compacted,
     }
     os.makedirs(rdir, exist_ok=True)  # bucketed layout writes no rdir/frontier
     with open(os.path.join(rdir, "manifest.json"), "w") as f:
@@ -142,15 +224,40 @@ def save_state(
     return rdir
 
 
-def _load_deltas(spark, ckpt_dir: str, table: str, schema, round_no: int):
-    base = os.path.join(ckpt_dir, table)
+def _delta_dirs(
+    ckpt_dir: str,
+    table: str,
+    round_no: int,
+    compacted_round: int = 0,
+    compacted_table: str | None = None,
+) -> list[str]:
+    """Directories a load of ``table`` at ``round_no`` must read: the
+    compacted base (if any) + deltas strictly after it — ≤ 1 +
+    compact_every dirs regardless of crawl length."""
     dirs = []
+    if compacted_round:
+        dirs.append(
+            os.path.join(
+                ckpt_dir,
+                "compacted",
+                compacted_table or table,
+                f"round={compacted_round}",
+            )
+        )
+    base = os.path.join(ckpt_dir, table)
     if os.path.isdir(base):
         for d in sorted(os.listdir(base)):
             if d.startswith("round="):
                 r = int(d.split("=", 1)[1])
-                if 0 < r <= round_no:
+                if compacted_round < r <= round_no:
                     dirs.append(os.path.join(base, d))
+    return dirs
+
+
+def _load_deltas(
+    spark, ckpt_dir: str, table: str, schema, round_no: int, compacted_round: int = 0
+):
+    dirs = _delta_dirs(ckpt_dir, table, round_no, compacted_round)
     if not dirs:
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*dirs)
@@ -168,6 +275,7 @@ def load_state(spark: SparkSession, ckpt_dir: str, round_no: int | None = None) 
         manifest = json.load(f)
     assert manifest["round_no"] == round_no
     fmeta = manifest.get("frontier", {"layout": "full"})
+    compacted = manifest.get("compacted", {})
     if fmeta["layout"] == "bucketed":
         # each bucket's newest rewrite at-or-before round_no
         paths = [
@@ -181,12 +289,37 @@ def load_state(spark: SparkSession, ckpt_dir: str, round_no: int | None = None) 
         frontier = spark.read.parquet(os.path.join(rdir, "frontier"))
     return CrawlState(
         frontier=frontier,
-        url_seen=_load_deltas(spark, ckpt_dir, "url_seen", URL_SEEN_SCHEMA, round_no),
+        url_seen=_load_deltas(
+            spark, ckpt_dir, "url_seen", URL_SEEN_SCHEMA, round_no,
+            compacted.get("url_seen", 0),
+        ),
         workshops=_load_deltas(
-            spark, ckpt_dir, "workshops", WORKSHOPS_SCHEMA_DDL, round_no
+            spark, ckpt_dir, "workshops", WORKSHOPS_SCHEMA_DDL, round_no,
+            compacted.get("workshops", 0),
         ),
         round_no=round_no,
     )
+
+
+def load_metrics(spark: SparkSession, ckpt_dir: str, round_no: int | None = None):
+    """Per-round / per-partition crawl metrics through ``round_no``
+    (LATEST by default) — compacted base + deltas, same bounded-read
+    scheme as the state tables."""
+    if round_no is None:
+        with open(os.path.join(ckpt_dir, "LATEST")) as f:
+            round_no = int(f.read().strip())
+    with open(os.path.join(ckpt_dir, f"round={round_no}", "manifest.json")) as f:
+        manifest = json.load(f)
+    dirs = _delta_dirs(
+        ckpt_dir, "metrics", round_no, manifest.get("compacted", {}).get("metrics", 0)
+    )
+    schema = (
+        "round int, partition_id int, fetched long, deduped long, "
+        "emitted long, duration_ms long"
+    )
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*dirs)
 
 
 @dataclass
@@ -211,6 +344,8 @@ def crawl(
     bloom_params=None,
     incremental_frontier: bool = False,
     n_buckets: int = 64,
+    compact_every: int | None = COMPACT_EVERY,
+    bloom_store_factory=None,
 ) -> CrawlResult:
     """Drive ``n_rounds`` scheduler rounds with per-round checkpoints.
 
@@ -218,7 +353,9 @@ def crawl(
     the reference's restart-from-state-files behavior, but exact.
     ``use_bloom=True`` maintains per-shard bloom sidecars under the
     checkpoint dir and routes the url_seen anti-join through them
-    (identical results, cheaper at scale).
+    (identical results, cheaper at scale); ``bloom_store_factory``
+    points shard I/O at shared storage on a cluster (operators/bloom.py
+    ShardStore seam — local filesystem by default).
 
     ``collect_outputs=True`` RETAINS every round's intra-round caches
     (window passes, fetched, extracted, new_links) so the returned
@@ -244,7 +381,8 @@ def crawl(
     else:
         state = init_state(spark, seeds)
         save_state(
-            state, ckpt_dir, incremental=incremental_frontier, n_buckets=n_buckets
+            state, ckpt_dir, incremental=incremental_frontier, n_buckets=n_buckets,
+            compact_every=compact_every,
         )
 
     fetched_per_round: list[int] = []
@@ -269,7 +407,10 @@ def crawl(
 
         # Build/rebuild from the FULL url_seen on first enable or param
         # change — delta-only inserts would miss crawl history.
-        ensure_bloom_sidecar(state.url_seen, bloom_dir, bloom_params)
+        ensure_bloom_sidecar(
+            state.url_seen, bloom_dir, bloom_params,
+            store_factory=bloom_store_factory,
+        )
     rounds_done = 0
     while state.round_no < target:
         if rounds_done and rounds_done % HINT_REFRESH_ROUNDS == 0:
@@ -282,6 +423,7 @@ def crawl(
         state, out = run_round(
             spark, state, pages_prepared, robots, bloom_dir=bloom_dir,
             pages_fallback=pages_fallback, expected_domains=n_domains_hint,
+            bloom_store_factory=bloom_store_factory,
         )
         batch_count = out.materialize()
         rdir = save_state(
@@ -290,6 +432,7 @@ def crawl(
             incremental=incremental_frontier,
             touched_domains=out.touched_domains,
             n_buckets=n_buckets,
+            compact_every=compact_every,
         )
         if use_bloom:
             from pyppeteer_scraper_spark.operators.bloom import update_bloom_shards
@@ -299,6 +442,7 @@ def crawl(
                     F.col("first_seen_round") == state.round_no
                 ).select("url_hash"),
                 bloom_dir,
+                store_factory=bloom_store_factory,
             )
         # Reload from the checkpoint — flat lineage for the next round.
         state = load_state(spark, ckpt_dir, state.round_no)
@@ -306,7 +450,9 @@ def crawl(
         (
             out.metrics.withColumn("duration_ms", F.lit(duration_ms))
             .write.mode("overwrite")
-            .parquet(os.path.join(rdir, "metrics"))
+            .parquet(
+                os.path.join(ckpt_dir, "metrics", f"round={state.round_no}")
+            )
         )
         if collect_outputs:
             fetched_per_round.append(batch_count)

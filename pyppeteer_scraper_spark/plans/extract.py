@@ -6,10 +6,14 @@ duplicated at scraper/scraper_template.py:87-110 and scraper/movie.py:66-89),
 per-card projections (/root/reference/scraper/library_event.py:110-153),
 full-page content (/root/reference/scraper/scraper_template.py:73-75).
 
-``ExtractSpec`` is the engine's (selector, attr) analog: a named regex
-with one capture group, ``many=False`` → first match (extract_one),
-``many=True`` → all matches (extract_many).  A new site/field is a new
-spec passed as an argument — not an engine edit.
+``ExtractSpec`` is the engine's (selector, attr) equivalent, with two
+backends behind one name: a named regex with one capture group (the
+fast vectorized path), or a real CSS ``selector`` + DOM property
+``attr`` evaluated by ``functions.selectors`` (querySelectorAll
+semantics, matching the reference's actual DOM queries — tolerant of
+its unterminated-bracket selectors).  ``many=False`` → first match
+(extract_one), ``many=True`` → all matches (extract_many).  A new
+site/field is a new spec passed as an argument — not an engine edit.
 
 One shared, pure, vectorized pandas function (``extract_fields_pdf``)
 is used by BOTH the distributed ``mapInPandas`` stage and the
@@ -38,14 +42,32 @@ PAYLOAD_RE = r'<script type="application/json">(.*?)</script>'
 
 @dataclass(frozen=True)
 class ExtractSpec:
-    """One extraction rule: ``pattern`` must contain exactly one capture
-    group.  ``many=False`` → first match or null (reference
-    ``extract_one``); ``many=True`` → array of all matches (reference
-    ``extract_many``)."""
+    """One extraction rule — exactly one of two backends:
+
+    - ``pattern``: a regex with exactly one capture group, evaluated in
+      pandas' C regex engine (vectorized — the scale default);
+    - ``selector`` (+ ``attr``): a CSS selector evaluated on a parsed
+      DOM with querySelector(All) semantics, ``attr`` being
+      ``textContent``/``innerText`` or any HTML attribute — the
+      reference's ``extract_many(selector, attr)`` signature
+      (/root/reference/scraper/home_depo.py:78-101).  Per-document
+      Python inside the Arrow batch; use for selector fidelity, the
+      regex form for throughput.
+
+    ``many=False`` → first match or null (``extract_one``);
+    ``many=True`` → array of all matches (``extract_many``)."""
 
     name: str
-    pattern: str
+    pattern: str | None = None
     many: bool = False
+    selector: str | None = None
+    attr: str = "textContent"
+
+    def __post_init__(self) -> None:
+        if (self.pattern is None) == (self.selector is None):
+            raise ValueError(
+                f"ExtractSpec {self.name!r}: exactly one of pattern/selector"
+            )
 
 
 # The reference workshop/product page fields, as specs (what round 1
@@ -67,15 +89,35 @@ def decode_utf8_series(col: pd.Series) -> pd.Series:
 
 
 def apply_specs(s: pd.Series, specs: Sequence[ExtractSpec]) -> dict[str, pd.Series]:
-    """Run every spec over a decoded string series → {name: series}."""
-    return {
-        spec.name: (
-            s.str.findall(spec.pattern)
-            if spec.many
-            else s.str.extract(spec.pattern, expand=False)
-        )
-        for spec in specs
-    }
+    """Run every spec over a decoded string series → {name: series}.
+
+    Regex specs stay fully vectorized; selector specs share ONE parsed
+    DOM per document across all selector specs in the batch."""
+    out: dict[str, pd.Series] = {}
+    sel_specs = [sp for sp in specs if sp.selector is not None]
+    trees = None
+    if sel_specs:
+        from pyppeteer_scraper_spark.functions.selectors import parse_html, select_all
+
+        trees = [parse_html(doc) for doc in s.tolist()]
+    for spec in specs:
+        if spec.selector is None:
+            out[spec.name] = (
+                s.str.findall(spec.pattern)
+                if spec.many
+                else s.str.extract(spec.pattern, expand=False)
+            )
+        else:
+            vals: list = []
+            for tree in trees:
+                nodes = select_all(tree, spec.selector)
+                if spec.many:
+                    vals.append([n.get_prop(spec.attr) for n in nodes])
+                else:
+                    vals.append(nodes[0].get_prop(spec.attr) if nodes else None)
+            ser = pd.Series(vals, index=s.index, dtype=object)
+            out[spec.name] = ser if spec.many else ser.astype("string")
+    return out
 
 
 def extract_fields_pdf(

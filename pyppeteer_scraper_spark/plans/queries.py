@@ -1465,6 +1465,53 @@ def p6_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p2_selector_extract",
+    # P1/P2 via the CSS-selector backend (the reference's real
+    # querySelector semantics, /root/reference/scraper/home_depo.py:78-101):
+    # Spark builds card-shaped HTML per document and extracts fields with
+    # DOM queries inside mapInPandas; the oracle reconstructs the same
+    # values by string construction — any selector-engine mismatch
+    # (wrong node, wrong order, text vs attr) breaks the hash.
+    """
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           'Item ' || (doc_id % 50) AS first_h3,
+           'https://x.example/p' || doc_id AS link,
+           ('Item ' || (doc_id % 50)) || '|Closing ' || (doc_id % 7) AS all_h3
+    FROM documents WHERE doc_id % 9 = 1
+    """,
+)
+def p2_selector_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.plans.extract import ExtractSpec, extract_fields
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 1)
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), i,
+        F.lit('</title></head><body><div class="card"><h3>Item '),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('</h3><a href="https://x.example/p'), i,
+        F.lit('">go</a></div><div class="card"><h3>Closing '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</h3></div></body></html>"),
+    )
+    df = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    specs = (
+        ExtractSpec("title", selector="title"),
+        ExtractSpec("first_h3", selector="div.card h3"),
+        ExtractSpec("link", selector="a", attr="href"),
+        ExtractSpec("h3s", selector="div.card > h3", many=True),
+    )
+    return extract_fields(df, specs, keep=("doc_id",)).select(
+        "doc_id",
+        "title",
+        "first_h3",
+        "link",
+        F.array_join("h3s", "|").alias("all_h3"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -1500,10 +1547,13 @@ _WINDOW_FIRST = [
     "dedup_lsh_verified_jaccard",
     "d4_multifield_change",
     "p6_currency_struct",
+    # round-3 additions (new operators need a driver row immediately)
+    "p2_selector_extract",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "t2_top30_scan_window",
     "s_parse_number",
     "s_tz_offset_normalize",
     "s_date_functions",

@@ -178,6 +178,9 @@ def select_batch(
     exact per-domain ranking.
     """
     aux = ["allow", "crawl_delay_ms", "max_per_round", "__allow", "__cap", "__salt", "__n"]
+    if "crawl_delay_ms" not in robots.columns:
+        # rules tables without a delay column mean "no delay" everywhere
+        robots = robots.withColumn("crawl_delay_ms", F.lit(0).cast("long"))
     # Cache BEFORE the count aggregation: dom_counts then fills the
     # cache, and every later branch (including any upstream pandas UDF
     # like canonicalize) is computed exactly once.
@@ -405,6 +408,7 @@ def run_round(
     bloom_dir: str | None = None,
     pages_fallback: DataFrame | None = None,
     expected_domains: int | None = None,
+    bloom_store_factory=None,
 ) -> tuple[CrawlState, RoundOutputs]:
     round_no = state.round_no + 1
     ts = round_ts(round_no)
@@ -508,13 +512,15 @@ def run_round(
         # Bloom-accelerated D1: definitely-unseen links skip the exact
         # anti-join entirely; positives are verified exactly (result is
         # identical to the plain anti-join — no false negatives).
-        import os
+        from pyppeteer_scraper_spark.operators.bloom import (
+            anti_join_with_bloom,
+            load_params,
+        )
 
-        from pyppeteer_scraper_spark.operators.bloom import anti_join_with_bloom
-
-        if os.path.isdir(bloom_dir):
+        if load_params(bloom_dir, bloom_store_factory) is not None:
             unseen = anti_join_with_bloom(
-                links, state.url_seen, bloom_dir, caches=extra_caches
+                links, state.url_seen, bloom_dir, caches=extra_caches,
+                store_factory=bloom_store_factory,
             )
         else:
             unseen = links.join(
@@ -581,15 +587,25 @@ def run_round(
 
     # Per-partition lineage/metrics (north_rule; reference analog:
     # scraper_runs, /root/reference/dashboard/lib/db/schema.sql:23-31).
+    # fetched / deduped (novel links surviving the seen anti-join) /
+    # emitted (action rows) are counted per task partition of their own
+    # stage; all three inputs are this round's caches, so the counts
+    # cost one extra pass over cached data, not a DAG replay.
+    def _per_part(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias(name)
+        )
+
     metrics = (
-        found.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count("*").alias("fetched"))
+        _per_part(found, "fetched")
+        .join(_per_part(new_links, "deduped"), "partition_id", "full")
+        .join(_per_part(actions, "emitted"), "partition_id", "full")
         .select(
             F.lit(round_no).alias("round"),
             "partition_id",
-            "fetched",
-            F.lit(None).cast("long").alias("deduped"),
-            F.lit(None).cast("long").alias("emitted"),
+            F.coalesce("fetched", F.lit(0)).cast("long").alias("fetched"),
+            F.coalesce("deduped", F.lit(0)).cast("long").alias("deduped"),
+            F.coalesce("emitted", F.lit(0)).cast("long").alias("emitted"),
             F.lit(None).cast("long").alias("duration_ms"),
         )
     )

@@ -144,3 +144,68 @@ def test_crawl_with_bloom_matches_plain(spark, sf_small, tmp_path):
     fa = sorted((r["url"], r["state"]) for r in plain.state.frontier.collect())
     fb = sorted((r["url"], r["state"]) for r in bloomed.state.frontier.collect())
     assert fa == fb
+
+
+def test_shard_store_seam(spark, tmp_path):
+    """Shard/params I/O goes through the pluggable ShardStore: a custom
+    factory (serialized into the executor closures — locally-defined
+    class, as a deploy-specific S3/HDFS store would be) receives ALL
+    reads and writes, the default local path stays untouched, and the
+    bloom-accelerated anti-join stays exactly equal to the plain one."""
+    import os
+
+    from pyppeteer_scraper_spark.operators.bloom import LocalShardStore
+
+    redirected = str(tmp_path / "object-store")
+    logdir = str(tmp_path / "oplog")
+    os.makedirs(logdir, exist_ok=True)
+
+    class RedirectStore(LocalShardStore):
+        """Stands in for a shared-storage client: ignores the engine's
+        bloom_dir URI and places blobs in its own backend, logging ops
+        (executor-visible via the shared tmp_path)."""
+
+        def __init__(self, uri: str):
+            super().__init__(redirected)
+            self._uri = uri
+
+        def write(self, name: str, data: bytes) -> None:
+            super().write(name, data)
+            with open(os.path.join(logdir, f"w-{name}"), "w") as f:
+                f.write(self._uri)
+
+        def read(self, name: str):
+            out = super().read(name)
+            if out is not None:
+                with open(os.path.join(logdir, f"r-{name}"), "w") as f:
+                    f.write(self._uri)
+            return out
+
+    factory = RedirectStore
+    bloom_dir = str(tmp_path / "never-created")  # engine URI, not a real dir
+
+    seen = _seen_df(spark, range(0, 1500))
+    update_bloom_shards(seen, bloom_dir, store_factory=factory)
+    assert not os.path.exists(bloom_dir), "default path must stay untouched"
+    shard_files = [n for n in os.listdir(redirected) if n.startswith("shard=")]
+    assert shard_files, "custom store received no shard writes"
+    assert load_params(bloom_dir, store_factory=factory) is not None
+    assert load_params(bloom_dir) is None  # not visible via the default store
+
+    candidates = _seen_df(spark, range(1000, 3000)).drop("first_seen_round")
+    plain = set(
+        r["url"]
+        for r in candidates.join(
+            seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+        ).collect()
+    )
+    accel = set(
+        r["url"]
+        for r in anti_join_with_bloom(
+            candidates, seen, bloom_dir, store_factory=factory
+        ).collect()
+    )
+    assert accel == plain
+    # executor tasks really went through the custom store (reads logged
+    # from inside applyInPandas workers)
+    assert any(n.startswith("r-shard=") for n in os.listdir(logdir))

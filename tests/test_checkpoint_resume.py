@@ -1,9 +1,15 @@
 """Resume-from-checkpoint exactness + parallelism invariance
-(SURVEY.md §5 items 4-5)."""
+(SURVEY.md §5 items 4-5), plus delta→base compaction (bounded per-load
+file reads at unbounded round counts)."""
 
 from pyspark.sql import functions as F
 
-from pyppeteer_scraper_spark.plans.checkpoint import crawl, load_state
+from pyppeteer_scraper_spark.plans.checkpoint import (
+    _delta_dirs,
+    crawl,
+    load_metrics,
+    load_state,
+)
 from pyppeteer_scraper_spark.sources.datagen import generate_crawl_tables
 
 
@@ -96,3 +102,118 @@ def test_incremental_frontier_equals_full(spark, sf_small, tmp_path):
     bdir3 = os.path.join(inc_dir, "frontier_buckets", "round=3")
     written3 = {n for n in os.listdir(bdir3) if n.startswith("__bucket=")}
     assert len(written3) < len(meta["pointers"]), "round 3 rewrote every bucket"
+
+
+def test_compaction_resume_equals_uncompacted(spark, sf_small, tmp_path):
+    """State across a delta→base compaction boundary (compact_every=2,
+    resume at round 3 reads compacted base + deltas) must equal the
+    never-compacted crawl, and metrics must survive with non-null
+    deduped/emitted counts."""
+    t = generate_crawl_tables(spark, sf_small)
+    pages, seeds, robots = t["pages"], t["seeds"], t["robots"]
+
+    plain = crawl(
+        spark, pages, seeds, robots, 3, str(tmp_path / "plain"), compact_every=None
+    )
+    cdir = str(tmp_path / "compact")
+    crawl(spark, pages, seeds, robots, 2, cdir, compact_every=2)
+    resumed = crawl(
+        spark, pages, seeds, robots, 1, cdir, resume=True, compact_every=2
+    )
+
+    def snap(state):
+        seen = sorted(
+            (r["url"], r["first_seen_round"]) for r in state.url_seen.collect()
+        )
+        ws = sorted(
+            (r["event_code"], r["is_registered"]) for r in state.workshops.collect()
+        )
+        return seen, ws
+
+    assert snap(resumed.state) == snap(plain.state)
+
+    # manifest pointers advanced at the boundary; the round-3 load reads
+    # exactly 1 compacted dir + 1 delta dir
+    import json
+    import os
+
+    with open(os.path.join(cdir, "round=3", "manifest.json")) as f:
+        compacted = json.load(f)["compacted"]
+    assert compacted["url_seen"] == 2 and compacted["workshops"] == 2
+    dirs = _delta_dirs(cdir, "url_seen", 3, compacted["url_seen"])
+    assert len(dirs) == 2 and "compacted" in dirs[0]
+
+    # metrics: one delta dir per round, compacted pointer ≤ boundary,
+    # counts filled (deduped = novel links, emitted = action rows)
+    m = load_metrics(spark, cdir).groupBy("round").agg(
+        F.sum("fetched").alias("f"),
+        F.sum("deduped").alias("d"),
+        F.sum("emitted").alias("e"),
+    )
+    rows = {r["round"]: (r["f"], r["d"], r["e"]) for r in m.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(v is not None for trip in rows.values() for v in trip)
+    assert rows[1][1] > 0, "round 1 should discover novel links"
+    assert sum(e for _, _, e in rows.values()) > 0, "no actions emitted"
+
+
+def test_compaction_bounds_load_file_count(spark, tmp_path):
+    """40-round synthetic crawl: per-load directory count stays ≤
+    1 + compact_every however many rounds ran (without compaction it is
+    O(rounds)), and the loaded seen-set is exact."""
+    from pyppeteer_scraper_spark.plans.checkpoint import save_state
+    from pyppeteer_scraper_spark.plans.round import CrawlState, WORKSHOPS_SCHEMA_DDL
+    from pyppeteer_scraper_spark.schemas import URL_SEEN_SCHEMA
+
+    ckpt = str(tmp_path / "ckpt")
+    n_rounds, k = 40, 8
+    frontier = spark.range(5).select(
+        F.concat(F.lit("https://d.example/p"), F.col("id")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit("d.example").alias("host"),
+        F.lit("d.example").alias("domain"),
+        F.lit(0).cast("int").alias("priority"),
+        F.lit(0).cast("int").alias("depth"),
+        F.timestamp_seconds(F.lit(0)).alias("discovered_ts"),
+        F.lit("pending").alias("state"),
+        F.lit(0).cast("int").alias("revisit_interval"),
+        F.lit(-1).cast("int").alias("last_fetch_round"),
+        F.lit(0).cast("int").alias("fetch_attempt"),
+    )
+    workshops = spark.createDataFrame([], WORKSHOPS_SCHEMA_DDL)
+    seen = spark.createDataFrame([], URL_SEEN_SCHEMA)
+    for rnd in range(0, n_rounds + 1):
+        if rnd > 0:
+            delta = spark.range(3 * rnd, 3 * rnd + 3).select(
+                F.xxhash64("id").alias("url_hash"),
+                F.concat(F.lit("https://d.example/u"), F.col("id")).alias("url"),
+                F.lit(rnd).cast("int").alias("first_seen_round"),
+            )
+            seen = seen.unionByName(delta)
+        save_state(
+            CrawlState(frontier, seen, workshops, rnd),
+            ckpt,
+            n_partitions=2,
+            compact_every=k,
+        )
+        # state reload per round, as crawl() does (flat lineage)
+        seen = load_state(spark, ckpt, rnd).url_seen
+
+    import json
+    import os
+
+    with open(os.path.join(ckpt, f"round={n_rounds}", "manifest.json")) as f:
+        compacted = json.load(f)["compacted"]
+    assert compacted["url_seen"] == n_rounds  # boundary round: fully compacted
+    assert len(_delta_dirs(ckpt, "url_seen", n_rounds, compacted["url_seen"])) == 1
+    # a mid-window round never reads more than 1 + k dirs
+    with open(os.path.join(ckpt, "round=37", "manifest.json")) as f:
+        c37 = json.load(f)["compacted"]["url_seen"]
+    assert c37 == 32
+    assert len(_delta_dirs(ckpt, "url_seen", 37, c37)) == 1 + 5
+    # without the pointer the same load would touch O(rounds) dirs
+    assert len(_delta_dirs(ckpt, "url_seen", 37, 0)) == 37
+
+    final = load_state(spark, ckpt, n_rounds).url_seen
+    assert final.count() == 3 * n_rounds
+    assert final.agg(F.max("first_seen_round")).first()[0] == n_rounds

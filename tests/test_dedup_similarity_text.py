@@ -319,13 +319,15 @@ def test_connected_components_chain_and_random(spark):
         dedup_keep_components,
     )
 
-    # chain 10-11, 11-12, 12-13: one component labeled 10
+    # chain 10-11, 11-12, 12-13: one component labeled 10; with
+    # nodes=None the root labels itself too (every node of the pair
+    # graph gets a row, per the docstring)
     chain = spark.createDataFrame([(11, 10), (11, 12), (13, 12)], ["a", "b"])
     got = {
         (r["doc_id"], r["component"])
         for r in connected_components(chain).collect()
     }
-    assert got == {(11, 10), (12, 10), (13, 10)}
+    assert got == {(10, 10), (11, 10), (12, 10), (13, 10)}
 
     # random sparse graph vs union-find
     rng = random.Random(42)

@@ -119,6 +119,45 @@ def test_driver_window_covers_unchecked():
     assert oracle_pos == sorted(oracle_pos)
 
 
+def test_srp_candidate_shuffles_are_ids_only(spark, sf_med):
+    """The banded-SRP near-dup plan's WIDE exchanges — the L-way
+    exploded band join and the pair-dedup, both partitioned by the band
+    key or the (a, b) pair — must carry ids only, never the dim-sized
+    unit vectors (~30× shuffle bytes at dim 128).  Vectors may shuffle
+    only in the two corpus-sized re-joins that hydrate verified
+    candidates."""
+    from pyppeteer_scraper_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from pyppeteer_scraper_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_med, "embeddings")
+    plan = plan_of(embedding_near_dup_pairs(emb))
+    # formatted mode: "(n) Exchange" head, details carry
+    # "Arguments: hashpartitioning(key#...)" and "Input [cols]"
+    blocks = re.split(r"\n\n", plan)
+    exchanges = [b for b in blocks if b.lstrip().startswith("(") and "Exchange" in b.splitlines()[0]]
+    assert exchanges, "no Exchange details found in formatted plan"
+    # Wide exchanges = anything carrying the band key (shuffle OR
+    # broadcast form — AQE picks broadcast at test scale) and the (a, b)
+    # pair-dedup exchange.  Single-id hydration re-joins are the
+    # legitimate vector carriers and carry no band key.
+    checked = 0
+    for b in exchanges:
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert m, b
+        cols = m.group(1)
+        is_wide = "key#" in cols or re.search(
+            r"hashpartitioning\(a#\d+L?, b#\d+L?", b
+        )
+        if is_wide:
+            checked += 1
+            assert not any(v in cols for v in ("unit", "ua#", "ub#")), (
+                f"vector payload rides a band/pair exchange: {cols}"
+            )
+    assert checked >= 2, f"expected band-key + pair exchanges, saw {checked}"
+
+
 def test_no_unbounded_broadcast_hints():
     """The flagship round must never force-broadcast UNBOUNDED derived
     tables (the monotonically-growing workshops state; an unguarded
