@@ -78,7 +78,13 @@ def bench_frontier(spark, sf_dir: str) -> dict:
     # throughput, not manners.
     seeds = generate_seeds(docs_rep, n_docs, n_seeds=max(50, n_docs // 2))
     cap = 1_000_000_000
-    robots = generate_robots(pages, mega_cap=cap, default_cap=cap, parity_cap=cap)
+    # Delays zeroed for the same reason the caps are opened: a binding
+    # crawl_delay turns the benchmark into a manners test (the 100 ms
+    # default is a 600-URL/round budget; the mega-host's 1 s is 60).
+    robots = generate_robots(
+        pages, mega_cap=cap, default_cap=cap, parity_cap=cap,
+        mega_delay_ms=0, default_delay_ms=0,
+    )
 
     ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
     try:

@@ -205,6 +205,7 @@ def embedding_near_dup_pairs(
     method: str = "lsh",
     n_planes: int = 96,
     n_bands: int = 12,
+    carry_vectors: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
@@ -220,6 +221,16 @@ def embedding_near_dup_pairs(
 
     ``method="exact"`` is the O(n²) crossJoin — the ground-truth
     verifier/baseline for recall tests, never the default pipeline path.
+
+    ``carry_vectors``: by default the L-way band join and pair dedup
+    shuffle (id, key) rows only (~16 B) and unit vectors re-join for the
+    verified candidates — the scale form (dim 128 ⇒ ~30× narrower wide
+    exchanges; at 10^9 corpus rows the band join is a real shuffle and
+    width is the cost).  ``True`` keeps vectors on the candidate rows,
+    skipping the two hydration joins — measured ~1.3× faster wall-clock
+    on the 2.5k-vector sandbox corpus (tools/bench_srp_ab.py: 6.0 s vs
+    7.8 s) where every join broadcasts and job latency dominates; use it
+    for interactive small-corpus work, never at scale.
     """
     u = with_unit_norm(df, vec_col).select(F.col(id_col), F.col("unit"))
     if method == "exact":
@@ -234,17 +245,28 @@ def embedding_near_dup_pairs(
         # vectors (dim×8 bytes, ~1 KB at dim 128: a ~30× shuffle-byte
         # reduction on the widest exchanges of this plan).  Unit vectors
         # re-join only for the (much smaller) verified-candidate set.
-        e = sig.select(F.col(id_col), F.explode("bands").alias("key"))
-        a = e.select(F.col(id_col).alias("a"), "key")
-        b = e.select(F.col(id_col).alias("b"), "key")
-        cand_ids = a.join(b, "key").filter(F.col("a") < F.col("b")).select(
-            "a", "b"
-        ).distinct()
-        cand = cand_ids.join(
-            u.select(F.col(id_col).alias("a"), F.col("unit").alias("ua")), "a"
-        ).join(
-            u.select(F.col(id_col).alias("b"), F.col("unit").alias("ub")), "b"
-        )
+        if carry_vectors:
+            e = sig.select(F.col(id_col), "unit", F.explode("bands").alias("key"))
+            a = e.select(F.col(id_col).alias("a"), F.col("unit").alias("ua"), "key")
+            b = e.select(F.col(id_col).alias("b"), F.col("unit").alias("ub"), "key")
+            cand = (
+                a.join(b, "key")
+                .filter(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg(F.first("ua").alias("ua"), F.first("ub").alias("ub"))
+            )
+        else:
+            e = sig.select(F.col(id_col), F.explode("bands").alias("key"))
+            a = e.select(F.col(id_col).alias("a"), "key")
+            b = e.select(F.col(id_col).alias("b"), "key")
+            cand_ids = a.join(b, "key").filter(F.col("a") < F.col("b")).select(
+                "a", "b"
+            ).distinct()
+            cand = cand_ids.join(
+                u.select(F.col(id_col).alias("a"), F.col("unit").alias("ua")), "a"
+            ).join(
+                u.select(F.col(id_col).alias("b"), F.col("unit").alias("ub")), "b"
+            )
         # Arrow-vectorized verification: candidate volume is ~L·2^-w of
         # all pairs, but still large enough that the interpreted
         # higher-order dot product is the bottleneck — one einsum per

@@ -251,6 +251,7 @@ def generate_robots(
     mega_delay_ms: int = 1000,
     slow_tier_mod: int | None = None,
     slow_delay_ms: int = 180_000,
+    default_delay_ms: int = 100,
 ) -> DataFrame:
     """robots_rules(domain, allow, crawl_delay_ms, max_per_round).
 
@@ -269,7 +270,11 @@ def generate_robots(
     visible throttle; pass ``mega_delay_ms`` ≥ ROUND_INTERVAL_MS /
     mega_cap to make the delay bind on the mega-host, and
     ``slow_tier_mod=k`` to give domains with hash%k==3 a delay past the
-    window (the skip-round tier).
+    window (the skip-round tier).  Throughput benchmarks that open the
+    caps should ALSO zero the delays (``mega_delay_ms=0,
+    default_delay_ms=0``) — a 100 ms default delay is a 600-URL/round
+    budget under the 60 s window, which silently becomes the binding
+    throttle once caps stop being one.
     """
     from pyppeteer_scraper_spark.functions.canonicalize import domain_of
 
@@ -283,7 +288,7 @@ def generate_robots(
     return domains.select(
         F.col("domain"),
         (F.pmod(h, F.lit(20)) != 0).alias("allow"),
-        delay.otherwise(F.lit(100)).cast("long").alias("crawl_delay_ms"),
+        delay.otherwise(F.lit(default_delay_ms)).cast("long").alias("crawl_delay_ms"),
         F.when(F.col("domain") == MEGA_HOST, F.lit(mega_cap))
         .when(F.pmod(h, F.lit(13)) == 0, F.lit(parity_cap))
         .otherwise(F.lit(default_cap))

@@ -19,46 +19,6 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def near_dups_carry_vectors(df, threshold=0.95, id_col="vec_id",
-                            vec_col="embedding", n_planes=96, n_bands=12):
-    """The round-2 plan shape: both sides of the L-way band join and the
-    (a,b) group-by carry dim-sized unit vectors."""
-    import pandas as pd
-    import numpy as np
-    from pyspark.sql import types as T
-
-    from pyppeteer_scraper_spark.operators.similarity import (
-        srp_band_keys,
-        with_unit_norm,
-    )
-
-    u = with_unit_norm(df, vec_col).select(F.col(id_col), F.col("unit"))
-    sig = srp_band_keys(u, "unit", n_planes=n_planes, n_bands=n_bands)
-    e = sig.select(F.col(id_col), "unit", F.explode("bands").alias("key"))
-    a = e.select(F.col(id_col).alias("a"), F.col("unit").alias("ua"), "key")
-    b = e.select(F.col(id_col).alias("b"), F.col("unit").alias("ub"), "key")
-    cand = (
-        a.join(b, "key")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.first("ua").alias("ua"), F.first("ub").alias("ub"))
-    )
-
-    @F.pandas_udf(T.DoubleType())
-    def pair_dot(ua: pd.Series, ub: pd.Series) -> pd.Series:
-        if not len(ua):
-            return pd.Series([], dtype=float)
-        ma = np.stack([np.asarray(v, dtype=np.float64) for v in ua])
-        mb = np.stack([np.asarray(v, dtype=np.float64) for v in ub])
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
-
-    return (
-        cand.withColumn("cosine", F.round(pair_dot("ua", "ub"), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
-    )
-
-
 def checksum(df):
     row = df.agg(
         F.count("*").alias("n"),
@@ -76,11 +36,13 @@ def main() -> None:
     from pyppeteer_scraper_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
+    from pyppeteer_scraper_spark.plans.queries import _near_dup_corpus
     from pyppeteer_scraper_spark.session import get_spark
-    from pyppeteer_scraper_spark.sources.tables import load_table
 
     spark = get_spark("srp-ab", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
-    emb = load_table(spark, sf_dir, "embeddings")
+    # planted-near-dup corpus (the raw synthetic embeddings have no
+    # pairs ≥ 0.95 — the registry query uses the same corpus)
+    emb = _near_dup_corpus(spark, sf_dir)
     emb.cache().count()
 
     def timed(fn):
@@ -92,7 +54,9 @@ def main() -> None:
         return best, ck
 
     t_ids, ck_ids = timed(embedding_near_dup_pairs)
-    t_vec, ck_vec = timed(near_dups_carry_vectors)
+    t_vec, ck_vec = timed(
+        lambda d: embedding_near_dup_pairs(d, carry_vectors=True)
+    )
     emb.unpersist()
     assert ck_ids == ck_vec, f"results differ: {ck_ids} vs {ck_vec}"
     print(
