@@ -1,0 +1,185 @@
+"""Deterministic corpus splitting, stratified sampling, and split
+decontamination — the train/valid/test half of a training-data pipeline.
+
+The reference has no notion of dataset splits (it emits alert rows,
+/root/reference/service/alert.py); these operators extend the engine the
+same way the dedup/similarity family does: the operations a 100 TB
+web-text corpus needs before it becomes training data.
+
+Design notes (scale-first):
+- Split assignment is a PROJECTION — no shuffle, no RNG state.  Each row
+  hashes ``(salt, id)`` with md5 and compares the first 6 hex chars
+  against precomputed threshold strings (lowercase hex is uniform in
+  [0, 16^6) and ASCII-orders identically in every engine, so the same
+  rule is expressible in DuckDB for the correctness oracle — Spark's
+  xxhash64 is not).  6 hex chars = 16.7M buckets ⇒ split fractions are
+  exact to ~6e-8.
+- ``salt`` versions the split: changing it re-rolls membership globally,
+  keeping it fixed keeps membership stable as the corpus grows (a doc's
+  split never depends on other rows — the property that makes the split
+  reproducible across ingestion batches and cluster sizes).
+- Decontamination: exact form is a fingerprint semi-join (uniform md5
+  keys — no skew); near-dup form reuses the MinHash-LSH banding path
+  (never all-pairs) and keeps only candidate pairs that CROSS the
+  train/eval boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX_BUCKETS = 16**6
+
+
+def _threshold_hex(cum_fraction: float) -> str:
+    """Lowercase 6-hex-char threshold for a cumulative fraction —
+    comparable against ``substring(md5(x), 1, 6)`` in Spark and DuckDB
+    alike (digits sort before a-f in ASCII, so lexicographic order on
+    the fixed-width hex string IS numeric order)."""
+    return format(min(int(cum_fraction * _HEX_BUCKETS), _HEX_BUCKETS - 1), "06x")
+
+
+def _hash_key(id_col: str, salt: str):
+    # \x1f (unit separator) keeps (salt, id) concatenation unambiguous.
+    return F.substring(
+        F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"))), 1, 6
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    fractions: tuple = (("train", 0.90), ("valid", 0.05), ("test", 0.05)),
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label.
+
+    ``fractions`` is an ordered (name, fraction) tuple summing to 1; the
+    last split takes the remainder so rounding never drops a row.
+    """
+    key = _hash_key(id_col, salt)
+    cum = 0.0
+    expr = None
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cond = key < F.lit(_threshold_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = fractions[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. rebalance languages):
+    keep a row iff its hash key falls under its stratum's threshold.
+
+    Unlike ``df.sampleBy`` this is reproducible row-by-row (no RNG
+    stream, no partition-order dependence) and therefore exactly
+    oracle-able.  The when-chain suits tens of strata; for thousands,
+    broadcast-join a (stratum, threshold) dim instead — same plan shape,
+    still no shuffle of ``df``.
+    """
+    key = _hash_key(id_col, salt)
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        if frac < 1.0:  # frac ≥ 1 keeps the whole stratum (no hex edge-loss)
+            cond = cond & (key < F.lit(_threshold_hex(frac)))
+        expr = F.when(cond, True) if expr is None else expr.when(cond, True)
+    keep = F.lit(False) if expr is None else expr.otherwise(
+        key < F.lit(_threshold_hex(default))
+    )
+    return df.filter(keep)
+
+
+def split_exact_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    train_split: str = "train",
+) -> DataFrame:
+    """Eval-split rows whose EXACT text also appears in the train split
+    (the leakage a held-out set must not have).
+
+    Output: (id_col, split, fp).  Semi-join on md5(text) — uniform
+    128-bit keys, no skew; AQE may demote to broadcast when the train
+    fingerprint set is small.
+    """
+    fps = df.select(
+        F.col(id_col), F.col(split_col), F.md5(F.col(text_col)).alias("fp")
+    )
+    train_fps = fps.filter(F.col(split_col) == train_split).select("fp").distinct()
+    return (
+        fps.filter(F.col(split_col) != train_split)
+        .join(train_fps, "fp", "left_semi")
+        .select(id_col, split_col, "fp")
+    )
+
+
+def split_neardup_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    train_split: str = "train",
+    threshold: float = 0.7,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Eval docs NEAR-duplicating a train doc (MinHash-LSH banding →
+    exact shingle-Jaccard verify → keep pairs crossing the boundary).
+
+    Output: (eval_id, eval_split, train_id, jaccard).  Candidate
+    generation is the bucketed LSH path — never all-pairs; the split
+    filter runs after pair verification, so thresholds match
+    ``shingle_jaccard_pairs_lsh`` exactly.
+    """
+    from pyppeteer_scraper_spark.operators.dedup import shingle_jaccard_pairs_lsh
+
+    pairs = shingle_jaccard_pairs_lsh(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        n_perm=n_perm,
+        bands=n_bands,
+        k=shingle_k,
+    )
+    labels = df.select(F.col(id_col), F.col(split_col))
+    lab = (
+        pairs.join(
+            labels.select(
+                F.col(id_col).alias("a"), F.col(split_col).alias("split_a")
+            ),
+            "a",
+        ).join(
+            labels.select(
+                F.col(id_col).alias("b"), F.col(split_col).alias("split_b")
+            ),
+            "b",
+        )
+    )
+    a_is_eval = (F.col("split_a") != train_split) & (F.col("split_b") == train_split)
+    b_is_eval = (F.col("split_b") != train_split) & (F.col("split_a") == train_split)
+    return (
+        lab.filter(a_is_eval | b_is_eval)
+        .select(
+            F.when(a_is_eval, F.col("a")).otherwise(F.col("b")).alias("eval_id"),
+            F.when(a_is_eval, F.col("split_a"))
+            .otherwise(F.col("split_b"))
+            .alias("eval_split"),
+            F.when(a_is_eval, F.col("b")).otherwise(F.col("a")).alias("train_id"),
+            F.col("jaccard"),
+        )
+    )

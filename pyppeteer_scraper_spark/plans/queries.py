@@ -1512,6 +1512,135 @@ def p2_selector_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus splits / decontamination (operators/splits.py) --------------
+# Split membership hashes (salt, id) with md5 and compares the first 6
+# hex chars against precomputed thresholds — deterministic, shuffle-free,
+# and exactly expressible in DuckDB (lowercase hex compares identically).
+# Threshold constants below are _threshold_hex(f) values; a pytest
+# asserts the SQL literals match the operator's helper.
+
+_SPLIT_CASE = """
+    CASE WHEN substring(md5(concat_ws(chr(31), 'split-v1',
+                        CAST(doc_id AS VARCHAR))), 1, 6) < 'e66666'
+           THEN 'train'
+         WHEN substring(md5(concat_ws(chr(31), 'split-v1',
+                        CAST(doc_id AS VARCHAR))), 1, 6) < 'f33333'
+           THEN 'valid'
+         ELSE 'test' END
+"""
+
+# Planted-duplicate corpus for decontamination: every doc_id % 5 == 0
+# gets an exact copy under id + 1000000 — copies land in different
+# splits pseudo-randomly, so train→eval leakage exists by construction.
+_CONTAM_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 5 = 0
+"""
+
+
+def _contam_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+@query(
+    "split_hash_assign",
+    f"""
+    SELECT split, lang, count(*) AS n, min(doc_id) AS min_id
+    FROM (SELECT {_SPLIT_CASE} AS split, lang, doc_id FROM documents)
+    GROUP BY split, lang
+    """,
+)
+def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test assignment over documents,
+    aggregated per (split, lang) — the reproducible-split primitive of a
+    training-data pipeline (assignment is a pure projection; growing the
+    corpus never reshuffles existing rows' membership)."""
+    from pyppeteer_scraper_spark.operators.splits import hash_split
+
+    return (
+        hash_split(load_table(spark, sf_dir, "documents"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    """
+    SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
+    FROM documents
+    WHERE substring(md5(concat_ws(chr(31), 'sample-v1',
+                    CAST(doc_id AS VARCHAR))), 1, 6)
+          < CASE lang WHEN 'en' THEN '800000' WHEN 'fr' THEN 'e66666'
+                      WHEN 'es' THEN '400000' WHEN 'de' THEN '199999'
+                      WHEN 'zh' THEN 'c00000' ELSE '000000' END
+    GROUP BY lang
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (rebalancing a web
+    corpus's language mix) — unlike sampleBy, membership is a pure hash
+    of (salt, id): reproducible row-by-row across cluster sizes and
+    hence exactly oracle-able."""
+    from pyppeteer_scraper_spark.operators.splits import stratified_hash_sample
+
+    kept = stratified_hash_sample(
+        load_table(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 0.5, "fr": 0.9, "es": 0.25, "de": 0.1, "zh": 0.75},
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.min("doc_id").alias("min_id")
+    )
+
+
+@query(
+    "split_exact_contamination",
+    f"""
+    WITH corpus AS ({_CONTAM_CORPUS_SQL}),
+         s AS (SELECT doc_id, text, {_SPLIT_CASE} AS split FROM corpus)
+    SELECT e.doc_id, e.split, md5(e.text) AS fp
+    FROM s e
+    WHERE e.split <> 'train' AND EXISTS (
+      SELECT 1 FROM s t WHERE t.split = 'train' AND md5(t.text) = md5(e.text)
+    )
+    """,
+)
+def split_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out-set leakage check: eval-split docs whose exact text also
+    appears in train (fingerprint semi-join on md5 — uniform keys, no
+    skew).  Runs over a corpus with planted cross-split duplicates."""
+    from pyppeteer_scraper_spark.operators.splits import (
+        hash_split,
+        split_exact_contamination as _sec,
+    )
+
+    return _sec(hash_split(_contam_corpus(spark, sf_dir)))
+
+
+@query("split_neardup_contamination")  # rows-only: MinHash-LSH path is non-SQL
+def split_neardup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate train→eval leakage: MinHash-LSH banding proposes
+    candidates (never all-pairs), exact shingle-Jaccard verifies, and
+    only pairs crossing the train/eval boundary survive.  Driver records
+    rows-only; recall/precision vs brute force is pytest-verified
+    (tests/test_splits.py)."""
+    from pyppeteer_scraper_spark.operators.splits import (
+        hash_split,
+        split_neardup_contamination as _snc,
+    )
+
+    return _snc(hash_split(_contam_corpus(spark, sf_dir)), threshold=0.7).orderBy(
+        "eval_id", "train_id"
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -1549,10 +1678,18 @@ _WINDOW_FIRST = [
     "p6_currency_struct",
     # round-3 additions (new operators need a driver row immediately)
     "p2_selector_extract",
+    "split_hash_assign",
+    "sample_stratified_hash",
+    "split_exact_contamination",
+    "split_neardup_contamination",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "t1_first_match_in_order",
+    "t3_sort_by_change",
+    "a1_element_count",
+    "p7_derived_arithmetic",
     "t2_top30_scan_window",
     "s_parse_number",
     "s_tz_offset_normalize",
