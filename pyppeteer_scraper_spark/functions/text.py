@@ -149,3 +149,53 @@ def rolling_hash_series(s: pd.Series) -> pd.Series:
 @F.pandas_udf(T.LongType())
 def rolling_hash_udf(s: pd.Series) -> pd.Series:
     return rolling_hash_series(s)
+
+
+def repetition_signals(col) -> dict[str, Column]:
+    """Gopher-style repetition quality signals, all JVM-side higher-order
+    functions over the whitespace token list — no explode, no shuffle
+    (per-row arrays are tens of tokens; the O(distinct·n) inner count is
+    codegen'd):
+
+    - ``n_tokens``      whitespace token count
+    - ``dup_word_frac`` 1 − distinct/total tokens (word-level repetition)
+    - ``top_2gram_frac`` most frequent word-2-gram's share of all 2-grams
+      (Gopher drops docs where this exceeds ~0.2)
+    - ``mean_word_len`` average token length (Gopher keeps ~3–10)
+    """
+    toks = F.split(col, " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return {
+        "n_tokens": n,
+        "dup_word_frac": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double"), 6
+        ),
+        "top_2gram_frac": F.round(
+            F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+                top_count / F.size(grams).cast("double")
+            ),
+            6,
+        ),
+        "mean_word_len": F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            )
+            / n.cast("double"),
+            6,
+        ),
+    }

@@ -400,3 +400,60 @@ def dedup_keep_components(
     comp = connected_components(pairs, nodes=df.select(id_col), id_col=id_col)
     keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    pos_factor: int = 100_000,
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 preprocessing rule): every
+    line keeps exactly its FIRST occurrence across the whole corpus —
+    first = minimum (doc id, line position) — and later occurrences are
+    dropped; documents are reassembled from their surviving lines.
+
+    Output: (id_col, n_lines, n_kept, text_kept) — docs whose every line
+    was claimed elsewhere disappear (n_kept would be 0), which is the C4
+    behavior.
+
+    Scale shape: posexplode → the owner aggregation shuffles only
+    (md5(line), encoded-position) pairs — 24 B rows, map-side combined,
+    uniform keys — then one equi-join back and a per-doc reassembly
+    groupBy.  The corpus' line text itself is shuffled once (by doc id,
+    for reassembly), which any line-level rewrite must pay.  Ordering is
+    encoded as ``id*pos_factor + pos`` (1-based pos; caller guarantees
+    lines-per-doc < pos_factor) so the min is a plain long — the same
+    arithmetic a SQL oracle can express.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos0", "line"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        "line",
+        (F.col(id_col).cast("long") * pos_factor + F.col("pos0") + 1).alias(
+            "okey"
+        ),
+        F.md5("line").alias("lh"),
+    )
+    owners = lines.groupBy("lh").agg(F.min("okey").alias("first_key"))
+    n_lines = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    kept = lines.join(owners, "lh").filter(F.col("okey") == F.col("first_key"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                line_sep,
+            ).alias("text_kept"),
+        )
+        .join(n_lines, id_col)
+        .select(id_col, "n_lines", "n_kept", "text_kept")
+    )

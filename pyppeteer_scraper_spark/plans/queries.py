@@ -1641,6 +1641,134 @@ def split_neardup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus-level line dedup + repetition / IDF text stats ---------------
+# The synthetic documents are single-line word bags, so the line-dedup
+# query first chunks each doc into deterministic 6-word "lines" — the
+# identical chunking is expressed in both engines (Spark slice/sequence
+# ≡ DuckDB list slicing/range), making the C4 rule exactly oracled.
+
+_CHUNK_WORDS = 6
+
+
+def _chunked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_WORDS)),
+        lambda s: F.concat_ws(" ", F.slice(toks, s, _CHUNK_WORDS)),
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+@query(
+    "dedup_lines_c4",
+    """
+    WITH chunked AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(text,' '))+1, 6),
+                s -> array_to_string(string_split(text,' ')[s:s+5], ' ')) AS lines
+      FROM documents
+    ), ln AS (
+      SELECT doc_id, u.pos, u.line
+      FROM chunked,
+           LATERAL (SELECT unnest(range(1, len(lines)+1)) AS pos,
+                           unnest(lines) AS line) u
+    ), owner AS (
+      SELECT line, min(doc_id * 100000 + pos) AS first_key FROM ln GROUP BY line
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id
+    )
+    SELECT l.doc_id, t.n_lines, count(*) AS n_kept,
+           string_agg(l.line, chr(10) ORDER BY l.pos) AS text_kept
+    FROM ln l
+    JOIN owner o ON l.line = o.line
+    JOIN totals t ON l.doc_id = t.doc_id
+    WHERE l.doc_id * 100000 + l.pos = o.first_key
+    GROUP BY l.doc_id, t.n_lines
+    """,
+)
+def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup: each (6-word-chunk) line keeps
+    only its first occurrence corpus-wide (min (doc, pos)); docs are
+    reassembled from surviving lines.  Owner aggregation shuffles 24 B
+    (md5, key) rows, not text."""
+    from pyppeteer_scraper_spark.operators.dedup import line_dedup
+
+    return line_dedup(_chunked_corpus(spark, sf_dir))
+
+
+@query(
+    "text_repetition_signals",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), g AS (
+      SELECT doc_id, l,
+             list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           len(l) AS n_tokens,
+           round(1.0 - len(list_distinct(l)) * 1.0 / len(l), 6) AS dup_word_frac,
+           round(CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+             list_max(list_transform(list_distinct(grams),
+                      gg -> len(list_filter(grams, x -> x = gg)))) * 1.0
+               / len(grams) END, 6) AS top_2gram_frac,
+           round(list_sum(list_transform(l, x -> len(x))) * 1.0 / len(l), 6)
+             AS mean_word_len
+    FROM g
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-word fraction, top
+    2-gram share, mean word length) — per-row higher-order functions,
+    no explode/shuffle."""
+    from pyppeteer_scraper_spark.functions.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = repetition_signals(F.col("text"))
+    return docs.select(
+        "doc_id", *(v.alias(k) for k, v in sig.items())
+    )
+
+
+@query(
+    "text_idf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT token, count(*) AS df,
+           round(ln(n.n_docs * 1.0 / count(*)), 6) AS idf
+    FROM tok, n GROUP BY token, n.n_docs
+    ORDER BY df DESC, token LIMIT 50
+    """,
+)
+def text_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency / IDF table (top 50 by df): explode
+    per-doc DISTINCT tokens → map-side-combined count per token.  The
+    corpus size is driver metadata (one count), as in TF-IDF fitting."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return (
+        docs.select(
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(50)
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -1682,10 +1810,16 @@ _WINDOW_FIRST = [
     "sample_stratified_hash",
     "split_exact_contamination",
     "split_neardup_contamination",
+    "dedup_lines_c4",
+    "text_repetition_signals",
+    "text_idf_top_terms",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "p8_message_format",
+    "p10_json_lookup_default",
+    "f1_status_not_closed",
     "t1_first_match_in_order",
     "t3_sort_by_change",
     "a1_element_count",

@@ -369,3 +369,51 @@ def test_connected_components_chain_and_random(spark):
         r["doc_id"] for r in dedup_keep_components(df, pairs).collect()
     )
     assert kept == sorted(min(ms) for ms in members.values())
+
+
+def test_line_dedup_golden(spark):
+    """C4 rule on a hand-built corpus: each line survives only at its
+    first (doc, pos) occurrence; fully-consumed docs vanish."""
+    from pyppeteer_scraper_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta"),
+            (2, "beta\ngamma"),
+            (3, "alpha\ndelta"),
+            (4, "alpha\nbeta"),  # both lines already owned → drops out
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_kept"])
+        for r in line_dedup(docs).collect()
+    }
+    assert out == {
+        1: (2, 2, "alpha\nbeta"),
+        2: (2, 1, "gamma"),
+        3: (2, 1, "delta"),
+    }
+
+
+def test_repetition_signals_golden(spark):
+    from pyppeteer_scraper_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a a b a"), (2, "hello")], "doc_id int, text string"
+    )
+    sig = repetition_signals(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *(v.alias(k) for k, v in sig.items())
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4
+    assert r1["dup_word_frac"] == 0.5  # {a,b} of 4 tokens
+    assert r1["top_2gram_frac"] == round(1 / 3, 6)  # grams all distinct
+    assert r1["mean_word_len"] == 1.0
+    r2 = rows[2]  # single token: no 2-grams, fraction defined as 0
+    assert r2["n_tokens"] == 1 and r2["top_2gram_frac"] == 0.0
+    assert r2["dup_word_frac"] == 0.0 and r2["mean_word_len"] == 5.0

@@ -111,6 +111,16 @@ def test_neardup_contamination_recovers_exact_dups_and_only_cross_split(
     spark, contam_corpus
 ):
     out = split_neardup_contamination(contam_corpus, threshold=0.7).cache()
+    # candidate generation must be the banded equi-join — never all-pairs
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     rows = out.collect()
     labels = {r["doc_id"]: r["split"] for r in contam_corpus.select("doc_id", "split").collect()}
     # every reported pair crosses the boundary in the right direction
