@@ -1769,6 +1769,57 @@ def text_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_curation_funnel",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    g AS (SELECT doc_id, l,
+                 list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                   AS grams
+          FROM t),
+    sig AS (
+      SELECT doc_id, len(l) AS n_tokens,
+             round(1.0 - len(list_distinct(l)) * 1.0 / len(l), 6) AS dwf,
+             round(CASE WHEN len(grams)=0 THEN 0.0 ELSE
+               list_max(list_transform(list_distinct(grams),
+                        gg -> len(list_filter(grams, x -> x = gg)))) * 1.0
+                 / len(grams) END, 6) AS t2f,
+             round(list_sum(list_transform(l, x -> len(x))) * 1.0 / len(l), 6)
+               AS mwl
+      FROM g)
+    SELECT CASE WHEN n_tokens < 30 THEN 'too_short'
+                WHEN t2f > 0.07 THEN 'repetitive_2grams'
+                WHEN dwf > 0.6 THEN 'repetitive_words'
+                WHEN mwl < 4.3 THEN 'word_shape'
+                ELSE 'kept' END AS verdict,
+           count(*) AS n, min(doc_id) AS min_id
+    FROM sig GROUP BY 1
+    """,
+)
+def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel capstone: compose the repetition signals into a
+    first-failing-rule-wins verdict per doc (C4/Gopher-style drop
+    reasons), aggregated per verdict.  The CASE evaluates on the same
+    6-decimal-rounded signals the oracle computes, so engine and DuckDB
+    agree bit-for-bit."""
+    from pyppeteer_scraper_spark.functions.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = repetition_signals(F.col("text"))
+    verdict = (
+        F.when(s["n_tokens"] < 30, F.lit("too_short"))
+        .when(s["top_2gram_frac"] > 0.07, F.lit("repetitive_2grams"))
+        .when(s["dup_word_frac"] > 0.6, F.lit("repetitive_words"))
+        .when(s["mean_word_len"] < 4.3, F.lit("word_shape"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select("doc_id", verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -1813,10 +1864,12 @@ _WINDOW_FIRST = [
     "dedup_lines_c4",
     "text_repetition_signals",
     "text_idf_top_terms",
+    "text_curation_funnel",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "a2_latest_run_per_scraper",
     "p8_message_format",
     "p10_json_lookup_default",
     "f1_status_not_closed",
