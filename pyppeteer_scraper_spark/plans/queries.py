@@ -1820,6 +1820,53 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j_asof_prior_view",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           v.view_id AS prior_view_id, v.ts AS prior_view_ts
+    FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def j_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event attaches the same user's latest
+    at-or-before view event.  Spark has no ASOF JOIN — the operator is
+    the union+window formulation (one shuffle by key, no range-candidate
+    explosion; operators/asof.py); the oracle uses DuckDB's native ASOF
+    JOIN, so two entirely independent implementations must agree."""
+    from pyppeteer_scraper_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return as_of_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["view_id", "ts"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof.view_id").alias("prior_view_id"),
+        F.col("asof.ts").alias("prior_view_ts"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -1865,10 +1912,12 @@ _WINDOW_FIRST = [
     "text_repetition_signals",
     "text_idf_top_terms",
     "text_curation_funnel",
+    "j_asof_prior_view",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "d5_last_wins_upsert",
     "a2_latest_run_per_scraper",
     "p8_message_format",
     "p10_json_lookup_default",

@@ -1,0 +1,95 @@
+"""As-of join operator tests (operators/asof.py) — golden semantics the
+union+window formulation must honor: latest at-or-before match,
+inclusive tie goes to the right row at equal time, left/inner modes."""
+
+from pyspark.sql import functions as F
+
+from pyppeteer_scraper_spark.operators.asof import as_of_join
+
+
+def _ts(s):
+    return f"2024-01-01 00:00:0{s}"
+
+
+def test_as_of_join_golden(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts(5)),   # after r2 → matches r2
+            (2, 10, _ts(2)),   # equal-time tie → matches r1 (inclusive)
+            (3, 10, _ts(1)),   # before any right row → unmatched
+            (4, 20, _ts(9)),   # other key
+        ],
+        "event_id int, user_id int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (101, 10, _ts(2)),  # r1
+            (102, 10, _ts(4)),  # r2
+            (201, 20, _ts(3)),  # r3
+        ],
+        "view_id int, user_id int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    inner = as_of_join(
+        left, right, on=["user_id"], left_time="ts", right_time="ts",
+        payload_cols=["view_id", "ts"],
+    )
+    got = {r["event_id"]: r["asof"]["view_id"] for r in inner.collect()}
+    assert got == {1: 102, 2: 101, 4: 201}
+
+    outer = as_of_join(
+        left, right, on=["user_id"], left_time="ts", right_time="ts",
+        payload_cols=["view_id", "ts"], how="left",
+    )
+    got_outer = {
+        r["event_id"]: (r["asof"]["view_id"] if r["asof"] else None)
+        for r in outer.collect()
+    }
+    assert got_outer == {1: 102, 2: 101, 3: None, 4: 201}
+    # left columns survive untouched
+    assert {"event_id", "user_id", "ts", "asof"} == set(outer.columns)
+
+
+def test_as_of_join_single_shuffle_no_range_explosion(spark):
+    """Plan shape: one exchange by the join key feeding a window sort —
+    never a cartesian/range-candidate join."""
+    import contextlib
+    import io
+
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("view_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 100).alias("ts"),
+    )
+    out = as_of_join(
+        left, right, on=["user_id"], left_time="ts", right_time="ts",
+        payload_cols=["view_id"],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    # correctness spot check vs a brute-force computation
+    import bisect
+
+    rts = {}
+    for r in right.collect():
+        rts.setdefault(r["user_id"], []).append((r["ts"], r["view_id"]))
+    for k in rts:
+        rts[k].sort()
+    expect = {}
+    for r in left.collect():
+        lst = rts.get(r["user_id"], [])
+        i = bisect.bisect_right([t for t, _ in lst], r["ts"])
+        if i:
+            expect[r["event_id"]] = lst[i - 1][1]
+    got = {r["event_id"]: r["asof"]["view_id"] for r in out.collect()}
+    assert got == expect
