@@ -1867,6 +1867,81 @@ def j_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a_sessionize_gaps",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL OR
+                       ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+      FROM g
+    )
+    SELECT user_id, session_no, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def a_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag + cumulative-sum over the per-user time order — one shuffle by
+    user, no self-join.  The micro-batch analog of Structured
+    Streaming's session_window; timestamps compare at microsecond
+    precision (unix_micros) to match the oracle's INTERVAL arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    # parquet ts is TIMESTAMP_NTZ; cast via the UTC-pinned session so
+    # unix_micros is defined (pure offset — cancels in the difference)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(t_us).over(w)
+    new_sess = F.when(prev.isNull() | (t_us - prev > gap_us), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", new_sess.alias("new_sess"))
+        .withColumn("session_no", F.sum("new_sess").over(cum).cast("long"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "a_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def a_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`, both linear-interpolation-between-ranks).
+    Exact is the right default below ~10^7 rows per group; at 100 TB
+    swap in approx_percentile/t-digest (documented trade: rank error
+    vs single-pass mergeability)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -1913,10 +1988,14 @@ _WINDOW_FIRST = [
     "text_idf_top_terms",
     "text_curation_funnel",
     "j_asof_prior_view",
+    "a_sessionize_gaps",
+    "a_value_percentiles",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "t4_topk_per_group",
+    "d3_daily_rate_limit",
     "d5_last_wins_upsert",
     "a2_latest_run_per_scraper",
     "p8_message_format",
