@@ -93,3 +93,32 @@ def test_as_of_join_single_shuffle_no_range_explosion(spark):
             expect[r["event_id"]] = lst[i - 1][1]
     got = {r["event_id"]: r["asof"]["view_id"] for r in out.collect()}
     assert got == expect
+
+
+def test_sessionize_gaps_agrees_with_builtin_session_window(spark, sf_med):
+    """Cross-check two independent sessionization implementations: the
+    registry's lag+cumsum formulation vs Spark's built-in
+    F.session_window (same 30-min gap rule).  Session boundaries differ
+    in representation only — compare (user, n_events, start) multisets.
+    session_window's window.end pads +gap, so compare starts and sizes."""
+    from pyppeteer_scraper_spark.plans.queries import QUERIES
+
+    mine = QUERIES["a_sessionize_gaps"](spark, sf_med)
+    ev = spark.read.parquet(f"{sf_med}/events.parquet")
+    builtin = (
+        ev.groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes"),
+        )
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", "n_events", "session_start")
+    )
+    a = {
+        (r["user_id"], r["n_events"], r["session_start"])
+        for r in mine.select("user_id", "n_events", "session_start").collect()
+    }
+    b = {
+        (r["user_id"], r["n_events"], r["session_start"]) for r in builtin.collect()
+    }
+    assert len(a) == len(b)
+    assert a == b
