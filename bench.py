@@ -41,6 +41,11 @@ HEADLINE = [
     "p1_extract_fields",
     "text_lang_id",
     "text_quality_score",
+    # round-3 additions (comparable from BENCH_r03 on)
+    "dedup_lines_c4",
+    "split_neardup_contamination",
+    "j_asof_prior_view",
+    "text_curation_funnel",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

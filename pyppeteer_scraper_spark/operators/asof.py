@@ -43,6 +43,8 @@ def as_of_join(
     latest right row at-or-before the left row's time) to every left
     row.  ``how="left"`` keeps unmatched left rows with a null struct;
     ``"inner"`` drops them."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     on = list(on)
     payload_t = right.select(
         F.struct(*[F.col(c) for c in payload_cols]).alias("p")

@@ -426,10 +426,16 @@ def line_dedup(
     encoded as ``id*pos_factor + pos`` (1-based pos; caller guarantees
     lines-per-doc < pos_factor) so the min is a plain long — the same
     arithmetic a SQL oracle can express.
+
+    ``line_sep`` is a LITERAL separator (escaped before the regex-based
+    ``F.split``), so split and reassembly agree for any separator.
     """
+    import re as _re
+
+    sep_re = _re.escape(line_sep)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos0", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos0", "line"),
     ).select(
         id_col,
         (F.col("pos0") + 1).alias("pos"),
@@ -440,7 +446,13 @@ def line_dedup(
         F.md5("line").alias("lh"),
     )
     owners = lines.groupBy("lh").agg(F.min("okey").alias("first_key"))
-    n_lines = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    # per-doc line count is derivable row-locally from the ORIGINAL
+    # frame — no second pass over the exploded corpus, and the join-back
+    # input is doc-sized, not line-sized
+    n_lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep_re)).alias("n_lines"),
+    )
     kept = lines.join(owners, "lh").filter(F.col("okey") == F.col("first_key"))
     return (
         kept.groupBy(id_col)

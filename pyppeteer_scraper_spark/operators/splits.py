@@ -89,15 +89,24 @@ def stratified_hash_sample(
     still no shuffle of ``df``.
     """
     key = _hash_key(id_col, salt)
+    # Branch on the STRATUM, decide keep/drop inside the branch: a listed
+    # stratum's row that fails its own threshold must be dropped, never
+    # fall through to the default test (which applies to unlisted strata
+    # only).
     expr = None
     for stratum, frac in sorted(fractions.items()):
+        # frac ≥ 1 keeps the whole stratum (no hex edge-loss)
+        verdict = (
+            F.lit(True) if frac >= 1.0 else key < F.lit(_threshold_hex(frac))
+        )
         cond = F.col(strata_col) == stratum
-        if frac < 1.0:  # frac ≥ 1 keeps the whole stratum (no hex edge-loss)
-            cond = cond & (key < F.lit(_threshold_hex(frac)))
-        expr = F.when(cond, True) if expr is None else expr.when(cond, True)
-    keep = F.lit(False) if expr is None else expr.otherwise(
-        key < F.lit(_threshold_hex(default))
+        expr = (
+            F.when(cond, verdict) if expr is None else expr.when(cond, verdict)
+        )
+    default_verdict = (
+        F.lit(True) if default >= 1.0 else key < F.lit(_threshold_hex(default))
     )
+    keep = default_verdict if expr is None else expr.otherwise(default_verdict)
     return df.filter(keep)
 
 

@@ -114,7 +114,10 @@ def simulate(
             if dom in robots.index:
                 row = robots.loc[dom]
                 cap = int(row["max_per_round"])
-                delay = int(row.get("crawl_delay_ms", 0) or 0)
+                # pandas renders a NULL long as NaN, which is truthy —
+                # coalesce to 0 like the engine (F.coalesce(delay, 0))
+                d = row.get("crawl_delay_ms", 0)
+                delay = 0 if d is None or pd.isna(d) else int(d)
             else:
                 cap, delay = 4, 0
             if delay > 0:

@@ -394,6 +394,15 @@ def test_line_dedup_golden(spark):
         2: (2, 1, "gamma"),
         3: (2, 1, "delta"),
     }
+    # separator containing regex metacharacters is treated literally
+    docs2 = spark.createDataFrame(
+        [(1, "alpha||beta"), (2, "beta||gamma")], "doc_id int, text string"
+    )
+    out2 = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_kept"])
+        for r in line_dedup(docs2, line_sep="||").collect()
+    }
+    assert out2 == {1: (2, 2, "alpha||beta"), 2: (2, 1, "gamma")}
 
 
 def test_repetition_signals_golden(spark):

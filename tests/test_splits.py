@@ -77,6 +77,23 @@ def test_stratified_sample_fractions_and_edge_cases(spark, sf_small):
     assert kept.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
 
 
+def test_stratified_sample_listed_stratum_never_uses_default(spark, sf_small):
+    """A listed stratum's row that fails its own threshold must be
+    DROPPED — it must not fall through to the (larger) default
+    threshold.  With default=1.0, listed strata still keep only their
+    own fraction while unlisted strata keep everything."""
+    docs = _docs(spark, sf_small)
+    per_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = stratified_hash_sample(docs, "lang", {"en": 0.25}, default=1.0)
+    kc = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # unlisted strata fully kept by default=1.0
+    for lang in ("fr", "de", "es", "zh"):
+        assert kc[lang] == per_lang[lang]
+    # listed stratum keeps ~25%, nowhere near the 100% default
+    assert kc["en"] < per_lang["en"] * 0.6
+    assert abs(kc["en"] / per_lang["en"] - 0.25) < 0.2
+
+
 @pytest.fixture()
 def contam_corpus(spark, sf_small):
     docs = _docs(spark, sf_small).select("doc_id", "text")
