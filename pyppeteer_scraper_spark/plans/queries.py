@@ -1721,14 +1721,18 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-word fraction, top
-    2-gram share, mean word length) — per-row higher-order functions,
-    no explode/shuffle."""
-    from pyppeteer_scraper_spark.functions.text import repetition_signals
+    2-gram share, mean word length) — per-row higher-order functions
+    over STAGED token/gram array columns (the single-expression form
+    re-evaluates the arrays inside lambda bodies: 110× slower at sf0.1,
+    see functions/text.py::with_repetition_signals)."""
+    from pyppeteer_scraper_spark.functions.text import (
+        REPETITION_SIGNAL_COLS,
+        with_repetition_signals,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    sig = repetition_signals(F.col("text"))
-    return docs.select(
-        "doc_id", *(v.alias(k) for k, v in sig.items())
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_repetition_signals(docs).select(
+        "doc_id", *REPETITION_SIGNAL_COLS
     )
 
 
@@ -1802,19 +1806,19 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reasons), aggregated per verdict.  The CASE evaluates on the same
     6-decimal-rounded signals the oracle computes, so engine and DuckDB
     agree bit-for-bit."""
-    from pyppeteer_scraper_spark.functions.text import repetition_signals
+    from pyppeteer_scraper_spark.functions.text import with_repetition_signals
 
-    docs = load_table(spark, sf_dir, "documents")
-    s = repetition_signals(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = with_repetition_signals(docs)
     verdict = (
-        F.when(s["n_tokens"] < 30, F.lit("too_short"))
-        .when(s["top_2gram_frac"] > 0.07, F.lit("repetitive_2grams"))
-        .when(s["dup_word_frac"] > 0.6, F.lit("repetitive_words"))
-        .when(s["mean_word_len"] < 4.3, F.lit("word_shape"))
+        F.when(F.col("n_tokens") < 30, F.lit("too_short"))
+        .when(F.col("top_2gram_frac") > 0.07, F.lit("repetitive_2grams"))
+        .when(F.col("dup_word_frac") > 0.6, F.lit("repetitive_words"))
+        .when(F.col("mean_word_len") < 4.3, F.lit("word_shape"))
         .otherwise(F.lit("kept"))
     )
     return (
-        docs.select("doc_id", verdict.alias("verdict"))
+        sig.select("doc_id", verdict.alias("verdict"))
         .groupBy("verdict")
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
     )

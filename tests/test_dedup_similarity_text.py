@@ -406,18 +406,12 @@ def test_line_dedup_golden(spark):
 
 
 def test_repetition_signals_golden(spark):
-    from pyppeteer_scraper_spark.functions.text import repetition_signals
+    from pyppeteer_scraper_spark.functions.text import with_repetition_signals
 
     df = spark.createDataFrame(
         [(1, "a a b a"), (2, "hello")], "doc_id int, text string"
     )
-    sig = repetition_signals(F.col("text"))
-    rows = {
-        r["doc_id"]: r
-        for r in df.select(
-            "doc_id", *(v.alias(k) for k, v in sig.items())
-        ).collect()
-    }
+    rows = {r["doc_id"]: r for r in with_repetition_signals(df).collect()}
     r1 = rows[1]
     assert r1["n_tokens"] == 4
     assert r1["dup_word_frac"] == 0.5  # {a,b} of 4 tokens
