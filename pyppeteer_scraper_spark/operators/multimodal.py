@@ -2,13 +2,16 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` stages.
 
-The real decode step (PIL/ffmpeg/torchaudio) is STUBBED — those libs
-are not in this container — behind ``decoder=`` hooks that default to
-a deterministic fake.  Everything Spark-side is real and tested:
-schemas, batch shapes, partitioning, and the UDF signatures a decoder
-plugs into.  Reference analog: the screenshot binary sink
-(/root/reference/scraper/costco.py:123-128) — binary payloads ride in
-ordinary columns.
+Decode is REAL for every format expressible without external libs:
+binary netpbm (PPM/PGM), uncompressed 24-bit BMP, and PCM WAV are
+decoded with numpy + stdlib (``real_decode``), including a real
+block-average resize (``thumbnail_gray``) and image/audio feature
+extraction.  Only compressed formats (JPEG/PNG/MP4) remain a
+NotImplementedError seam (``real_decode_stub``) — PIL/ffmpeg are not in
+this container.  Everything Spark-side is real and tested: schemas,
+batch shapes, partitioning, and the UDF signatures.  Reference analog:
+the screenshot binary sink (/root/reference/scraper/costco.py:123-128)
+— binary payloads ride in ordinary columns.
 """
 
 from __future__ import annotations
@@ -116,4 +119,163 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     return (
         media.filter(F.col("kind") == "video")
         .select("media_id", F.explode(idxs).alias("frame_idx"))
+    )
+
+
+# --- real decoders for container-expressible formats -----------------------
+# PPM/PGM (netpbm), uncompressed 24-bit BMP, and PCM WAV decode with
+# numpy + stdlib only — no PIL/ffmpeg required, so the decode step is
+# REAL for these formats; compressed formats (JPEG/PNG/MP4) remain the
+# documented NotImplementedError seam (real_decode_stub).
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) → (h, w, 3) or (h, w) uint8."""
+    if not payload.startswith((b"P6", b"P5")):
+        raise ValueError("not a binary netpbm payload")
+    parts = []
+    i = 2
+    while len(parts) < 3:  # width, height, maxval (comments skipped)
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while payload[i : i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    assert maxval == 255, "only 8-bit netpbm supported"
+    if payload.startswith(b"P6"):
+        return np.frombuffer(payload, np.uint8, h * w * 3, i).reshape(h, w, 3)
+    return np.frombuffer(payload, np.uint8, h * w, i).reshape(h, w)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP (BGR, bottom-up,
+    4-byte row padding)."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        img[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    import struct
+
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hsize, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    rows = [
+        np.frombuffer(payload, np.uint8, row, offset + y * stride).reshape(w, 3)
+        for y in range(h)
+    ]
+    img = np.stack(rows[::-1] if flip else rows)
+    return img[:, :, ::-1]  # BGR → RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → PCM WAV container (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (int16 mono samples, sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        assert f.getsampwidth() == 2, "only 16-bit PCM supported"
+        raw = f.readframes(f.getnframes())
+        sr = f.getframerate()
+        arr = np.frombuffer(raw, dtype="<i2")
+        if f.getnchannels() > 1:
+            arr = arr.reshape(-1, f.getnchannels()).mean(axis=1).astype(np.int16)
+    return arr, sr
+
+
+def thumbnail_gray(img: np.ndarray, size: int = 8) -> np.ndarray:
+    """Block-average grayscale thumbnail (the resize step, real): crop
+    to a size-divisible grid, then mean-pool — O(pixels), vectorized."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    h, w = img.shape
+    bh, bw = max(h // size, 1), max(w // size, 1)
+    img = img[: bh * size, : bw * size]
+    return (
+        img.reshape(size, bh, size, bw).mean(axis=(1, 3)).astype(np.float32)
+        / 255.0
+    )
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """[w, h, mean_r, mean_g, mean_b] + flattened 8×8 gray thumbnail —
+    69 floats, deterministic."""
+    h, w = img.shape[:2]
+    means = img.reshape(-1, 3).mean(axis=0) / 255.0
+    return np.concatenate(
+        [[w, h], means, thumbnail_gray(img).ravel()]
+    ).astype(np.float32)
+
+
+def audio_features(samples: np.ndarray, sr: int) -> np.ndarray:
+    """[duration_s, rms, zero_crossing_rate, peak] — deterministic."""
+    x = samples.astype(np.float64) / 32768.0
+    dur = len(x) / sr if sr else 0.0
+    rms = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+    peak = float(np.max(np.abs(x))) if len(x) else 0.0
+    return np.array([dur, rms, zcr, peak], dtype=np.float32)
+
+
+def real_decode(payload: bytes, dim: int = 0) -> np.ndarray:
+    """Format-sniffing REAL decoder for PPM/BMP/WAV; raises the
+    documented NotImplementedError for compressed formats (the
+    PIL/ffmpeg seam).  Drop-in for ``extract_features(decoder=...)``."""
+    if payload is None or len(payload) < 4:
+        return np.zeros(4, dtype=np.float32)
+    if payload.startswith((b"P6", b"P5")):
+        return image_features(decode_ppm(payload))
+    if payload.startswith(b"BM"):
+        return image_features(decode_bmp(payload))
+    if payload.startswith(b"RIFF"):
+        return audio_features(*decode_wav(payload))
+    raise NotImplementedError(
+        "compressed media (JPEG/PNG/MP4) needs PIL/ffmpeg — absent in this "
+        "container; PPM/BMP/WAV decode is real"
     )

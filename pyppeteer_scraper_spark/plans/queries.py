@@ -1946,6 +1946,73 @@ def a_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("media_real_decode_features")  # rows-only: binary decode is non-SQL
+def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end-to-end: deterministic PPM images and
+    PCM WAV clips are synthesized per doc inside an Arrow mapInPandas
+    stage (payloads never touch the driver), decoded with the
+    numpy/stdlib codecs (operators/multimodal.py::real_decode — not the
+    fake), and reduced to (kind, n_bytes, feature-dim) rows.  Pixel/
+    sample exactness and feature semantics are pytest-verified
+    (test_real_codecs_roundtrip_and_features)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyppeteer_scraper_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        real_decode,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 40
+    )
+
+    def synth(batches):
+        from pyppeteer_scraper_spark.operators.multimodal import (
+            encode_ppm,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    x = np.arange(16)[None, :, None]
+                    y = np.arange(12)[:, None, None]
+                    c = np.arange(3)[None, None, :]
+                    img = ((d + x + 3 * y + 7 * c) % 256).astype(np.uint8)
+                    rows.append(
+                        (d, "image", encode_ppm(img),
+                         (16, 12, None, None, "image/x-portable-pixmap"))
+                    )
+                else:
+                    sr = 8000
+                    t = np.arange(sr // 4)
+                    freq = 100 + d
+                    wav = (9000 * np.sin(2 * np.pi * freq * t / sr)).astype(
+                        np.int16
+                    )
+                    rows.append(
+                        (d, "audio", encode_wav(wav, sr),
+                         (None, None, sr, None, "audio/wav"))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = ids.mapInPandas(synth, MEDIA_SCHEMA)
+    feats = extract_features(media, decoder=real_decode)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    ).orderBy("media_id")
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -1996,10 +2063,12 @@ _WINDOW_FIRST = [
     "j_asof_prior_view",
     "a_sessionize_gaps",
     "a_value_percentiles",
+    "media_real_decode_features",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "f10_shape_guard_quarantine",
     "t4_topk_per_group",
     "d3_daily_rate_limit",
     "d5_last_wins_upsert",
