@@ -2013,6 +2013,22 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@query("a_sketch_aggregates")  # rows-only: sketches are approximate by design
+def a_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass mergeable sketches — the 100 TB form of the exact
+    aggregates: HyperLogLog++ distinct users and t-digest-style approx
+    percentiles per event type.  Deterministic for fixed input (both
+    sketches are hash-based, no RNG), so the driver's rows-only check is
+    stable; error bounds vs the exact forms are pytest-asserted
+    (tests/test_asof.py::test_sketch_aggregates_error_bounds)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
+        F.percentile_approx("value", 0.99, 10_000).alias("p99_approx"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -2064,10 +2080,12 @@ _WINDOW_FIRST = [
     "a_sessionize_gaps",
     "a_value_percentiles",
     "media_real_decode_features",
+    "a_sketch_aggregates",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "f6_compound_register_rule",
     "f10_shape_guard_quarantine",
     "t4_topk_per_group",
     "d3_daily_rate_limit",

@@ -122,3 +122,36 @@ def test_sessionize_gaps_agrees_with_builtin_session_window(spark, sf_med):
     }
     assert len(a) == len(b)
     assert a == b
+
+
+def test_sketch_aggregates_error_bounds(spark, sf_med):
+    """Sketch outputs must land inside their advertised error envelopes
+    vs the exact aggregates: HLL++ rsd=0.02 → allow 3σ=6%; t-digest-ish
+    percentile_approx(accuracy=10000) is rank-exact to 1/10000 of the
+    group, well under one value step here — allow the gap between two
+    adjacent order statistics."""
+    from pyspark.sql import functions as F
+
+    from pyppeteer_scraper_spark.plans.queries import QUERIES
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["a_sketch_aggregates"](spark, sf_med).collect()
+    }
+    ev = spark.read.parquet(f"{sf_med}/events.parquet")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        g = got[et]
+        assert abs(g["approx_users"] - e["users"]) <= max(3, 0.06 * e["users"]), et
+        assert abs(g["p50_approx"] - e["p50"]) <= 0.05 * abs(e["p50"]) + 1.0, et
+        assert abs(g["p99_approx"] - e["p99"]) <= 0.05 * abs(e["p99"]) + 2.0, et
