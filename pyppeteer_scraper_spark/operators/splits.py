@@ -110,6 +110,34 @@ def stratified_hash_sample(
     return df.filter(keep)
 
 
+def stratified_hash_sample_join(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+    default: float = 0.0,
+) -> DataFrame:
+    """The broadcast-join form of :func:`stratified_hash_sample` for
+    LARGE strata counts (thousands+): the (stratum, threshold) pairs
+    become a tiny broadcast dimension instead of a when-chain whose
+    expression tree grows per stratum.  Same row-local semantics —
+    results are identical (pytest-asserted) — and still no shuffle of
+    ``df`` (broadcast hash join + filter).
+    """
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(s, _threshold_hex(f) if f < 1.0 else "g") for s, f in fractions.items()],
+        f"{strata_col} string, __thr string",
+    )  # "g" > every hex char ⇒ frac≥1 keeps the whole stratum
+    default_thr = _threshold_hex(default) if default < 1.0 else "g"
+    return (
+        df.join(F.broadcast(dim), strata_col, "left")
+        .filter(_hash_key(id_col, salt) < F.coalesce("__thr", F.lit(default_thr)))
+        .drop("__thr")
+    )
+
+
 def split_exact_contamination(
     df: DataFrame,
     text_col: str = "text",

@@ -157,3 +157,36 @@ def test_neardup_contamination_recovers_exact_dups_and_only_cross_split(
     assert not missing, f"planted exact-dup leaks missed: {sorted(missing)[:5]}"
     out.unpersist()
     contam_corpus.unpersist()
+
+
+def test_stratified_join_form_equals_when_chain(spark, sf_small):
+    """The broadcast-join form (for thousands of strata) must select
+    EXACTLY the same rows as the when-chain form, including the
+    frac>=1.0 keep-all case, the listed-stratum-fails-threshold drop,
+    and the unlisted-stratum default."""
+    from pyppeteer_scraper_spark.operators.splits import (
+        stratified_hash_sample_join,
+    )
+
+    docs = _docs(spark, sf_small)
+    for fr, default in (
+        ({"en": 0.5, "fr": 0.9, "es": 0.25, "de": 0.1, "zh": 0.75}, 0.0),
+        ({"en": 0.25, "fr": 1.0}, 0.5),
+        ({}, 0.3),
+    ):
+        a = stratified_hash_sample(docs, "lang", fr, default=default)
+        b = stratified_hash_sample_join(docs, "lang", fr, default=default)
+        ai = {r["doc_id"] for r in a.select("doc_id").collect()}
+        bi = {r["doc_id"] for r in b.select("doc_id").collect()}
+        assert ai == bi, (fr, default, len(ai), len(bi))
+        assert set(b.columns) == set(docs.columns)
+    # plan shape: broadcast join, no shuffle of the corpus
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stratified_hash_sample_join(docs, "lang", {"en": 0.5}).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
