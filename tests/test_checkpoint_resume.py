@@ -217,3 +217,31 @@ def test_compaction_bounds_load_file_count(spark, tmp_path):
     final = load_state(spark, ckpt, n_rounds).url_seen
     assert final.count() == 3 * n_rounds
     assert final.agg(F.max("first_seen_round")).first()[0] == n_rounds
+
+
+def test_all_features_on_crawl_equals_plain(spark, sf_small, tmp_path):
+    """Integration safety net: every optional engine feature enabled at
+    once — bloom-gated anti-join, incremental bucketed frontier,
+    aggressive delta→base compaction (every 2 rounds), and a mid-crawl
+    restart — must produce EXACTLY the plain crawl's final state."""
+    t = generate_crawl_tables(spark, sf_small)
+    pages, seeds, robots = t["pages"], t["seeds"], t["robots"]
+
+    plain = crawl(spark, pages, seeds, robots, 4, str(tmp_path / "plain"))
+
+    fancy_dir = str(tmp_path / "fancy")
+    kw = dict(
+        use_bloom=True, incremental_frontier=True, n_buckets=8, compact_every=2
+    )
+    crawl(spark, pages, seeds, robots, 2, fancy_dir, **kw)
+    fancy = crawl(spark, pages, seeds, robots, 2, fancy_dir, resume=True, **kw)
+
+    assert _state_snapshot(plain.state) == _state_snapshot(fancy.state)
+    # metrics survive compaction across the restart: 4 rounds, real counts
+    m = load_metrics(spark, fancy_dir)
+    rounds = {r["round"] for r in m.select("round").distinct().collect()}
+    assert rounds == {1, 2, 3, 4}
+    sums = m.groupBy().agg(
+        F.sum("fetched").alias("f"), F.sum("emitted").alias("e")
+    ).collect()[0]
+    assert sums["f"] > 0 and sums["e"] > 0
