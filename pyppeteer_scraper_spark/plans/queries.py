@@ -1195,10 +1195,14 @@ def p9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Literal-array explode instead of a nested-loop join against a keyword
+    # table: same O(docs x keywords) semantics, but stays inside whole-stage
+    # codegen with no join node at all (the keyword list is a plan constant).
     d = load_table(spark, sf_dir, "documents")
-    kws = spark.createDataFrame([("spark",), ("join",), ("window",)], ["kw"])
+    kws = F.array(*[F.lit(k) for k in ("spark", "join", "window")])
     return (
-        d.join(F.broadcast(kws), F.col("text").contains(F.col("kw")))
+        d.select(F.col("text"), F.explode(kws).alias("kw"))
+        .filter(F.col("text").contains(F.col("kw")))
         .groupBy("kw")
         .agg(F.count("*").alias("n_hits"))
     )

@@ -194,3 +194,37 @@ def test_no_python_row_udfs_registered():
         # call form too: F.udf(...) / udf(...) as an expression
         assert not re.search(r"\bF\.udf\s*\(", src), f"row UDF call in {p}"
         assert not re.search(r"(?<![\w.])udf\s*\(", src), f"row UDF call in {p}"
+
+
+def test_registry_has_no_undeclared_cartesian_products(spark, sf_med):
+    """Sweep EVERY registry query's physical plan: a CartesianProduct /
+    BroadcastNestedLoopJoin may appear only in the explicitly-declared
+    exact verifiers (the demoted brute-force paths).  Guards against a
+    future query accidentally shipping an all-pairs join."""
+    import contextlib
+    import io
+
+    from pyppeteer_scraper_spark.plans.queries import QUERIES
+
+    ALLOWED = {
+        # documented O(n²) ground-truth verifiers, never default paths
+        "dedup_ngram_jaccard",
+        "sim_similar_pairs_exact",
+        "sim_bruteforce_topk",
+    }
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in ALLOWED:
+            continue
+        try:
+            df = fn(spark, sf_med)
+        except Exception as e:  # pragma: no cover - surface build failures
+            offenders.append(f"{name}: build error {e}")
+            continue
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"undeclared all-pairs joins: {offenders}"
