@@ -1,4 +1,4 @@
-"""Query registry (60 entries, 55 DuckDB-oracled) — every
+"""Query registry (76 entries, 68 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -2033,6 +2033,127 @@ def a_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PII detection / redaction (functions/pii.py) ------------------------
+#
+# The synthetic corpus contains no natural PII, so both sides plant it
+# deterministically from doc_id with IDENTICAL concat expressions —
+# the operator under test is the detection/masking pass, not the
+# planting.  No external data.
+
+_PII_AUG_SQL = """text
+    || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id % 37 AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || '.1' ELSE '' END"""
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                (i % 37).cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (i % 900 + 100).cast("string"),
+                F.lit("-"),
+                (i % 9000 + 1000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (i % 256).cast("string"),
+                F.lit("."),
+                (i * 7 % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.withColumn("aug", aug)
+
+
+@query(
+    "text_pii_counts",
+    # PII detection counts per language — one narrow codegen projection,
+    # then a map-side-combined groupBy; no Python, no wide shuffle.
+    f"""
+    WITH aug AS (SELECT lang, {_PII_AUG_SQL} AS aug FROM documents)
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))) AS BIGINT) AS n_emails,
+           CAST(sum(len(regexp_extract_all(aug, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b'))) AS BIGINT) AS n_phones,
+           CAST(sum(len(regexp_extract_all(aug, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))) AS BIGINT) AS n_ipv4,
+           CAST(sum(CASE WHEN len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                       + len(regexp_extract_all(aug, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b'))
+                       + len(regexp_extract_all(aug, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           count(*) AS docs
+    FROM aug GROUP BY lang
+    """,
+)
+def text_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.functions.pii import pii_counts
+
+    aug = _pii_augmented(spark, sf_dir)
+    c = pii_counts(F.col("aug"))
+    per_doc = aug.select(
+        "lang",
+        c["email"].alias("e"),
+        c["phone"].alias("p"),
+        c["ipv4"].alias("i"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("i").alias("n_ipv4"),
+        F.sum(
+            F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
+        ).alias("docs_with_pii"),
+        F.count("*").alias("docs"),
+    )
+
+
+@query(
+    "text_pii_redact",
+    # PII masking — typed placeholders, email pattern applied before the
+    # IPv4 pattern so dotted mail hosts never get split.  md5 of the
+    # redacted text keeps the compared rows narrow while still proving
+    # byte-identical masking.
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'),
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')) AS redacted_md5,
+           CAST(length(aug) - length(regexp_replace(regexp_replace(regexp_replace(aug,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'),
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')) AS BIGINT) AS bytes_masked
+    FROM aug WHERE doc_id % 7 = 0
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.functions.pii import redact_pii
+
+    aug = _pii_augmented(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    red = redact_pii(F.col("aug"))
+    return aug.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        (F.length("aug") - F.length(red)).cast("long").alias("bytes_masked"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -2085,10 +2206,14 @@ _WINDOW_FIRST = [
     "a_value_percentiles",
     "media_real_decode_features",
     "a_sketch_aggregates",
+    "text_pii_counts",
+    "text_pii_redact",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "q6_forecast_revenue",
+    "dedup_canonical_keep",
     "f6_compound_register_rule",
     "f10_shape_guard_quarantine",
     "t4_topk_per_group",

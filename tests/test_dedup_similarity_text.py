@@ -488,3 +488,44 @@ def test_real_decode_stub_contract_for_compressed(spark):
 
     with _pytest.raises(NotImplementedError):
         real_decode(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_pii_redaction_planted_strings(spark):
+    """Exact masking semantics on hand-planted strings: typed
+    placeholders, email-before-IP ordering (dotted mail hosts never
+    split), word boundaries, and clean text untouched."""
+    from pyppeteer_scraper_spark.functions.pii import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail me at jo.na-b+x@sub.example.co.uk today"),
+        (2, "call 555-123-4567 or 555-000-1111 now"),
+        (3, "server at 10.2.30.4 and 255.255.255.255"),
+        (4, "mixed a@b.io then 555-222-3333 from 8.8.8.8"),
+        (5, "clean text with no secrets 12345 1.5 v2.0.1"),
+        (6, "not-a-phone 5551234567 and long 1234-567-8901x"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    c = pii_counts(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii(F.col("t")).alias("red"),
+            c["email"].alias("e"),
+            c["phone"].alias("p"),
+            c["ipv4"].alias("i"),
+        ).collect()
+    }
+    assert got[1]["red"] == "mail me at <EMAIL> today"
+    assert (got[1]["e"], got[1]["p"], got[1]["i"]) == (1, 0, 0)
+    assert got[2]["red"] == "call <PHONE> or <PHONE> now"
+    assert got[3]["red"] == "server at <IP> and <IP>"
+    assert got[4]["red"] == "mixed <EMAIL> then <PHONE> from <IP>"
+    assert (got[4]["e"], got[4]["p"], got[4]["i"]) == (1, 1, 1)
+    assert got[5]["red"] == rows[4][1]  # untouched
+    assert (got[5]["e"], got[5]["p"], got[5]["i"]) == (0, 0, 0)
+    # neither a bare 10-digit run nor a digit-embedded 1234-567-8901 is
+    # a formatted phone: \b between two digits is not a boundary, so the
+    # pattern stays precision-leaning on embedded runs.
+    assert got[6]["p"] == 0
+    assert got[6]["red"] == rows[5][1]  # untouched
