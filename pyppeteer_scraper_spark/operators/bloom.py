@@ -323,3 +323,10 @@ def anti_join_with_bloom(
         url_seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
     )
     return fresh.unionByName(verified)
+
+
+# Generic seen-filter interface (shared with operators/cuckoo.py) so the
+# crawl loop can dispatch on a `seen_filter` kind string.
+ensure_sidecar = ensure_bloom_sidecar
+update_shards = update_bloom_shards
+anti_join_with_filter = anti_join_with_bloom

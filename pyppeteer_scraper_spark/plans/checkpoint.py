@@ -346,16 +346,19 @@ def crawl(
     n_buckets: int = 64,
     compact_every: int | None = COMPACT_EVERY,
     bloom_store_factory=None,
+    seen_filter: str = "bloom",
 ) -> CrawlResult:
     """Drive ``n_rounds`` scheduler rounds with per-round checkpoints.
 
     ``resume=True`` continues from the LATEST checkpoint in ckpt_dir —
     the reference's restart-from-state-files behavior, but exact.
-    ``use_bloom=True`` maintains per-shard bloom sidecars under the
-    checkpoint dir and routes the url_seen anti-join through them
-    (identical results, cheaper at scale); ``bloom_store_factory``
-    points shard I/O at shared storage on a cluster (operators/bloom.py
-    ShardStore seam — local filesystem by default).
+    ``use_bloom=True`` maintains a per-shard seen-filter sidecar under
+    the checkpoint dir and routes the url_seen anti-join through it
+    (identical results, cheaper at scale).  ``seen_filter`` picks the
+    structure: "bloom" (default) or "cuckoo" (deletion-capable —
+    operators/cuckoo.py; pass ``bloom_params=CuckooParams(...)``).
+    ``bloom_store_factory`` points shard I/O at shared storage on a
+    cluster (operators/bloom.py ShardStore seam — local FS by default).
 
     ``collect_outputs=True`` RETAINS every round's intra-round caches
     (window passes, fetched, extracted, new_links) so the returned
@@ -401,13 +404,16 @@ def crawl(
     n_domains_hint = robots.count()
     t0 = time.time()
     target = state.round_no + n_rounds
-    bloom_dir = os.path.join(ckpt_dir, "bloom") if use_bloom else None
+    bloom_dir = os.path.join(ckpt_dir, seen_filter) if use_bloom else None
     if use_bloom:
-        from pyppeteer_scraper_spark.operators.bloom import ensure_bloom_sidecar
+        if seen_filter == "cuckoo":
+            from pyppeteer_scraper_spark.operators import cuckoo as _filt
+        else:
+            from pyppeteer_scraper_spark.operators import bloom as _filt
 
         # Build/rebuild from the FULL url_seen on first enable or param
         # change — delta-only inserts would miss crawl history.
-        ensure_bloom_sidecar(
+        _filt.ensure_sidecar(
             state.url_seen, bloom_dir, bloom_params,
             store_factory=bloom_store_factory,
         )
@@ -423,7 +429,7 @@ def crawl(
         state, out = run_round(
             spark, state, pages_prepared, robots, bloom_dir=bloom_dir,
             pages_fallback=pages_fallback, expected_domains=n_domains_hint,
-            bloom_store_factory=bloom_store_factory,
+            bloom_store_factory=bloom_store_factory, seen_filter=seen_filter,
         )
         batch_count = out.materialize()
         rdir = save_state(
@@ -435,9 +441,9 @@ def crawl(
             compact_every=compact_every,
         )
         if use_bloom:
-            from pyppeteer_scraper_spark.operators.bloom import update_bloom_shards
+            update_shards = _filt.update_shards
 
-            update_bloom_shards(
+            update_shards(
                 state.url_seen.filter(
                     F.col("first_seen_round") == state.round_no
                 ).select("url_hash"),

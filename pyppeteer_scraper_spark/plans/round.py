@@ -409,6 +409,7 @@ def run_round(
     pages_fallback: DataFrame | None = None,
     expected_domains: int | None = None,
     bloom_store_factory=None,
+    seen_filter: str = "bloom",
 ) -> tuple[CrawlState, RoundOutputs]:
     round_no = state.round_no + 1
     ts = round_ts(round_no)
@@ -512,16 +513,19 @@ def run_round(
     )
     extra_caches: list = []
     if bloom_dir is not None:
-        # Bloom-accelerated D1: definitely-unseen links skip the exact
+        # Filter-accelerated D1: definitely-unseen links skip the exact
         # anti-join entirely; positives are verified exactly (result is
-        # identical to the plain anti-join — no false negatives).
-        from pyppeteer_scraper_spark.operators.bloom import (
-            anti_join_with_bloom,
-            load_params,
-        )
+        # identical to the plain anti-join — no false negatives).  The
+        # sidecar structure is pluggable: "bloom" (default) or "cuckoo"
+        # (deletion-capable; operators/cuckoo.py) — both expose the same
+        # ensure/update/anti-join/load_params interface.
+        if seen_filter == "cuckoo":
+            from pyppeteer_scraper_spark.operators import cuckoo as _filt
+        else:
+            from pyppeteer_scraper_spark.operators import bloom as _filt
 
-        if load_params(bloom_dir, bloom_store_factory) is not None:
-            unseen = anti_join_with_bloom(
+        if _filt.load_params(bloom_dir, bloom_store_factory) is not None:
+            unseen = _filt.anti_join_with_filter(
                 links, state.url_seen, bloom_dir, caches=extra_caches,
                 store_factory=bloom_store_factory,
             )
