@@ -1,0 +1,95 @@
+"""Link-graph ranking for frontier prioritization: in-degree and
+PageRank over a (src, dst) edge table.
+
+Why it's here: a production frontier schedules by URL priority, and
+the two standard priority signals a crawl derives from its OWN link
+discovery are in-link count and PageRank (Page et al. 1999; Cho,
+Garcia-Molina & Page, "Efficient Crawling Through URL Ordering",
+WWW 1998 — crawl-order by PageRank/in-degree).  The reference hardcodes
+priority implicitly (fixed seed list, one site); at corpus scale the
+scheduler re-prioritizes from the discovered graph every k rounds.
+
+Scale shape:
+- ``indegree``: one groupBy — map-side combined, no skew beyond the
+  natural head (mega-hubs), which the two-phase top-k handles
+  downstream.
+- ``pagerank``: the classic iterative DataFrame loop.  Each iteration
+  is contributions-join + groupBy(dst) — shuffle on dst only; the
+  rank vector is ``localCheckpoint``-ed per iteration to truncate
+  lineage (same discipline as the connected-components loop,
+  operators/dedup.py).  Dangling mass (nodes with no out-edges) is a
+  SCALAR per iteration — one driver-side aggregate collect of 8 bytes,
+  not a row collect — redistributed uniformly, so ranks sum to 1 and
+  results match the textbook formulation exactly.
+
+Fixed iteration count keeps the operator deterministic and lets the
+DuckDB oracle express the SAME computation as unrolled CTEs
+(plans/queries.py::rank_pagerank) — convergence-threshold looping
+would make the oracle's iteration count data-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def indegree(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """In-link count per destination node: (node, n_inlinks)."""
+    return edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("n_inlinks")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over deduplicated ``edges`` for a FIXED ``iters``
+    power-iterations; returns (node, rank) with sum(rank) == 1.
+
+    Dangling-node mass is redistributed uniformly each iteration (the
+    standard correction; without it rank mass leaks and totals drift
+    below 1).  Deterministic: no RNG, fixed iterations, pure joins.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        # dangling mass: one 8-byte scalar to the driver per iteration
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()  # truncate the per-iteration lineage
+        )
+    nodes.unpersist()
+    out_deg.unpersist()
+    return ranks

@@ -1,4 +1,4 @@
-"""Query registry (76 entries, 68 DuckDB-oracled) — every
+"""Query registry (78 entries, 70 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -2154,6 +2154,91 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- link-graph ranking (operators/linkrank.py) --------------------------
+#
+# Frontier re-prioritization signals from the crawl's own discovered
+# graph (Cho/Garcia-Molina/Page WWW'98 crawl ordering).  The edge
+# table is a user-navigation transition graph derived deterministically
+# from events (consecutive pages per user, page = event_id % 200) with
+# IDENTICAL window expressions on both sides.
+
+_TRANS_EDGES_SQL = """trans AS (
+      SELECT event_id % 200 AS src,
+             lead(event_id % 200) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM trans WHERE dst IS NOT NULL AND dst <> src
+    )"""
+
+
+def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    page = F.col("event_id") % 200
+    trans = ev.select(
+        page.alias("src"), F.lead(page).over(w).alias("dst")
+    )
+    return (
+        trans.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+
+
+@query(
+    "rank_indegree",
+    f"""
+    WITH {_TRANS_EDGES_SQL}
+    SELECT dst AS node, count(*) AS n_inlinks FROM edges GROUP BY dst
+    """,
+)
+def rank_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.linkrank import indegree
+
+    return indegree(_transition_edges(spark, sf_dir))
+
+
+# one PageRank power-iteration, parameterized by the previous rank CTE —
+# mirrors operators/linkrank.py::pagerank exactly (dangling mass
+# redistributed uniformly; (1-0.85) written as an EXPRESSION both sides
+# so the parsed doubles are bit-identical).
+def _pr_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""c{i} AS (
+      SELECT e.dst AS node, sum(r.rank / o.od) AS c
+      FROM edges e JOIN {prev} r ON r.node = e.src JOIN outd o ON o.src = e.src
+      GROUP BY e.dst
+    ), d{i} AS (
+      SELECT coalesce(sum(r.rank), 0) AS dm FROM {prev} r
+      WHERE r.node NOT IN (SELECT src FROM outd)
+    ), r{i} AS (
+      SELECT n.node,
+             (1 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )"""
+
+
+@query(
+    "rank_pagerank",
+    f"""
+    WITH {_TRANS_EDGES_SQL},
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    {_pr_iter_sql(1)},
+    {_pr_iter_sql(2)},
+    {_pr_iter_sql(3)}
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def rank_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyppeteer_scraper_spark.operators.linkrank import pagerank
+
+    ranks = pagerank(_transition_edges(spark, sf_dir), iters=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -2208,12 +2293,16 @@ _WINDOW_FIRST = [
     "a_sketch_aggregates",
     "text_pii_counts",
     "text_pii_redact",
+    "rank_indegree",
+    "rank_pagerank",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
     "q6_forecast_revenue",
     "dedup_canonical_keep",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "f6_compound_register_rule",
     "f10_shape_guard_quarantine",
     "t4_topk_per_group",

@@ -190,3 +190,25 @@ def test_stratified_join_form_equals_when_chain(spark, sf_small):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_hand_computed_and_mass_conservation(spark):
+    """A→B, A→C, B→C with C dangling (n=3), one iteration by hand:
+    r(A) = .15/3 + .85·(dangling ⅓)/3, r(B) adds A's ½ share,
+    r(C) adds A's ½ + B's 1.  Mass must stay exactly 1 every
+    iteration (dangling redistribution)."""
+    from pyppeteer_scraper_spark.operators.linkrank import indegree, pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C")], ["src", "dst"]
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+    third = 1.0 / 3
+    assert abs(r1["A"] - (0.15 / 3 + 0.85 * (third / 3))) < 1e-12
+    assert abs(r1["B"] - (0.15 / 3 + 0.85 * (third / 2 + third / 3))) < 1e-12
+    assert abs(r1["C"] - (0.15 / 3 + 0.85 * (third / 2 + third + third / 3))) < 1e-12
+    assert abs(sum(r1.values()) - 1.0) < 1e-12
+    r5 = [r["rank"] for r in pagerank(edges, iters=5).collect()]
+    assert abs(sum(r5) - 1.0) < 1e-9
+    deg = {r["node"]: r["n_inlinks"] for r in indegree(edges).collect()}
+    assert deg == {"B": 1, "C": 2}
