@@ -46,6 +46,8 @@ HEADLINE = [
     "split_neardup_contamination",
     "j_asof_prior_view",
     "text_curation_funnel",
+    "text_pii_redact",
+    "rank_pagerank",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -54,7 +54,12 @@ def pagerank(
     standard correction; without it rank mass leaks and totals drift
     below 1).  Deterministic: no RNG, fixed iterations, pure joins.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Cache the edge table: it feeds every iteration's contribution
+    # join (and out_deg/nodes) — uncached, the whole edge-derivation
+    # lineage (e.g. a window over the raw events) replays per
+    # iteration.  DataFrame cache is MEMORY_AND_DISK, so a bigger-than-
+    # RAM edge set degrades to local-disk reads, not recomputation.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -92,4 +97,5 @@ def pagerank(
         )
     nodes.unpersist()
     out_deg.unpersist()
+    e.unpersist()
     return ranks
