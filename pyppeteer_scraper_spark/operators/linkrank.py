@@ -30,7 +30,9 @@ would make the oracle's iteration count data-dependent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def indegree(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -99,3 +101,81 @@ def pagerank(
     out_deg.unpersist()
     e.unpersist()
     return ranks
+
+
+def load_edges(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """Read every per-round link-graph delta written by
+    ``plans.checkpoint.crawl(track_edges=True)`` as one edge table.
+
+    The deltas live under ``<ckpt_dir>/edges/round=N/`` — standard
+    hive-partitioned parquet, so one ``read.parquet`` on the parent dir
+    scans all rounds and exposes ``round`` as a partition column
+    (prunable if a caller wants only recent rounds).  Edges are
+    de-duplicated per round at write time but a (src, dst) pair
+    rediscovered in a later round repeats across partitions; callers
+    that need set semantics (``pagerank`` does — duplicate edges would
+    double that link's contribution weight) apply ``.distinct()``.
+    """
+    return spark.read.parquet(os.path.join(ckpt_dir, "edges"))
+
+
+def reprioritize_frontier(
+    frontier: DataFrame,
+    edges: DataFrame,
+    method: str = "pagerank",
+    promote_frac: float = 0.1,
+    promoted_priority: int = 0,
+    iters: int = 3,
+    src: str = "src_hash",
+    dst: str = "dst_hash",
+) -> DataFrame:
+    """Fold link-graph scores back into frontier ``priority``: pending
+    URLs whose score lands in the top ``promote_frac`` of scored nodes
+    are promoted to ``min(priority, promoted_priority)``.
+
+    This is the offline half of priority-ordered crawling (Cho et al.
+    WWW 1998): run every k rounds over the accumulated edge deltas, then
+    feed the returned frontier into the next ``crawl(..., resume=True)``
+    leg.  Schema passes through unchanged — only ``priority`` moves, and
+    only downward (a promotion can never demote a seed).
+
+    Scale shape: score table is (node, score) — tiny next to the
+    frontier; the promotion threshold is ONE approx-percentile scalar to
+    the driver, not a global sort; the final join is an equi-join on
+    url_hash with only scored-above-threshold rows on the build side.
+    Ties at the threshold all promote (deterministic, no sampling).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if method == "pagerank":
+        scores = pagerank(e, iters=iters).withColumnRenamed("rank", "score")
+    elif method == "indegree":
+        scores = indegree(e).select(
+            "node", F.col("n_inlinks").cast("double").alias("score")
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    scores = scores.cache()
+    thr = scores.agg(
+        F.percentile_approx("score", 1.0 - promote_frac).alias("t")
+    ).collect()[0]["t"]
+    hot = scores.filter(F.col("score") >= F.lit(thr)).select(
+        F.col("node").alias("url_hash"), F.lit(True).alias("__hot")
+    )
+    # Deliberately unhinted join: `hot` is promote_frac of the node set —
+    # small in practice but unbounded in principle, so the broadcast
+    # decision belongs to AQE's runtime size check, not a static hint
+    # (same policy as the workshops-state join, plans/round.py).
+    out = (
+        frontier.join(hot, "url_hash", "left")
+        .withColumn(
+            "priority",
+            F.when(
+                F.col("__hot") & (F.col("state") == "pending"),
+                F.least(F.col("priority"), F.lit(int(promoted_priority))),
+            ).otherwise(F.col("priority")),
+        )
+        .drop("__hot")
+        .select(*frontier.columns)
+    )
+    scores.unpersist()
+    return out

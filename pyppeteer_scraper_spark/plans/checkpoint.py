@@ -347,6 +347,7 @@ def crawl(
     compact_every: int | None = COMPACT_EVERY,
     bloom_store_factory=None,
     seen_filter: str = "bloom",
+    track_edges: bool = False,
 ) -> CrawlResult:
     """Drive ``n_rounds`` scheduler rounds with per-round checkpoints.
 
@@ -430,8 +431,17 @@ def crawl(
             spark, state, pages_prepared, robots, bloom_dir=bloom_dir,
             pages_fallback=pages_fallback, expected_domains=n_domains_hint,
             bloom_store_factory=bloom_store_factory, seen_filter=seen_filter,
+            track_edges=track_edges,
         )
         batch_count = out.materialize()
+        if track_edges and out.edges is not None:
+            # Per-round link-graph delta (src_hash, dst_hash) — the
+            # input to offline frontier re-prioritization
+            # (operators/linkrank.py::reprioritize_frontier).  Same
+            # round-dir layout as the other state deltas.
+            out.edges.write.mode("overwrite").parquet(
+                os.path.join(ckpt_dir, "edges", f"round={state.round_no}")
+            )
         rdir = save_state(
             state,
             ckpt_dir,

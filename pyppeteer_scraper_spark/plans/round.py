@@ -72,6 +72,7 @@ class RoundOutputs:
     new_links: DataFrame | None = None
     errors: DataFrame | None = None  # one row per fetch/parse failure
     touched_domains: DataFrame | None = None  # domains whose frontier rows changed
+    edges: DataFrame | None = None  # (src_hash, dst_hash) link-graph delta
     cached: tuple = ()  # intra-round caches; unpersist after checkpoint
 
     def materialize(self) -> int:
@@ -410,6 +411,7 @@ def run_round(
     expected_domains: int | None = None,
     bloom_store_factory=None,
     seen_filter: str = "bloom",
+    track_edges: bool = False,
 ) -> tuple[CrawlState, RoundOutputs]:
     round_no = state.round_no + 1
     ts = round_ts(round_no)
@@ -501,9 +503,25 @@ def run_round(
     raw_links = extracted.select(
         F.col("url").alias("src_url"), F.explode("links").alias("link")
     )
+    canon_links = with_canonical_url(raw_links, "link", "url").filter(
+        F.col("url").rlike(r"^https?://")
+    )
+    edges = None
+    if track_edges:
+        # Per-round link-graph delta for offline re-prioritization
+        # (operators/linkrank.py): EVERY discovered edge, including ones
+        # to already-seen URLs — the graph structure is the signal, not
+        # the novelty.  canon_links is cached because it now feeds two
+        # consumers (the dedup pipeline below and this edge projection);
+        # src_url is a canonical frontier URL, so xxhash64(src_url)
+        # equals its frontier url_hash.
+        canon_links = canon_links.cache()
+        edges = canon_links.select(
+            F.xxhash64("src_url").alias("src_hash"),
+            F.col("url_hash").alias("dst_hash"),
+        ).distinct()
     links = (
-        with_canonical_url(raw_links, "link", "url")
-        .filter(F.col("url").rlike(r"^https?://"))
+        canon_links
         .join(parent, "src_url")
         .groupBy("url", "url_hash", "host", "domain")
         .agg(
@@ -645,8 +663,10 @@ def run_round(
     )
 
     new_state = CrawlState(new_frontier, url_seen, workshops, round_no)
+    link_caches = (canon_links,) if track_edges else ()
     return new_state, RoundOutputs(
         batch, extracted, actions, metrics, new_links=new_links, errors=errors,
-        touched_domains=touched_domains,
-        cached=(*window_caches, *fetch_caches, extracted, actions, new_links, *extra_caches),
+        touched_domains=touched_domains, edges=edges,
+        cached=(*window_caches, *fetch_caches, extracted, actions, new_links,
+                *link_caches, *extra_caches),
     )

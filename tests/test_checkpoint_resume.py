@@ -245,3 +245,56 @@ def test_all_features_on_crawl_equals_plain(spark, sf_small, tmp_path):
         F.sum("fetched").alias("f"), F.sum("emitted").alias("e")
     ).collect()[0]
     assert sums["f"] > 0 and sums["e"] > 0
+
+
+def test_track_edges_and_reprioritize(spark, sf_small, tmp_path):
+    """track_edges=True persists per-round (src_hash, dst_hash) deltas
+    WITHOUT changing crawl results; reprioritize_frontier folds link
+    scores back into pending priorities (Cho et al. WWW 1998 ordering),
+    moving priority only downward and only for pending rows."""
+    from pyppeteer_scraper_spark.operators.linkrank import (
+        load_edges,
+        reprioritize_frontier,
+    )
+
+    t = generate_crawl_tables(spark, sf_small)
+    pages, seeds, robots = t["pages"], t["seeds"], t["robots"]
+
+    edir = str(tmp_path / "edged")
+    res = crawl(spark, pages, seeds, robots, 3, edir, track_edges=True)
+    plain = crawl(spark, pages, seeds, robots, 3, str(tmp_path / "plain3"))
+    assert _state_snapshot(res.state) == _state_snapshot(plain.state)
+
+    edges = load_edges(spark, edir)
+    assert set(edges.columns) == {"src_hash", "dst_hash", "round"}
+    assert {r["round"] for r in edges.select("round").distinct().collect()} <= {
+        1, 2, 3,
+    }
+    n_edges = edges.count()
+    assert n_edges > 0
+    # src hashes come from fetched frontier URLs: every src is in url_seen
+    seen_hashes = {r["url_hash"] for r in res.state.url_seen.collect()}
+    src_hashes = {r["src_hash"] for r in edges.select("src_hash").distinct().collect()}
+    assert src_hashes <= seen_hashes
+
+    for method in ("indegree", "pagerank"):
+        new_frontier = reprioritize_frontier(
+            res.state.frontier, edges, method=method, promote_frac=0.3,
+            iters=2,
+        )
+        assert new_frontier.columns == res.state.frontier.columns
+        before = {
+            r["url"]: (r["priority"], r["state"])
+            for r in res.state.frontier.collect()
+        }
+        after = {r["url"]: r["priority"] for r in new_frontier.collect()}
+        assert set(after) == set(before)
+        promoted = []
+        for url, (p0, st) in before.items():
+            assert after[url] <= p0
+            if after[url] < p0:
+                assert st == "pending"
+                promoted.append(url)
+        # with 0/1 priorities and a 30% promote band, some pending
+        # priority-1 URL with in-links must move to the front
+        assert promoted, f"{method}: no URL promoted"
