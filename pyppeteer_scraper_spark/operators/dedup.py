@@ -469,3 +469,100 @@ def line_dedup(
         .join(n_lines, id_col)
         .select(id_col, "n_lines", "n_kept", "text_kept")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    threshold: float = 0.95,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 512,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    dedup for training corpora — cluster with spherical k-means, then
+    within each cluster greedily keep one exemplar per semantic-
+    duplicate group (leader pass in ascending id order: an item is
+    dropped iff some already-KEPT lower-id item in its cluster has
+    cosine > ``threshold``; min-id survivor matches this module's other
+    keep rules).
+
+    Reuses the IVF coarse quantizer (operators/similarity.py::ivf_index
+    — deterministic init, Lloyd iterations with KB-scale driver
+    collects).  Returns ``(verdicts, cache_handle)``: verdicts =
+    (id, cell, kept, dup_of, cosine) where dup_of is the kept item the
+    drop scored highest against (NULL for kept rows); unpersist the
+    handle after materializing.
+
+    Scale shape: the expensive step is per-CLUSTER, not per-corpus —
+    one applyInPandas over ``cell`` (an equi-shuffle on a bounded key
+    space, never a crossJoin; the plan-quality all-pairs ban applies).
+    Within a cluster the leader pass runs on chunked matmuls (peak
+    memory O(chunk × cell), never cell²) with a sequential resolve only
+    over precomputed rows.  Cluster size is the knob: mean n/k rows —
+    at 10^9 docs raise n_centroids to ~10^4-10^5 (SemDeDup's published
+    regime) so cells stay ~10^4-10^5 rows.  Cross-cluster near-dups can
+    survive by construction — the method's documented recall trade; the
+    LSH family (embedding_near_dup_pairs) is the no-partition
+    alternative.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyppeteer_scraper_spark.operators.similarity import ivf_index
+
+    assigned, _, handle = ivf_index(
+        corpus, n_centroids=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    out_schema = (
+        f"{id_col} long, cell int, kept boolean, dup_of long, cosine double"
+    )
+    thr = float(threshold)
+
+    def leader_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["unit"]])
+        n = len(pdf)
+        kept = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        best = np.full(n, np.nan)
+        kept_rows: list[int] = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            blk = m[s:e]
+            # two matmuls per chunk: vs already-kept rows, vs the chunk
+            # itself (sequential dependency resolved in the cheap loop)
+            prior = blk @ m[kept_rows].T if kept_rows else None
+            intra = blk @ blk.T
+            for i in range(e - s):
+                sims_prior = prior[i] if prior is not None else np.empty(0)
+                local = [j for j in range(i) if kept[s + j]]
+                sims_local = intra[i, local] if local else np.empty(0)
+                sims = np.concatenate([sims_prior, sims_local])
+                if sims.size and sims.max() > thr:
+                    srcs = np.concatenate(
+                        [np.asarray(kept_rows), np.asarray([s + j for j in local])]
+                    ).astype(np.int64)
+                    a = int(sims.argmax())
+                    dup_of[s + i] = ids[srcs[a]]
+                    best[s + i] = round(float(sims[a]), 6)
+                else:
+                    kept[s + i] = True
+            kept_rows.extend(s + i for i in range(e - s) if kept[s + i])
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": pdf["cell"].to_numpy(),
+                "kept": kept,
+                "dup_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup_of], dtype="Int64"
+                ),
+                "cosine": best,
+            }
+        )
+
+    verdicts = assigned.groupBy("cell").applyInPandas(leader_pass, out_schema)
+    return verdicts, handle

@@ -975,6 +975,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query("dedup_semantic")  # rows-only: k-means cells are approximate by construction
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted near-dup corpus (operators/dedup.py::
+    semantic_dedup): per-cluster greedy leader pass; verdict rows
+    (vec_id, cell, kept, dup_of, cosine).  Runs on _near_dup_corpus —
+    the raw synthetic table has no pairs above 0.95, which would make
+    the query vacuous.  Exactness of the verdicts is pytest-verified
+    against numpy brute force (tests/test_dedup_similarity_text.py::
+    test_semantic_dedup_planted_and_invariants)."""
+    from pyppeteer_scraper_spark.operators.dedup import semantic_dedup
+
+    verdicts, handle = semantic_dedup(
+        _near_dup_corpus(spark, sf_dir), n_centroids=16, threshold=0.95, iters=2
+    )
+    verdicts = verdicts.localCheckpoint(eager=True)  # same cache discipline as sim_ivf_topk
+    handle.unpersist()
+    return verdicts
+
+
 @query(
     "text_lang_id",
     """
@@ -2295,10 +2314,12 @@ _WINDOW_FIRST = [
     "text_pii_redact",
     "rank_indegree",
     "rank_pagerank",
+    "dedup_semantic",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
+    "text_fingerprint",
     "q6_forecast_revenue",
     "dedup_canonical_keep",
     "q3_shipping_priority",

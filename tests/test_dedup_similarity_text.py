@@ -529,3 +529,68 @@ def test_pii_redaction_planted_strings(spark):
     # pattern stays precision-leaning on embedded runs.
     assert got[6]["p"] == 0
     assert got[6]["red"] == rows[5][1]  # untouched
+
+
+def test_semantic_dedup_planted_and_invariants(spark):
+    """SemDeDup leader pass: planted near-copies are dropped against
+    their lower-id base; no two kept items in the same cell exceed the
+    threshold (brute-force verified); reported cosines are exact."""
+    import numpy as np
+
+    from pyppeteer_scraper_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    dim, n_base, n_copies = 16, 60, 20
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    # planted copies: tiny perturbation of base j -> cosine ~0.9995
+    for c in range(n_copies):
+        j = c % n_base
+        v = base[j] + 0.02 * rng.normal(size=dim)
+        rows.append((1000 + c, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    verdicts, handle = semantic_dedup(
+        emb, n_centroids=8, threshold=0.95, iters=2, chunk=16
+    )
+    pdf = verdicts.toPandas().sort_values("vec_id").reset_index(drop=True)
+    handle.unpersist()
+    assert len(pdf) == n_base + n_copies
+
+    # every planted copy dropped, attributed to a lower-id kept item
+    by_id = pdf.set_index("vec_id")
+    for c in range(n_copies):
+        row = by_id.loc[1000 + c]
+        assert not row["kept"], f"copy {1000 + c} survived"
+        assert row["dup_of"] < 1000 + c
+        assert by_id.loc[row["dup_of"]]["kept"]
+        assert row["cosine"] > 0.95
+
+    # kept rows carry no attribution
+    assert pdf[pdf["kept"]]["dup_of"].isna().all()
+
+    # brute-force invariant: no kept pair within a cell above threshold,
+    # and reported cosines match numpy exactly (1e-6)
+    unit = {i: np.asarray(v) / np.linalg.norm(v) for i, v in rows}
+    for cell, grp in pdf.groupby("cell"):
+        kept_ids = grp[grp["kept"]]["vec_id"].to_list()
+        for a in range(len(kept_ids)):
+            for b in range(a + 1, len(kept_ids)):
+                assert unit[kept_ids[a]] @ unit[kept_ids[b]] <= 0.95
+    for _, r in pdf[~pdf["kept"]].iterrows():
+        got = unit[r["vec_id"]] @ unit[r["dup_of"]]
+        assert abs(got - r["cosine"]) < 1e-6
+
+    # determinism across shuffle widths
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        v2, h2 = semantic_dedup(
+            emb, n_centroids=8, threshold=0.95, iters=2, chunk=16
+        )
+        pdf2 = v2.toPandas().sort_values("vec_id").reset_index(drop=True)
+        h2.unpersist()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert pdf.equals(pdf2)
