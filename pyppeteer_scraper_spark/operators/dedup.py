@@ -566,3 +566,71 @@ def semantic_dedup(
 
     verdicts = assigned.groupBy("cell").applyInPandas(leader_pass, out_schema)
     return verdicts, handle
+
+
+def substring_dup_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication coverage (the measurement half of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — their suffix-array pass finds repeated
+    >=k-token spans; at Spark scale the equivalent signal is k-token
+    window hashing): a token position counts as duplicated when some
+    k-token window covering it occurs MORE THAN ONCE in the corpus
+    (another document, or another position of the same document).
+
+    Output: (id, n_tokens, n_dup_tokens, dup_frac) — one row per input
+    document, zeros for docs shorter than ``k`` tokens.
+
+    Scale shape: one posexplode to (id, pos, md5(window)) ~ O(total
+    tokens) rows; duplicate-window detection is a groupBy on the
+    uniform 128-bit hash (map-side combine, no skew); marked windows
+    re-join on the same hash (equi-join).  Overlapping windows are
+    merged per document with a gaps-and-islands window over
+    (id, pos) — summing island extents instead of exploding k coverage
+    positions per window keeps the shuffle O(duplicated windows), not
+    O(k x windows).
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    base = df.select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    wins = base.filter(F.col("n_tokens") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_tokens") - k).cast("int")),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, F.lit(k)))),
+            )
+        ).alias("pos", "wh"),
+    )
+    dup_hashes = wins.groupBy("wh").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    dwins = wins.join(dup_hashes.select("wh"), "wh").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dwins.withColumn(
+        "flag",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn("gid", F.sum("flag").over(w))
+    per_doc = (
+        flagged.groupBy(id_col, "gid")
+        .agg((F.max(F.col("pos") + k) - F.min("pos")).alias("cov"))
+        .groupBy(id_col)
+        .agg(F.sum("cov").cast("long").alias("n_dup_tokens"))
+    )
+    return base.select(id_col, "n_tokens").join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        F.round(
+            F.coalesce("n_dup_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )

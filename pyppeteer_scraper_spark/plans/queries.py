@@ -1721,6 +1721,58 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_coverage",
+    """
+    WITH sized AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, u.pos, u.wh
+      FROM (SELECT doc_id,
+                   list_transform(range(0, n_tokens - 8 + 1),
+                      i -> md5(array_to_string(toks[i+1:i+8], ' '))) AS whs
+            FROM sized WHERE n_tokens >= 8) s,
+           LATERAL (SELECT unnest(range(0, len(whs))) AS pos,
+                           unnest(whs) AS wh) u
+    ), dups AS (
+      SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1
+    ), dwins AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN dups d ON w.wh = d.wh
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS flag
+      FROM (SELECT doc_id, pos,
+                   max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM dwins)
+    ), gids AS (
+      SELECT doc_id, pos,
+             sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM isl
+    ), cov AS (
+      SELECT doc_id, gid, max(pos + 8) - min(pos) AS cov
+      FROM gids GROUP BY doc_id, gid
+    ), per_doc AS (
+      SELECT doc_id, CAST(sum(cov) AS BIGINT) AS n_dup FROM cov GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+           round(coalesce(p.n_dup, 0) / greatest(s.n_tokens, 1), 6) AS dup_frac
+    FROM sized s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+    """,
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2021 measured
+    as k-token window hashing + gaps-and-islands span merge,
+    operators/dedup.py::substring_dup_coverage) — per-doc duplicated
+    token counts over the documents table at k=8."""
+    from pyppeteer_scraper_spark.operators.dedup import substring_dup_coverage
+
+    return substring_dup_coverage(load_table(spark, sf_dir, "documents"), k=8)
+
+
+@query(
     "text_repetition_signals",
     """
     WITH t AS (
@@ -2315,11 +2367,13 @@ _WINDOW_FIRST = [
     "rank_indegree",
     "rank_pagerank",
     "dedup_semantic",
+    "dedup_substring_coverage",
 ]
 
 _WINDOW_TAIL = [
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
     "text_fingerprint",
+    "text_token_counts",
     "q6_forecast_revenue",
     "dedup_canonical_keep",
     "q3_shipping_priority",

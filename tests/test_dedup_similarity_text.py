@@ -594,3 +594,37 @@ def test_semantic_dedup_planted_and_invariants(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert pdf.equals(pdf2)
+
+
+def test_substring_dup_coverage_golden(spark):
+    """Hand-computed k=3 cases: cross-doc duplicated windows, island
+    merging of overlapping windows, within-doc self-repetition, and
+    short-doc zero rows."""
+    from pyppeteer_scraper_spark.operators.dedup import substring_dup_coverage
+
+    docs = spark.createDataFrame(
+        [
+            # d1/d2 share "a b c d" -> windows "a b c"@0 and "b c d"@1
+            # duplicated in both docs; islands merge to cover 4 tokens
+            (1, "a b c d x y z"),
+            (2, "p q a b c d r"),
+            # d3: self-repetition "m n o ... m n o" duplicates the
+            # "m n o" window at pos 0 and 4 within one doc (2 islands,
+            # 3 tokens each)
+            (3, "m n o u m n o"),
+            # d4: 2 tokens < k -> no windows, zero coverage
+            (4, "hi there"),
+            # d5: all-unique tokens -> windows exist, none duplicated
+            (5, "e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["dup_frac"])
+        for r in substring_dup_coverage(docs, k=3).collect()
+    }
+    assert out[1] == (7, 4, round(4 / 7, 6))
+    assert out[2] == (7, 4, round(4 / 7, 6))
+    assert out[3] == (7, 6, round(6 / 7, 6))
+    assert out[4] == (2, 0, 0.0)
+    assert out[5] == (6, 0, 0.0)
