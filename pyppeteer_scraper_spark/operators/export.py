@@ -1,0 +1,108 @@
+"""Deterministic shuffled-shard export — the last stage of a
+training-data pipeline: turn a curated corpus into N fixed, globally
+shuffled shard files whose contents and internal order are a pure
+function of (salt, doc ids), independent of cluster size, partition
+count, or ingestion order.
+
+The reference writes its outputs as single JSON/parquet-ish artifacts
+per run (/root/reference/service/alert.py:460-490 rewrites one state
+file); an LLM-training corpus instead ships as a directory of shards
+that data loaders stream and shuffle between epochs.  The properties
+that matter at 100 TB:
+
+- **Determinism**: shard membership and intra-shard order derive from
+  ``md5(salt \\x1f id)`` only — re-running the export on the same corpus
+  (any cluster size, any input partitioning) produces byte-identical
+  shards, so an export is reproducible and diffable.
+- **Global shuffle for free**: md5 order IS a uniform random permutation
+  of the corpus (seeded by ``salt``), so consumers can read shards
+  sequentially and still see i.i.d.-like data — no separate shuffle job
+  over 100 TB.
+- **Scale**: one Spark task per shard.  Shards are sized like the real
+  artifact (100 MB–1 GB, WebDataset/TFRecord practice), so ``n_shards``
+  GROWS with the corpus (100 TB → ~10^5 shards of 1 GB) and per-task
+  work stays constant — the plan is one hash-partition shuffle by shard
+  id plus a per-shard sort, both bounded by shard size, never by corpus
+  size.
+- **Exact oracle**: hex-string hashing keeps every step expressible in
+  ANSI SQL (``conv(hex,16,10)`` in Spark ≡ ``('0x'||hex)::BIGINT`` in
+  DuckDB), so the (id → shard, seq) plan is hash-checked against an
+  independent engine, not just replayed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 12 hex chars = 48 uniform bits; conv() and ('0x'||·)::BIGINT both hold
+# 48 bits losslessly in a signed 64-bit value.
+_SHARD_HEX_CHARS = 12
+
+
+def _shuffle_key(id_col: str, salt: str):
+    """Full md5 hex of (salt, id) — the deterministic permutation key.
+    Lowercase fixed-width hex ASCII-orders identically in every engine."""
+    return F.md5(
+        F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"))
+    )
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "export-v1",
+    shard_col: str = "shard",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Assign every row its (shard, seq) position in a deterministic
+    globally-shuffled export.
+
+    ``shard = first-48-bits(md5(salt, id)) mod n_shards`` (uniform, so
+    shard sizes are balanced to ~sqrt(n/n_shards)); ``seq`` numbers rows
+    1..k within each shard in md5-key order (ties — impossible for
+    distinct ids — break by id).  One hash shuffle by shard + per-shard
+    sort; each window partition is exactly one shard, so sizing shards
+    like the physical artifact (≤~1 GB) bounds per-task memory
+    regardless of corpus size.
+    """
+    key = _shuffle_key(id_col, salt)
+    bucket = F.conv(F.substring(key, 1, _SHARD_HEX_CHARS), 16, 10).cast("bigint")
+    out = df.withColumn("__key", key).withColumn(
+        shard_col, F.pmod(bucket, F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy("__key", id_col)
+    return out.withColumn(seq_col, F.row_number().over(w)).drop("__key")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "export-v1",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the export: exactly one file per shard, rows in
+    deterministic md5-key order inside each file.
+
+    ``repartition(n_shards, shard)`` hash-places each shard id into its
+    own task (ids 0..n_shards-1 with numPartitions = n_shards may
+    co-locate a few shards per task — still deterministic, and
+    ``partitionBy(shard)`` splits them back into one file per shard
+    directory on write), then ``sortWithinPartitions`` fixes the row
+    order.  No global sort, no driver collect; re-running yields
+    byte-identical shard contents.
+    """
+    planned = shard_plan(
+        df, id_col=id_col, n_shards=n_shards, salt=salt
+    )
+    (
+        planned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "seq")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

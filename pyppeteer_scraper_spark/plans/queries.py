@@ -1624,6 +1624,198 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "export_shard_plan",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31), 'export-v1',
+                           CAST(doc_id AS VARCHAR))) AS k
+      FROM documents
+    ),
+    planned AS (
+      SELECT doc_id, k,
+             CAST(('0x' || substr(k, 1, 12))::BIGINT % 8 AS INT) AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(k, 1, 12))::BIGINT % 8
+               ORDER BY k, doc_id) AS INT) AS seq
+      FROM keyed
+    )
+    SELECT shard, count(*) AS n,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY seq))
+             AS order_fp
+    FROM planned GROUP BY shard
+    """,
+)
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffled-shard export plan over documents: shard =
+    48-bit-md5(salt,id) mod 8, seq = md5-key order within shard (the
+    globally-shuffled training-shard layout).  The oracle pins the FULL
+    permutation, not just counts: ``order_fp`` is md5 of the
+    seq-ordered doc-id list per shard, so any misplaced or misordered
+    row flips the hash.  One shuffle by shard; per-task work bounded by
+    shard size (shards are sized like the physical artifact — n_shards
+    grows with the corpus)."""
+    from pyppeteer_scraper_spark.operators.export import shard_plan
+
+    planned = shard_plan(
+        load_table(spark, sf_dir, "documents"), n_shards=8
+    )
+    ordered_ids = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct("seq", F.col("doc_id").cast("string").alias("doc_id"))
+            )
+        ),
+        lambda s: s["doc_id"],
+    )
+    return planned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n"),
+        F.md5(F.concat_ws(",", ordered_ids)).alias("order_fp"),
+    )
+
+
+def _model_quality_oracle_sql() -> str:
+    from pyppeteer_scraper_spark.functions.classifier import (
+        oracle_weight_array_sql,
+    )
+
+    # Mirrors functions/classifier.py::quality_model_score step-for-step;
+    # integer until the final sigmoid so both engines agree exactly.
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\W+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             t || list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1]) AS g
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(g) AS BIGINT) AS n_grams,
+             CAST(COALESCE(list_sum(list_transform(g, gr ->
+               {oracle_weight_array_sql()}[
+                 CAST(('0x' || substr(md5('qmodel-v1' || chr(31) || gr),
+                                      1, 6))::BIGINT % 64 AS INT) + 1]
+             )), 0) AS BIGINT) AS score_raw
+      FROM grams
+    )
+    SELECT doc_id, n_grams, score_raw,
+           CASE WHEN n_grams > 0
+                THEN round(1.0 / (1.0 + exp(-(CAST(score_raw AS DOUBLE)
+                     / (CAST(n_grams AS DOUBLE) * 1000.0)))), 6)
+                ELSE 0.5 END AS score
+    FROM scored
+    """
+
+
+@query("text_model_quality", _model_quality_oracle_sql())
+def text_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, fastText-shaped: hashed uni+bigram
+    features → integer-weight lookup → mean → sigmoid, all Spark
+    built-ins (one codegen projection, no shuffle, no UDF) — the CCNet/
+    GPT-3-style classifier gate a web corpus runs before training.
+    Deterministic placeholder weights stand in for a trained vector;
+    the DuckDB oracle recomputes the exact integer dot product."""
+    from pyppeteer_scraper_spark.functions.classifier import (
+        quality_model_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_model_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_grams"].alias("n_grams"),
+        cols["score_raw"].alias("score_raw"),
+        cols["score"].alias("score"),
+    )
+
+
+@query(
+    "robots_parse_rules",
+    """
+    WITH doms AS (
+      SELECT lower(replace(n_name, ' ', '-')) || '.example' AS domain
+      FROM nation
+    ),
+    v AS (
+      SELECT domain,
+             ('0x' || substr(md5(domain), 1, 2))::INT % 4 AS variant
+      FROM doms
+    ),
+    spec(variant, path, allow, crawl_delay_ms) AS (
+      VALUES
+        (0, '/private',    false, CAST(2000 AS BIGINT)),
+        (0, '/private/ok', true,  CAST(2000 AS BIGINT)),
+        (0, '/x:y',        false, CAST(2000 AS BIGINT)),
+        (1, '/tmp',        false, CAST(NULL AS BIGINT)),
+        (3, '/a',          true,  CAST(1500 AS BIGINT))
+    )
+    SELECT v.domain, s.path, s.allow, s.crawl_delay_ms
+    FROM v JOIN spec s USING (variant)
+    """,
+)
+def robots_parse_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse robots.txt text into the scheduler's rules table
+    (functions/robotstxt.py).  The input is four deterministic template
+    variants per domain exercising the grammar's corner cases (stacked
+    user-agent runs, inline comments, case-insensitive directives,
+    colon-bearing paths, empty Disallow, fractional Crawl-delay,
+    non-matching groups); the DuckDB oracle derives the EXPECTED rules
+    independently from the variant id — it never runs a parser — so
+    this checks the parse against a second derivation, not a replay."""
+    from pyppeteer_scraper_spark.functions.robotstxt import (
+        parse_robots_rules,
+    )
+
+    doms = load_table(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lower(F.replace(F.col("n_name"), F.lit(" "), F.lit("-"))),
+            F.lit(".example"),
+        ).alias("domain")
+    )
+    variant = F.pmod(
+        F.conv(F.substring(F.md5(F.col("domain")), 1, 2), 16, 10).cast("int"),
+        F.lit(4),
+    )
+    d = F.col("domain")
+    txt = (
+        F.when(
+            variant == 0,
+            F.lit(
+                "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+                "Disallow: /x:y\nCrawl-delay: 2\n"
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("# robots for "),
+                d,
+                F.lit(
+                    "\nUser-agent: googlebot\nUser-agent: *\n"
+                    "Disallow: /tmp # tmp is scratch\n\n"
+                    "User-agent: badbot\nDisallow: /\n"
+                ),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.lit("User-agent: FooBot\nDisallow: /\nCrawl-delay: 10\n"),
+        )
+        .otherwise(
+            F.lit("user-AGENT: *\ndisallow:\nallow: /a\ncrawl-DELAY: 1.5\n")
+        )
+    )
+    robots = doms.withColumn("robots_txt", txt)
+    return parse_robots_rules(robots)
+
+
+@query(
     "split_exact_contamination",
     f"""
     WITH corpus AS ({_CONTAM_CORPUS_SQL}),
@@ -2368,9 +2560,17 @@ _WINDOW_FIRST = [
     "rank_pagerank",
     "dedup_semantic",
     "dedup_substring_coverage",
+    # round-3 session-2 additions
+    "export_shard_plan",
+    "text_model_quality",
+    "robots_parse_rules",
 ]
 
 _WINDOW_TAIL = [
+    # twice-green (r01+r02) core queries displaced by session-2 additions
+    "q1_pricing_summary",
+    "d1_discovery_anti_join",
+    "a4_round_metrics",
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
     "text_fingerprint",
     "text_token_counts",
