@@ -1816,6 +1816,97 @@ def robots_parse_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sitemap_parse",
+    """
+    WITH doms AS (
+      SELECT lower(replace(n_name, ' ', '-')) || '.example' AS domain
+      FROM nation
+    ),
+    v AS (
+      SELECT domain,
+             ('0x' || substr(md5(domain), 1, 2))::INT % 3 AS variant
+      FROM doms
+    )
+    SELECT domain, 'url' AS kind, 'https://' || domain || '/' AS loc,
+           '2026-01-02' AS lastmod, CAST(1.0 AS DOUBLE) AS priority
+    FROM v WHERE variant = 0
+    UNION ALL
+    SELECT domain, 'url', 'https://' || domain || '/a?x=1&y=2',
+           CAST(NULL AS VARCHAR), CAST(0.4 AS DOUBLE)
+    FROM v WHERE variant = 0
+    UNION ALL
+    SELECT domain, 'url', 'https://' || domain || '/b',
+           '2026-02-03T04:05:06Z', CAST(NULL AS DOUBLE)
+    FROM v WHERE variant = 0
+    UNION ALL
+    SELECT domain, 'sitemap', 'https://' || domain || '/sitemap-1.xml',
+           '2026-03-01', CAST(NULL AS DOUBLE)
+    FROM v WHERE variant = 1
+    UNION ALL
+    SELECT domain, 'sitemap', 'https://' || domain || '/sitemap-2.xml',
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM v WHERE variant = 1
+    UNION ALL
+    SELECT domain, 'url', 'https://' || domain || '/only',
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM v WHERE variant = 2
+    """,
+)
+def sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap/sitemap-index ingestion (sources/sitemaps.py): three
+    deterministic XML template variants per domain (full urlset with
+    entity-escaped query URLs + per-url lastmod/priority, a
+    sitemapindex, and a whitespace-heavy minimal urlset) parsed with
+    pure regex built-ins.  As with robots_parse_rules, the DuckDB
+    oracle derives the EXPECTED rows independently from the variant id
+    — a second derivation, not a parser replay."""
+    from pyppeteer_scraper_spark.sources.sitemaps import parse_sitemaps
+
+    doms = load_table(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lower(F.replace(F.col("n_name"), F.lit(" "), F.lit("-"))),
+            F.lit(".example"),
+        ).alias("domain")
+    )
+    variant = F.pmod(
+        F.conv(F.substring(F.md5(F.col("domain")), 1, 2), 16, 10).cast("int"),
+        F.lit(3),
+    )
+    d = F.col("domain")
+    v0 = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            "  <url><loc>https://"
+        ),
+        d,
+        F.lit("/</loc><lastmod>2026-01-02</lastmod>"
+              "<priority>1.0</priority></url>\n  <url><loc>https://"),
+        d,
+        F.lit("/a?x=1&amp;y=2</loc><priority>0.4</priority></url>\n"
+              "  <url><loc> https://"),
+        d,
+        F.lit("/b </loc><lastmod>2026-02-03T04:05:06Z</lastmod></url>\n"
+              "</urlset>\n"),
+    )
+    v1 = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://"),
+        d,
+        F.lit("/sitemap-1.xml</loc><lastmod>2026-03-01</lastmod>"
+              "</sitemap><sitemap><loc>https://"),
+        d,
+        F.lit("/sitemap-2.xml</loc></sitemap></sitemapindex>"),
+    )
+    v2 = F.concat(
+        F.lit("<urlset>\n<url>\n  <loc>\n    https://"),
+        d,
+        F.lit("/only\n  </loc>\n</url>\n</urlset>\n"),
+    )
+    xml = F.when(variant == 0, v0).when(variant == 1, v1).otherwise(v2)
+    return parse_sitemaps(doms.withColumn("sitemap_xml", xml))
+
+
+@query(
     "split_exact_contamination",
     f"""
     WITH corpus AS ({_CONTAM_CORPUS_SQL}),
@@ -2564,6 +2655,7 @@ _WINDOW_FIRST = [
     "export_shard_plan",
     "text_model_quality",
     "robots_parse_rules",
+    "sitemap_parse",
 ]
 
 _WINDOW_TAIL = [
@@ -2571,6 +2663,7 @@ _WINDOW_TAIL = [
     "q1_pricing_summary",
     "d1_discovery_anti_join",
     "a4_round_metrics",
+    "d4_snapshot_change_detection",
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
     "text_fingerprint",
     "text_token_counts",
