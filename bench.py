@@ -48,6 +48,10 @@ HEADLINE = [
     "text_curation_funnel",
     "text_pii_redact",
     "rank_pagerank",
+    # round-3 session-2 additions
+    "dedup_substring_coverage",
+    "text_model_quality",
+    "export_shard_plan",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -70,31 +70,49 @@ def quality_model_score(
     col: Column,
     salt: str = "qmodel-v1",
     weights: list[int] | None = None,
+    hash_fn: str = "md5",
 ) -> dict[str, Column]:
     """Score a text column with the hashed-n-gram linear model.
 
     Returns {n_grams, score_raw, score}: ``score_raw`` is the exact
-    integer dot product sum(W[md5-bucket(gram)]), ``score`` the rounded
+    integer dot product sum(W[bucket(gram)]), ``score`` the rounded
     logistic of its mean — ``round(sigmoid(raw / (n*1000)), 6)``.
     Everything up to the final squash is integer arithmetic, so Spark
     and any ANSI-SQL oracle agree exactly.
+
+    ``hash_fn``: ``"md5"`` (default) buckets via md5-hex→int — the
+    ANSI-expressible form the DuckDB oracle replays.  ``"xxhash64"``
+    buckets via Spark's native 64-bit hash — same model shape, a
+    different (equally uniform) bucketing, and the cheaper production
+    choice (no hex string materialized per gram).  Measured 1.1–1.3×
+    faster end-to-end at sf0.1 (tokenize/split dominates; the hash is a
+    minority cost), so md5's exact oracle-ability is usually worth
+    keeping.  A trained weight vector is tied to its bucketing, so the
+    two are distinct models, not interchangeable scorers.
     """
     w = weights if weights is not None else default_weights()
     warr = F.array(*[F.lit(int(x)) for x in w])
     grams = _grams(col)
-    buckets = F.transform(
-        grams,
-        lambda g: F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("\x1f", F.lit(salt), g)), 1, 6
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(len(w)),
-        ),
-    )
+    if hash_fn == "xxhash64":
+        buckets = F.transform(
+            grams, lambda g: F.pmod(F.xxhash64(F.lit(salt), g), F.lit(len(w)))
+        )
+    elif hash_fn == "md5":
+        buckets = F.transform(
+            grams,
+            lambda g: F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("\x1f", F.lit(salt), g)), 1, 6
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(len(w)),
+            ),
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     raw = F.aggregate(
         buckets,
         F.lit(0).cast("bigint"),

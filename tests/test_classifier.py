@@ -72,3 +72,34 @@ def test_quality_model_custom_weights_change_scores(spark):
     # 3 grams, all-positive weights: sigmoid(0.5) / sigmoid(-0.5)
     assert r_up == round(1 / (1 + math.exp(-0.5)), 6)
     assert r_down == round(1 / (1 + math.exp(0.5)), 6)
+
+
+def test_quality_model_xxhash_path(spark):
+    from pyppeteer_scraper_spark.functions.classifier import (
+        quality_model_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog."), (2, "")],
+        "i int, text string",
+    )
+    fast = quality_model_score(F.col("text"), hash_fn="xxhash64")
+    slow = quality_model_score(F.col("text"), hash_fn="md5")
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            fast["n_grams"].alias("nf"),
+            slow["n_grams"].alias("ns"),
+            fast["score"].alias("sf"),
+        ).collect()
+    }
+    # same featurization (gram counts identical), valid score range
+    assert rows[1]["nf"] == rows[1]["ns"] == 17
+    assert 0.0 < rows[1]["sf"] < 1.0
+    assert rows[2]["sf"] == 0.5  # empty text
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quality_model_score(F.col("text"), hash_fn="sha1")
