@@ -1907,6 +1907,94 @@ def sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "warc_parse_records",
+    """
+    WITH doms AS (
+      SELECT lower(replace(n_name, ' ', '-')) || '.example' AS domain
+      FROM nation
+    ),
+    v AS (
+      SELECT domain,
+             ('0x' || substr(md5(domain), 1, 2))::INT % 2 AS variant
+      FROM doms
+    )
+    SELECT domain, 'warcinfo' AS record_type,
+           CAST(NULL AS VARCHAR) AS url,
+           TIMESTAMP '2026-01-01 00:00:00' AS warc_ts,
+           'application/warc-fields' AS content_type,
+           'software: graft' AS payload
+    FROM v WHERE variant = 0
+    UNION ALL
+    SELECT domain, 'response', 'https://' || domain || '/index.html',
+           TIMESTAMP '2026-01-02 03:04:05',
+           'application/http;msgtype=response',
+           '<html>hello ' || domain || '</html>'
+    FROM v WHERE variant = 0
+    UNION ALL
+    SELECT domain, 'conversion', 'https://' || domain || '/doc.txt',
+           TIMESTAMP '2026-04-05 06:07:08', 'text/plain',
+           'plain text for ' || domain
+    FROM v WHERE variant = 1
+    """,
+)
+def warc_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/ISO-28500 record parsing (sources/warc.py): two archive
+    template variants per domain — a CRLF WARC/1.0 file with a
+    warcinfo record plus an HTTP-enveloped response record, and a
+    bare-LF WARC/1.1 file with lowercase header names and a conversion
+    record.  The DuckDB oracle states the expected records directly
+    from the variant id (independent derivation, no parser replay)."""
+    from pyppeteer_scraper_spark.sources.warc import parse_warc
+
+    doms = load_table(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lower(F.replace(F.col("n_name"), F.lit(" "), F.lit("-"))),
+            F.lit(".example"),
+        ).alias("domain")
+    )
+    variant = F.pmod(
+        F.conv(F.substring(F.md5(F.col("domain")), 1, 2), 16, 10).cast("int"),
+        F.lit(2),
+    )
+    d = F.col("domain")
+    v0 = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/warc-fields\r\n\r\n"
+            "software: graft\r\n\r\n"
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://"
+        ),
+        d,
+        F.lit(
+            "/index.html\r\nWARC-Date: 2026-01-02T03:04:05Z\r\n"
+            "Content-Type: application/http;msgtype=response\r\n\r\n"
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            "<html>hello "
+        ),
+        d,
+        F.lit("</html>\r\n\r\n"),
+    )
+    v1 = F.concat(
+        F.lit(
+            "WARC/1.1\nwarc-type: conversion\n"
+            "warc-target-uri: https://"
+        ),
+        d,
+        F.lit(
+            "/doc.txt\nwarc-date: 2026-04-05T06:07:08Z\n"
+            "content-type: text/plain\n\n"
+            "plain text for "
+        ),
+        d,
+        F.lit("\n\n"),
+    )
+    warc = F.when(variant == 0, v0).otherwise(v1)
+    return parse_warc(doms.withColumn("warc", warc), id_cols=("domain",))
+
+
+@query(
     "split_exact_contamination",
     f"""
     WITH corpus AS ({_CONTAM_CORPUS_SQL}),
@@ -2656,6 +2744,7 @@ _WINDOW_FIRST = [
     "text_model_quality",
     "robots_parse_rules",
     "sitemap_parse",
+    "warc_parse_records",
 ]
 
 _WINDOW_TAIL = [
@@ -2664,6 +2753,7 @@ _WINDOW_TAIL = [
     "d1_discovery_anti_join",
     "a4_round_metrics",
     "d4_snapshot_change_detection",
+    "j3_broadcast_rules_gate",
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
     "text_fingerprint",
     "text_token_counts",
