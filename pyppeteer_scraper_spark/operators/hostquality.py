@@ -1,0 +1,99 @@
+"""Host-level quality prior — close the loop from the content model
+back into the crawl scheduler: domains whose fetched pages score low on
+the quality classifier get demoted in the frontier, so budget flows
+toward hosts that historically yield good documents (the
+quality-focused crawling policy of CCNet/RefinedWeb-style pipelines;
+the link-graph analog is operators/linkrank.py).
+
+Domain quality is the gram-weighted model score over every page fetched
+from the domain: ``sigmoid(sum(score_raw) / (sum(n_grams) * 1000))``.
+Both sums are exact integers (functions/classifier.py keeps the dot
+product integral), so the per-domain aggregate is order-independent and
+exactly oracle-able — no float-accumulation drift however many
+partitions contribute.  One groupBy(domain) shuffle over page scores;
+the frontier join mirrors ``reprioritize_frontier``: only the
+cold-domain build side joins, only ``priority`` moves, and only UPWARD
+(a demotion can never promote).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyppeteer_scraper_spark.functions.classifier import quality_model_score
+
+
+def domain_quality(
+    pages: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-domain quality from page text: (domain, n_docs, quality).
+
+    ``quality`` is the logistic of the exact integer gram-score sum,
+    rounded to 6 dp — identical whatever the partitioning, matching the
+    DuckDB oracle bit-for-bit.
+    """
+    cols = quality_model_score(F.col(text_col), hash_fn=hash_fn)
+    agg = (
+        pages.select(
+            F.col(domain_col).alias("domain"),
+            cols["score_raw"].alias("__raw"),
+            cols["n_grams"].alias("__n"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__raw").alias("__sraw"),
+            F.sum("__n").alias("__sn"),
+        )
+    )
+    x = F.col("__sraw").cast("double") / (
+        F.col("__sn").cast("double") * F.lit(1000.0)
+    )
+    quality = F.when(
+        F.col("__sn") > 0, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6)
+    ).otherwise(F.lit(0.5))
+    return agg.select("domain", "n_docs", quality.alias("quality"))
+
+
+def demote_low_quality_domains(
+    frontier: DataFrame,
+    quality: DataFrame,
+    demote_frac: float = 0.25,
+    demoted_priority: int = 3,
+    exact: bool = False,
+) -> DataFrame:
+    """Demote pending frontier rows on domains in the bottom
+    ``demote_frac`` of the quality distribution to (at least)
+    ``demoted_priority``.
+
+    The threshold is ONE scalar to the driver — ``percentile_approx``
+    by default (a sketch pass over the domain aggregate, which is
+    already tiny next to the frontier); ``exact=True`` uses the exact
+    interpolated percentile for oracle-checkable runs.  Fetched/blocked
+    rows and above-threshold domains pass through untouched; ties at
+    the threshold are NOT demoted (strict ``<``, deterministic).
+    """
+    pfn = "percentile" if exact else "percentile_approx"
+    thr = quality.agg(
+        F.expr(f"{pfn}(quality, {demote_frac})").alias("t")
+    ).collect()[0]["t"]
+    cold = quality.filter(F.col("quality") < F.lit(thr)).select(
+        "domain", F.lit(True).alias("__cold")
+    )
+    # Unhinted join, same policy as reprioritize_frontier: cold is a
+    # fraction of the domain set — small in practice, unbounded in
+    # principle; AQE's runtime size check owns the broadcast decision.
+    out = frontier.join(cold, "domain", "left")
+    demote = (F.col("state") == "pending") & F.coalesce(
+        F.col("__cold"), F.lit(False)
+    )
+    return out.withColumn(
+        "priority",
+        F.when(
+            demote, F.greatest(F.col("priority"), F.lit(demoted_priority))
+        ).otherwise(F.col("priority")),
+    ).drop("__cold")

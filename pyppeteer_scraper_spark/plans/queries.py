@@ -1674,28 +1674,29 @@ def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _model_quality_oracle_sql() -> str:
+def _model_scored_ctes(carry: str = "doc_id") -> str:
+    """Shared oracle CTE chain mirroring functions/classifier.py::
+    quality_model_score step-for-step — integer until the final sigmoid
+    so both engines agree exactly.  ``carry`` columns ride along."""
     from pyppeteer_scraper_spark.functions.classifier import (
         oracle_weight_array_sql,
     )
 
-    # Mirrors functions/classifier.py::quality_model_score step-for-step;
-    # integer until the final sigmoid so both engines agree exactly.
     return f"""
-    WITH toks AS (
-      SELECT doc_id,
+    toks AS (
+      SELECT {carry},
              list_filter(string_split_regex(trim(lower(text)), '\\W+'),
                          t -> t <> '') AS t
       FROM documents
     ),
     grams AS (
-      SELECT doc_id,
+      SELECT {carry},
              t || list_transform(range(1, len(t)),
                                  i -> t[i] || ' ' || t[i+1]) AS g
       FROM toks
     ),
     scored AS (
-      SELECT doc_id,
+      SELECT {carry},
              CAST(len(g) AS BIGINT) AS n_grams,
              CAST(COALESCE(list_sum(list_transform(g, gr ->
                {oracle_weight_array_sql()}[
@@ -1703,7 +1704,12 @@ def _model_quality_oracle_sql() -> str:
                                       1, 6))::BIGINT % 64 AS INT) + 1]
              )), 0) AS BIGINT) AS score_raw
       FROM grams
-    )
+    )"""
+
+
+def _model_quality_oracle_sql() -> str:
+    return f"""
+    WITH {_model_scored_ctes()}
     SELECT doc_id, n_grams, score_raw,
            CASE WHEN n_grams > 0
                 THEN round(1.0 / (1.0 + exp(-(CAST(score_raw AS DOUBLE)
@@ -1732,6 +1738,47 @@ def text_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["n_grams"].alias("n_grams"),
         cols["score_raw"].alias("score_raw"),
         cols["score"].alias("score"),
+    )
+
+
+def _domain_quality_oracle_sql() -> str:
+    return f"""
+    WITH {_model_scored_ctes(carry="source")},
+    agg AS (
+      SELECT source AS domain, count(*) AS n_docs,
+             sum(score_raw) AS sraw, sum(n_grams) AS sn
+      FROM scored GROUP BY source
+    ),
+    q AS (
+      SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+             CASE WHEN sn > 0
+                  THEN round(1.0 / (1.0 + exp(-(CAST(sraw AS DOUBLE)
+                       / (CAST(sn AS DOUBLE) * 1000.0)))), 6)
+                  ELSE 0.5 END AS quality
+      FROM agg
+    )
+    SELECT domain, n_docs, quality,
+           quality < quantile_cont(quality, 0.25) OVER () AS demoted
+    FROM q
+    """
+
+
+@query("rank_domain_quality", _domain_quality_oracle_sql())
+def rank_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality prior (operators/hostquality.py): per-domain
+    gram-weighted classifier quality over the documents table (`source`
+    standing in for the page domain) plus the bottom-quartile demotion
+    verdict the scheduler applies via demote_low_quality_domains.  The
+    per-domain aggregate is exact-integer (order-independent), and the
+    exact interpolated percentile matches DuckDB's quantile_cont."""
+    from pyppeteer_scraper_spark.operators.hostquality import domain_quality
+
+    q = domain_quality(
+        load_table(spark, sf_dir, "documents"), domain_col="source"
+    )
+    return q.withColumn(
+        "demoted",
+        F.col("quality") < F.expr("percentile(quality, 0.25) OVER ()"),
     )
 
 
@@ -2745,6 +2792,7 @@ _WINDOW_FIRST = [
     "robots_parse_rules",
     "sitemap_parse",
     "warc_parse_records",
+    "rank_domain_quality",
 ]
 
 _WINDOW_TAIL = [
@@ -2754,6 +2802,7 @@ _WINDOW_TAIL = [
     "a4_round_metrics",
     "d4_snapshot_change_detection",
     "j3_broadcast_rules_gate",
+    "j5_fetch_batch_join",
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
     "text_fingerprint",
     "text_token_counts",
