@@ -219,3 +219,24 @@ def with_repetition_signals(df: "DataFrame", text_col: str = "text") -> "DataFra
             6,
         ).alias("mean_word_len"),
     )
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize_udf(s: pd.Series) -> pd.Series:
+    """Unicode NFC normalization, Arrow-batched.
+
+    Corpus pipelines normalize before hashing/dedup so that composed
+    and decomposed spellings of the same text ("e" + U+0301 vs U+00E9)
+    fingerprint identically — otherwise every dedup/fingerprint
+    operator in this engine silently treats them as distinct documents.
+    No Spark built-in exposes UAX#15, so this is a legitimate
+    pandas-UDF seam (same policy as the rolling hash above): Python's
+    unicodedata (UAX#15) vs the DuckDB oracle's utf8proc
+    ``nfc_normalize`` are two INDEPENDENT implementations that must
+    agree (`q:text_normalize_nfc`).  Cost is O(bytes), no shuffle.
+    """
+    import unicodedata
+
+    return s.map(
+        lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+    )

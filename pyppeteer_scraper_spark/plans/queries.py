@@ -1783,6 +1783,42 @@ def rank_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize_nfc",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) || ' A' || chr(778) ||
+             'ngstro' || chr(776) || 'm ' || chr(233) AS r
+      FROM documents
+    )
+    SELECT doc_id, nfc_normalize(r) AS norm,
+           (nfc_normalize(r) <> r) AS changed
+    FROM raw
+    """,
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over documents with decomposed
+    sequences appended (e+U+0301, A+U+030A, o+U+0308 alongside
+    precomposed U+00E9) so the check is non-vacuous.  Spark runs the
+    Arrow-batched unicodedata UDF; DuckDB runs utf8proc's
+    nfc_normalize — two independent UAX#15 implementations that must
+    agree byte-for-byte."""
+    from pyppeteer_scraper_spark.functions.text import nfc_normalize_udf
+
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" café Ångström é"),
+    )
+    docs = load_table(spark, sf_dir, "documents").withColumn("__r", raw)
+    norm = nfc_normalize_udf(F.col("__r"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm"),
+        (norm != F.col("__r")).alias("changed"),
+    )
+
+
+@query(
     "robots_parse_rules",
     """
     WITH doms AS (
@@ -2793,6 +2829,7 @@ _WINDOW_FIRST = [
     "sitemap_parse",
     "warc_parse_records",
     "rank_domain_quality",
+    "text_normalize_nfc",
 ]
 
 _WINDOW_TAIL = [
@@ -2803,6 +2840,7 @@ _WINDOW_TAIL = [
     "d4_snapshot_change_detection",
     "j3_broadcast_rules_gate",
     "j5_fetch_batch_join",
+    "dedup_exact_groups",
     # twice-green (CORRECTNESS_r01 + r02 hash_match) scalar/t-family
     "text_fingerprint",
     "text_token_counts",

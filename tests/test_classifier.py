@@ -103,3 +103,29 @@ def test_quality_model_xxhash_path(spark):
 
     with _pytest.raises(ValueError):
         quality_model_score(F.col("text"), hash_fn="sha1")
+
+
+def test_nfc_normalize_udf(spark):
+    from pyppeteer_scraper_spark.functions.text import nfc_normalize_udf
+
+    rows = [
+        (1, "café"),          # decomposed -> composed
+        (2, "café"),           # already NFC: unchanged
+        (3, None),                  # null passthrough
+        (4, "Ångström"),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", nfc_normalize_udf("t").alias("n")
+        ).collect()
+    }
+    assert got[1] == got[2] == "café"
+    assert got[3] is None
+    assert got[4] == "Ångström"
+    # idempotent: normalizing the output changes nothing
+    df2 = spark.createDataFrame([(got[4],)], "t string")
+    assert (
+        df2.select(nfc_normalize_udf("t").alias("n")).head()["n"] == got[4]
+    )
