@@ -52,6 +52,11 @@ HEADLINE = [
     "dedup_substring_coverage",
     "text_model_quality",
     "export_shard_plan",
+    # round-3 session-3 additions
+    "text_gopher_rules",
+    "rank_trap_patterns",
+    "d6_adaptive_revisit",
+    "pack_sequences",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

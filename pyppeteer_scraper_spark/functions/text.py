@@ -221,6 +221,92 @@ def with_repetition_signals(df: "DataFrame", text_col: str = "text") -> "DataFra
     )
 
 
+# --- Gopher rule filter (Rae et al. 2021, appendix A1) ---------------------
+
+# The Gopher paper's own "stop word" inventory for rule G5 (distinct
+# from the language-ID STOPWORDS above, which are a scoring heuristic).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+GOPHER_SIGNAL_COLS = (
+    "n_words",
+    "mean_word_len",
+    "frac_alpha_words",
+    "n_stopwords",
+    "symbol_ratio",
+    "keep",
+)
+
+_SYMBOL_RE = r"#|\.\.\.|…"
+
+
+def with_gopher_rules(
+    df: "DataFrame",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> "DataFrame":
+    """Append the Gopher document-quality rule signals and the combined
+    keep/drop verdict (Rae et al. 2021 "Scaling Language Models",
+    appendix A1 — the public corpus-filtering recipe):
+
+    - G1 word count within [min_words, max_words]
+    - G2 mean word length within [3, 10]
+    - G3 symbol-to-word ratio ('#' or ellipsis) <= 0.1
+    - G4 >= 80% of words contain at least one alphabetic character
+    - G5 >= 2 of Gopher's stop words appear
+
+    (The paper's remaining rules — duplicate-line fraction and top
+    n-gram share — ship separately as `with_repetition_signals`; the
+    curation-funnel query composes both families.)
+
+    All five signals are single-pass JVM codegen over one staged token
+    array: a pure projection, no shuffle, no Python.  At 100 TB this is
+    scan-bound — exactly the shape a corpus-wide quality pass must have.
+    `min_words` is a knob because Gopher's 50-word floor is tuned for
+    web pages; synthetic/benchmark corpora pick a floor that exercises
+    both branches.
+
+    Generalizes the reference's keyword/length row filters
+    (/root/reference/scraper/home_depo.py:149-153) to the corpus-QA
+    rule set a training-data pipeline runs before tokenization.
+    """
+    col = F.col(text_col)
+    staged = df.withColumn("__toks", F.split(col, " "))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    nd = n.cast("double")
+    mwl = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / nd,
+        6,
+    )
+    alpha = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / nd, 6
+    )
+    stop = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*GOPHER_STOPWORDS))
+    ).cast("long")
+    sym = F.round(F.regexp_count(col, F.lit(_SYMBOL_RE)) / nd, 6)
+    out = staged.select(
+        *df.columns,
+        n.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha.alias("frac_alpha_words"),
+        stop.alias("n_stopwords"),
+        sym.alias("symbol_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
 @F.pandas_udf(T.StringType())
 def nfc_normalize_udf(s: pd.Series) -> pd.Series:
     """Unicode NFC normalization, Arrow-batched.

@@ -1,0 +1,112 @@
+"""Adaptive revisit scheduling — estimate each page's change rate from
+its fetch history and derive the freshness-optimal recrawl interval.
+
+The estimator is Cho & Garcia-Molina's improved Poisson change-rate
+estimator (ACM TOIT 2003, "Estimating Frequency of Change"): with n
+consecutive-fetch intervals of mean length ī and X of them showing a
+changed page,
+
+    lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) / ī
+
+(the +0.5 terms are the paper's bias correction, keeping the estimate
+finite when every interval changed).  The revisit interval is
+1/lambda_hat, clamped to [min_interval, max_interval] — pages that
+never change drift toward the cap, hot pages toward the floor.
+
+This generalizes the reference's FIXED cron cadences
+(/root/reference/docs/CRON_SCHEDULE_RECOMMENDATIONS.md:20-55 — e.g.
+hourly for Home Depot plus a Monday-evening burst precisely BECAUSE the
+operator observed registrations change Monday 16:00-19:00) into the
+closed-loop policy a 10^10-URL frontier needs: nobody hand-tunes 10^10
+cron lines.
+
+Shape at scale: one window over (page, ts) to pair consecutive fetches
+(a single shuffle by page — the same partitioning the snapshot store
+already has), then one groupBy(page).  Everything is codegen arithmetic;
+exact-oracle-able because the change flag, the interval sum, and the
+estimator are all order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def change_rate_schedule(
+    observations: DataFrame,
+    page_col: str = "page",
+    ts_col: str = "ts",
+    changed_col: str = "changed",
+    min_interval_days: float = 1.0 / 24,
+    max_interval_days: float = 30.0,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-page change-rate estimate and revisit interval:
+    (page, n_obs, n_changes, lambda_hat, revisit_days).
+
+    ``observations`` carries one row per historical fetch with a
+    precomputed 0/1 ``changed`` flag vs the previous fetch (the
+    snapshot-change-detection operator, plans/queries.py::d4, produces
+    exactly this).  The first observation of a page has no prior; its
+    flag is ignored.  ``order_cols`` breaks timestamp ties
+    deterministically (e.g. an event id).
+
+    Pages with a single observation have no intervals; they get the
+    max interval (nothing is known, deafult to the cheapest schedule).
+    """
+    w = Window.partitionBy(page_col).orderBy(ts_col, *order_cols)
+    seq = observations.select(
+        F.col(page_col).alias("page"),
+        # NTZ-safe: unix_micros requires TIMESTAMP; the max-min
+        # difference below is timezone-shift-invariant either way
+        F.col(ts_col).cast("timestamp").alias("__ts"),
+        F.col(changed_col).cast("long").alias("__chg"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    agg = seq.groupBy("page").agg(
+        F.count("*").alias("n_obs"),
+        # exclude the first fetch: it has no previous snapshot to differ from
+        F.sum(F.when(F.col("__rn") > 1, F.col("__chg")).otherwise(0)).alias(
+            "n_changes"
+        ),
+        F.unix_micros(F.max("__ts")).alias("__max_us"),
+        F.unix_micros(F.min("__ts")).alias("__min_us"),
+    )
+    n_int = (F.col("n_obs") - 1).cast("double")
+    # ANSI-safe: every division sits inside a CASE branch that already
+    # proved the denominator nonzero (CaseWhen evaluates lazily), so
+    # Spark 4's default ANSI mode never sees a divide-by-zero.
+    mean_interval_days = (
+        (F.col("__max_us") - F.col("__min_us")).cast("double")
+        / F.greatest(n_int, F.lit(1.0))
+        / F.lit(86_400_000_000.0)
+    )
+    lam = F.when(
+        mean_interval_days > 0,
+        -F.log(
+            (n_int - F.col("n_changes") + F.lit(0.5)) / (n_int + F.lit(0.5))
+        )
+        / mean_interval_days,
+    ).otherwise(F.lit(0.0))
+    revisit = F.least(
+        F.greatest(
+            F.when(lam > 0, F.lit(1.0) / lam).otherwise(
+                F.lit(float(max_interval_days))
+            ),
+            F.lit(float(min_interval_days)),
+        ),
+        F.lit(float(max_interval_days)),
+    )
+    single = F.col("n_obs") <= 1
+    return agg.select(
+        "page",
+        "n_obs",
+        "n_changes",
+        F.when(single, F.lit(0.0))
+        .otherwise(F.round(lam, 6))
+        .alias("lambda_hat"),
+        F.when(single, F.lit(float(max_interval_days)))
+        .otherwise(F.round(revisit, 6))
+        .alias("revisit_days"),
+    )

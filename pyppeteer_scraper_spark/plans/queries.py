@@ -1,4 +1,4 @@
-"""Query registry (78 entries, 70 DuckDB-oracled) — every
+"""Query registry (90 entries, 81 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -2266,6 +2266,188 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS start_tok
+      FROM d
+    )
+    SELECT doc_id, n_tokens, start_tok,
+           start_tok // 512 AS first_seq,
+           CASE WHEN n_tokens > 0
+                THEN (start_tok + n_tokens - 1) // 512
+                ELSE start_tok // 512 END AS last_seq,
+           CASE WHEN n_tokens > 0
+                THEN (start_tok + n_tokens - 1) // 512
+                     - start_tok // 512 + 1
+                ELSE 0 END AS n_seqs
+    FROM p
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM sequence packing: concatenate docs in id order, cut the token
+    stream every 512 tokens, report each doc's sequence span.  The
+    Spark side is the two-pass distributed prefix sum (never a global
+    single-task window); the oracle is the naive global window —
+    agreeing bit-for-bit proves the distributed decomposition."""
+    from pyppeteer_scraper_spark.functions.text import ws_token_count
+    from pyppeteer_scraper_spark.operators.packing import (
+        pack_token_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_token_stream(docs, capacity=512, bucket_size=64)
+
+
+@query(
+    "d6_adaptive_revisit",
+    """
+    WITH obs AS (
+      SELECT user_id AS page, ts, event_id,
+             CASE WHEN abs(value - lag(value) OVER w) > 100
+                  THEN 1 ELSE 0 END AS changed
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), agg AS (
+      SELECT page, count(*) AS n_obs, sum(changed) AS n_changes,
+             epoch_us(max(ts)) AS max_us, epoch_us(min(ts)) AS min_us
+      FROM obs GROUP BY page
+    )
+    SELECT page, n_obs, n_changes,
+      round(-ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
+            / ((max_us - min_us) * 1.0 / (n_obs - 1) / 86400000000.0),
+            6) AS lambda_hat,
+      CASE WHEN n_changes = 0 THEN 30.0  -- lambda=0: 1/0 is +inf on the
+           -- Spark side and clamps to the cap; DuckDB's decimal 1/0 is
+           -- NULL and its least/greatest SKIP nulls, so spell the
+           -- branch out instead of relying on IEEE semantics
+           ELSE round(least(greatest(
+        1.0 / (-ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
+               / ((max_us - min_us) * 1.0 / (n_obs - 1) / 86400000000.0)),
+        1.0 / 24), 30.0), 6) END AS revisit_days
+    FROM agg
+    """,
+)
+def d6_adaptive_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (Cho & Garcia-Molina 2003 improved
+    change-rate estimator) over the event stream treated as per-page
+    fetch history: value jumps > 100 are 'page changed' observations;
+    the oracle re-derives the full estimator in SQL.  Replaces the
+    reference's hand-tuned cron cadences with a closed-loop policy."""
+    from pyppeteer_scraper_spark.operators.revisit import (
+        change_rate_schedule,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = ev.select(
+        F.col("user_id").alias("page"),
+        "ts",
+        "event_id",
+        F.when(
+            F.abs(F.col("value") - F.lag("value").over(w)) > 100, 1
+        )
+        .otherwise(0)
+        .alias("changed"),
+    )
+    return change_rate_schedule(obs, order_cols=("event_id",))
+
+
+@query(
+    "rank_trap_patterns",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(o_custkey % 20 AS VARCHAR) || '.example' AS domain,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN '/cal/' || strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE '/p/' || CAST(o_orderkey % 40 AS VARCHAR)
+             END AS path
+      FROM orders
+    )
+    SELECT domain, regexp_replace(path, '[0-9]+', 'N', 'g') AS pattern,
+           count(DISTINCT path) AS n_urls, count(*) AS n_hits,
+           CAST(count(DISTINCT path) >= 100 AS INT) AS is_trap
+    FROM u GROUP BY domain, pattern
+    """,
+)
+def rank_trap_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection over a deterministic URL universe derived
+    from `orders`: a calendar template (one URL per order date — the
+    unbounded trap) vs a bounded product catalog.  The aggregate keys
+    on (domain, digit-collapsed pattern); the oracle re-derives the
+    whole universe in SQL."""
+    from pyppeteer_scraper_spark.operators.traps import trap_patterns
+
+    o = load_table(spark, sf_dir, "orders")
+    domain = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 20).cast("string"), F.lit(".example")
+    )
+    path = F.when(
+        F.col("o_orderkey") % 5 == 0,
+        F.concat(
+            F.lit("/cal/"), F.date_format("o_orderdate", "yyyy-MM-dd")
+        ),
+    ).otherwise(
+        F.concat(F.lit("/p/"), (F.col("o_orderkey") % 40).cast("string"))
+    )
+    urls = o.select(domain.alias("domain"), path.alias("path"))
+    return trap_patterns(urls, min_distinct_urls=100)
+
+
+@query(
+    "text_gopher_rules",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(toks) AS n_words,
+        round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+              / len(toks), 6) AS mean_word_len,
+        round(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+              * 1.0 / len(toks), 6) AS frac_alpha_words,
+        len(list_filter(toks, w -> list_contains(
+          ['the','be','to','of','and','that','have','with'], lower(w)
+        ))) AS n_stopwords,
+        round(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) * 1.0
+              / len(toks), 6) AS symbol_ratio
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+           symbol_ratio,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND symbol_ratio <= 0.1
+                AND frac_alpha_words >= 0.8
+                AND n_stopwords >= 2 AS INT) AS keep
+    FROM s
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher rule-filter verdict (Rae et al. 2021 A1): word-count
+    bounds, mean-word-length bounds, symbol ratio, alphabetic-word
+    fraction, stop-word floor — one codegen projection, no shuffle; the
+    DuckDB oracle re-derives every signal with list lambdas (an
+    independent implementation, not a replay)."""
+    from pyppeteer_scraper_spark.functions.text import (
+        GOPHER_SIGNAL_COLS,
+        with_gopher_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_gopher_rules(docs).select("doc_id", *GOPHER_SIGNAL_COLS)
+
+
+@query(
     "text_idf_top_terms",
     """
     WITH tok AS (
@@ -2822,6 +3004,11 @@ _WINDOW_FIRST = [
     "rank_pagerank",
     "dedup_semantic",
     "dedup_substring_coverage",
+    # round-3 session-3 additions
+    "text_gopher_rules",
+    "rank_trap_patterns",
+    "d6_adaptive_revisit",
+    "pack_sequences",
     # round-3 session-2 additions
     "export_shard_plan",
     "text_model_quality",
@@ -2833,6 +3020,11 @@ _WINDOW_FIRST = [
 ]
 
 _WINDOW_TAIL = [
+    # twice-green (r01+r02) queries displaced by session-3 additions
+    "text_lang_id",
+    "text_quality_score",
+    "text_rolling_fingerprint",  # no_oracle rows-only; pytest-covered
+    "sim_lsh_topk",  # no_oracle rows-only; pytest-covered
     # twice-green (r01+r02) core queries displaced by session-2 additions
     "q1_pricing_summary",
     "d1_discovery_anti_join",

@@ -422,6 +422,52 @@ def test_repetition_signals_golden(spark):
     assert r2["dup_word_frac"] == 0.0 and r2["mean_word_len"] == 5.0
 
 
+def test_gopher_rules_planted_branches(spark):
+    """Each Gopher rule rejects exactly its planted violator and the
+    clean document passes all five (Rae et al. 2021 A1 semantics)."""
+    from pyppeteer_scraper_spark.functions.text import with_gopher_rules
+
+    good = "the cat and the dog have been with all of them " + " ".join(
+        ["word"] * 12
+    )  # 23 words, all alpha, mwl in [3,10], stopwords >= 2
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "the of and"),  # G1: below the 5-word floor
+            (3, "the of " + " ".join(["a"] * 20)),  # G2: mean word len < 3
+            (4, good + " # # # # # # # # # # # # # #"),  # G3: symbols
+            (5, "the of " + " ".join(["123"] * 20)),  # G4: non-alpha words
+            (6, " ".join(["word"] * 20)),  # G5: no stop words
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in with_gopher_rules(docs, min_words=5).collect()
+    }
+    assert rows[1]["keep"] == 1
+    assert {d: rows[d]["keep"] for d in (2, 3, 4, 5, 6)} == {
+        2: 0, 3: 0, 4: 0, 5: 0, 6: 0
+    }
+    # signal spot checks
+    assert rows[2]["n_words"] == 3
+    assert rows[3]["mean_word_len"] < 3
+    assert rows[4]["symbol_ratio"] > 0.1
+    assert rows[5]["frac_alpha_words"] < 0.8
+    assert rows[6]["n_stopwords"] == 0
+    # ellipsis counts as a symbol (both spellings)
+    r = {
+        x["doc_id"]: x
+        for x in with_gopher_rules(
+            spark.createDataFrame(
+                [(1, "a ... b …")], "doc_id int, text string"
+            ),
+            min_words=1,
+        ).collect()
+    }
+    assert r[1]["symbol_ratio"] == 0.5
+
+
 def test_real_codecs_roundtrip_and_features(spark):
     """PPM/BMP/WAV decode is REAL (numpy+stdlib): encode→decode is
     pixel/sample-exact, features match direct numpy computation, and the
