@@ -57,6 +57,8 @@ HEADLINE = [
     "rank_trap_patterns",
     "d6_adaptive_revisit",
     "pack_sequences",
+    "text_lm_perplexity",
+    "text_inverted_index",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

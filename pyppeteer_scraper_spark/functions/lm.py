@@ -1,0 +1,96 @@
+"""Unsupervised character-trigram language-model quality scoring — the
+CCNet-style "perplexity filter" (Wenzek et al. 2020): fit an n-gram LM
+on the corpus, score each document by its average token log-probability,
+drop the high-perplexity tail.
+
+This is the unsupervised sibling of the fastText-shaped supervised
+model in functions/classifier.py: no labels, the corpus is its own
+model.  Char trigrams with add-one smoothing keep the whole pipeline
+exactly reproducible in SQL (the public CCNet uses word-piece KenLM —
+a served binary model; the trigram form is the from-scratch analog
+with the same filtering semantics).
+
+Scale shape (all relational, no Python):
+  1. explode docs into (doc, trigram) — O(total chars) rows, the
+     irreducible cost of fitting an n-gram LM;
+  2. trigram counts: groupBy(trigram) — key space bounded by
+     |alphabet|^3, so the aggregate output is tiny however big the
+     corpus; partial aggregation absorbs the fan-in map-side;
+  3. score: join the exploded stream back to the two count tables
+     (trigram, context) — both joins key on bounded-cardinality keys
+     and the count tables are broadcastable at any corpus size;
+  4. per-doc average: groupBy(doc).
+
+The per-position stream is materialized once and reused for fit and
+score (same pass in one job thanks to Spark reusing the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tri) — one row per char-trigram position.
+
+    Guarded for len<3: Spark's ``sequence(1, n)`` DESCENDS when n<1,
+    which would fabricate garbage positions — short docs yield an
+    empty array instead.
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: text.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("__id"), F.explode(tris).alias("tri")
+    )
+
+
+def trigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc LM quality: (id_col, n_trigrams, avg_logp, ppl).
+
+    avg_logp = mean over trigram positions of
+    ln((C(abc)+1) / (C(ab·)+V)) with V = corpus-distinct third
+    characters (add-one smoothing over the observed next-char
+    alphabet); ppl = exp(-avg_logp).  Low-probability (weird) text
+    scores low avg_logp / high ppl — the drop signal.
+    """
+    tg = _doc_trigrams(docs, id_col, text_col)
+    tri_counts = tg.groupBy("tri").agg(F.count("*").alias("c3"))
+    ctx_counts = tri_counts.groupBy(
+        F.substring("tri", 1, 2).alias("ctx")
+    ).agg(F.sum("c3").alias("c2"))
+    # V: one scalar to the driver (bounded by the alphabet)
+    v = (
+        tri_counts.select(
+            F.countDistinct(F.substring("tri", 3, 1)).alias("v")
+        ).collect()[0]["v"]
+    )
+    scored = (
+        tg.join(F.broadcast(tri_counts), "tri")
+        .join(
+            F.broadcast(ctx_counts),
+            F.substring(F.col("tri"), 1, 2) == F.col("ctx"),
+        )
+        .select(
+            "__id",
+            F.log(
+                (F.col("c3") + F.lit(1.0))
+                / (F.col("c2") + F.lit(1.0) * F.lit(float(v)))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logp"),
+        F.round(F.exp(-F.avg("lp")), 3).alias("ppl"),
+    ).withColumnRenamed("__id", id_col)

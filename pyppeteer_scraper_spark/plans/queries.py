@@ -2266,6 +2266,93 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_lm_perplexity",
+    """
+    WITH tg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               CASE WHEN length(text) >= 3
+                    THEN generate_series(1, length(text) - 2)
+                    ELSE [] END,
+               i -> substring(text, i, 3)
+             )) AS tri
+      FROM documents
+    ), tri_c AS (
+      SELECT tri, count(*) AS c3 FROM tg GROUP BY tri
+    ), ctx_c AS (
+      SELECT substring(tri, 1, 2) AS ctx, sum(c3) AS c2
+      FROM tri_c GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT substring(tri, 3, 1)) AS v FROM tri_c
+    ), scored AS (
+      SELECT tg.doc_id,
+             ln((tc.c3 + 1.0) / (cc.c2 + 1.0 * v.v)) AS lp
+      FROM tg
+      JOIN tri_c tc USING (tri)
+      JOIN ctx_c cc ON substring(tg.tri, 1, 2) = cc.ctx, v
+    )
+    SELECT doc_id, count(*) AS n_trigrams,
+           round(avg(lp), 6) AS avg_logp,
+           round(exp(-avg(lp)), 3) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unsupervised LM quality filter: corpus-fit char-
+    trigram model with add-one smoothing, per-doc average log-prob and
+    perplexity.  The DuckDB oracle refits the whole model in SQL — an
+    independent second implementation of fit AND score."""
+    from pyppeteer_scraper_spark.functions.lm import trigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return trigram_lm_scores(docs)
+
+
+@query(
+    "text_inverted_index",
+    """
+    WITH t AS (
+      SELECT DISTINCT token, doc_id FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      )
+    )
+    SELECT token, count(*) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM t GROUP BY token
+    ORDER BY df DESC, token LIMIT 100
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (token -> sorted posting list),
+    top-100 terms by document frequency.  One distinct + one groupBy
+    shuffle; posting lists serialize to a canonical comma-joined string
+    so both engines hash identically.  Skew note: stopword tokens'
+    lists are bounded by n_docs; a production index would chunk
+    postings per (token, shard) — the groupBy key simply gains the
+    shard id."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return (
+        t.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(100)
+    )
+
+
+@query(
     "pack_sequences",
     """
     WITH d AS (
@@ -3009,6 +3096,8 @@ _WINDOW_FIRST = [
     "rank_trap_patterns",
     "d6_adaptive_revisit",
     "pack_sequences",
+    "text_lm_perplexity",
+    "text_inverted_index",
     # round-3 session-2 additions
     "export_shard_plan",
     "text_model_quality",
@@ -3025,6 +3114,8 @@ _WINDOW_TAIL = [
     "text_quality_score",
     "text_rolling_fingerprint",  # no_oracle rows-only; pytest-covered
     "sim_lsh_topk",  # no_oracle rows-only; pytest-covered
+    "sim_ivf_topk",  # no_oracle rows-only; pytest-covered
+    "dedup_ngram_jaccard",  # bounded-verifier twin of lsh_verified (in window)
     # twice-green (r01+r02) core queries displaced by session-2 additions
     "q1_pricing_summary",
     "d1_discovery_anti_join",
