@@ -17,8 +17,10 @@ Scale shape (all relational, no Python):
      |alphabet|^3, so the aggregate output is tiny however big the
      corpus; partial aggregation absorbs the fan-in map-side;
   3. score: join the exploded stream back to the two count tables
-     (trigram, context) — both joins key on bounded-cardinality keys
-     and the count tables are broadcastable at any corpus size;
+     (trigram, context) — both joins key on bounded-cardinality keys;
+     the count tables broadcast behind a driver-side cardinality guard
+     (ASCII corpora always qualify; a full-Unicode corpus can observe
+     billions of distinct trigrams, past the bound the joins shuffle);
   4. per-doc average: groupBy(doc).
 
 The per-position stream is materialized once and reused for fit and
@@ -66,19 +68,29 @@ def trigram_lm_scores(
     """
     tg = _doc_trigrams(docs, id_col, text_col)
     tri_counts = tg.groupBy("tri").agg(F.count("*").alias("c3"))
+    # One action fetches BOTH the smoothing alphabet size V and the
+    # model cardinality.  The broadcast hint is cardinality-GUARDED
+    # (same policy as the politeness dom_counts broadcast): an ASCII
+    # corpus has <=128^3 trigram keys and broadcasts, but a
+    # full-Unicode 100-TB corpus can observe billions of distinct
+    # trigrams — past the bound the joins fall back to shuffle and the
+    # bounded-key groupBy output co-partitions them cheaply.
+    stats = tri_counts.agg(
+        F.countDistinct(F.substring("tri", 3, 1)).alias("v"),
+        F.count("*").alias("n_keys"),
+    ).collect()[0]
+    v = stats["v"]
+    model_broadcastable = stats["n_keys"] <= 4_000_000
     ctx_counts = tri_counts.groupBy(
         F.substring("tri", 1, 2).alias("ctx")
     ).agg(F.sum("c3").alias("c2"))
-    # V: one scalar to the driver (bounded by the alphabet)
-    v = (
-        tri_counts.select(
-            F.countDistinct(F.substring("tri", 3, 1)).alias("v")
-        ).collect()[0]["v"]
-    )
+    if model_broadcastable:
+        tri_counts = F.broadcast(tri_counts)
+        ctx_counts = F.broadcast(ctx_counts)
     scored = (
-        tg.join(F.broadcast(tri_counts), "tri")
+        tg.join(tri_counts, "tri")
         .join(
-            F.broadcast(ctx_counts),
+            ctx_counts,
             F.substring(F.col("tri"), 1, 2) == F.col("ctx"),
         )
         .select(

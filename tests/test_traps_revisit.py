@@ -63,6 +63,62 @@ def test_demote_trap_urls_only_pending_matching_rows(spark):
     assert set(out) == {r["url"] for r in frontier.collect()}
 
 
+def test_traps_demote_live_frontier_between_legs(spark, sf_small, tmp_path):
+    """Close the loop into the live scheduler, mirroring the link-rank
+    hook: after a crawl leg, trap templates mined from the frontier's
+    own URLs demote matching pending rows (the datagen mega-host's
+    unbounded /pN template is exactly the trap shape), touching nothing
+    else — ready for the next resume leg."""
+    from pyppeteer_scraper_spark.operators.traps import (
+        demote_trap_urls,
+        strip_scheme_host,
+        trap_patterns,
+    )
+    from pyppeteer_scraper_spark.plans.checkpoint import crawl
+    from pyppeteer_scraper_spark.sources.datagen import generate_crawl_tables
+
+    t = generate_crawl_tables(spark, sf_small)
+    res = crawl(
+        spark, t["pages"], t["seeds"], t["robots"], 2,
+        str(tmp_path / "trapleg"),
+    )
+    frontier = res.state.frontier
+    urls = frontier.select(
+        "domain", strip_scheme_host(F.col("url")).alias("path")
+    )
+    # threshold at the largest template: only the mega-host trips
+    counts = trap_patterns(urls, min_distinct_urls=1)
+    top = counts.agg(F.max("n_urls").alias("m")).collect()[0]["m"]
+    traps = trap_patterns(urls, min_distinct_urls=top)
+    n_traps = traps.filter(F.col("is_trap") == 1).count()
+    assert 1 <= n_traps < counts.count()
+
+    out = demote_trap_urls(frontier, traps, demoted_priority=3)
+    assert out.columns == frontier.columns
+    before = {
+        r["url"]: (r["priority"], r["state"], r["domain"])
+        for r in frontier.collect()
+    }
+    trap_keys = {
+        (r["domain"], r["pattern"])
+        for r in traps.filter(F.col("is_trap") == 1).collect()
+    }
+    import re
+
+    demoted = 0
+    for r in out.collect():
+        p0, st, dom = before[r["url"]]
+        path = re.sub(r"^[a-z][a-z0-9+.-]*://[^/]*", "", r["url"])
+        pat = re.sub(r"[0-9]+", "N", path)
+        if st == "pending" and (dom, pat) in trap_keys:
+            assert r["priority"] == max(p0, 3)
+            if r["priority"] != p0:
+                demoted += 1
+        else:
+            assert r["priority"] == p0, r["url"]
+    assert demoted > 0
+
+
 def test_change_rate_schedule_hand_computed(spark):
     from pyppeteer_scraper_spark.operators.revisit import (
         change_rate_schedule,
