@@ -59,6 +59,7 @@ HEADLINE = [
     "pack_sequences",
     "text_lm_perplexity",
     "text_inverted_index",
+    "text_vocab_oov",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

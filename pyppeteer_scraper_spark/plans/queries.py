@@ -1,4 +1,4 @@
-"""Query registry (90 entries, 81 DuckDB-oracled) — every
+"""Query registry (94 entries, 85 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -2353,6 +2353,61 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_vocab_oov",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS tf FROM tok GROUP BY token
+        ORDER BY tf DESC, token LIMIT 20
+      )
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+           round(count(*) FILTER (WHERE v.token IS NULL) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep coverage check: fit a frequency top-k vocabulary
+    on the corpus, report per-doc out-of-vocabulary token counts/rate.
+    The vocab aggregate's key space is the token vocabulary (bounded
+    far below corpus size, partial-agg absorbed map-side); the top-k
+    under a total order (tf desc, token) is deterministic across
+    engines; the membership join broadcasts the tiny vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), "token")
+        .limit(20)
+        .select("token", F.lit(True).alias("__in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6),
+        )
+    )
+
+
+@query(
     "pack_sequences",
     """
     WITH d AS (
@@ -3098,6 +3153,7 @@ _WINDOW_FIRST = [
     "pack_sequences",
     "text_lm_perplexity",
     "text_inverted_index",
+    "text_vocab_oov",
     # round-3 session-2 additions
     "export_shard_plan",
     "text_model_quality",
@@ -3116,6 +3172,7 @@ _WINDOW_TAIL = [
     "sim_lsh_topk",  # no_oracle rows-only; pytest-covered
     "sim_ivf_topk",  # no_oracle rows-only; pytest-covered
     "dedup_ngram_jaccard",  # bounded-verifier twin of lsh_verified (in window)
+    "sim_similar_pairs_exact",  # demoted crossJoin verifier twin (r02-green)
     # twice-green (r01+r02) core queries displaced by session-2 additions
     "q1_pricing_summary",
     "d1_discovery_anti_join",
