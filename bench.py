@@ -60,6 +60,7 @@ HEADLINE = [
     "text_lm_perplexity",
     "text_inverted_index",
     "text_vocab_oov",
+    "text_curation_funnel_full",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -1,4 +1,4 @@
-"""Query registry (94 entries, 85 DuckDB-oracled) — every
+"""Query registry (95 entries, 86 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -2678,6 +2678,102 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_curation_funnel_full",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
+               FROM documents),
+    g AS (SELECT doc_id, text, l,
+                 list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                   AS grams
+          FROM t),
+    sig AS (
+      SELECT doc_id,
+             len(l) AS n_words,
+             len(list_filter(l, w -> list_contains(
+               ['the','be','to','of','and','that','have','with'], lower(w)
+             ))) AS n_stopwords,
+             round(len(list_filter(l, w -> regexp_matches(w, '[A-Za-z]')))
+                   * 1.0 / len(l), 6) AS frac_alpha_words,
+             round(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) * 1.0
+                   / len(l), 6) AS symbol_ratio,
+             round(1.0 - len(list_distinct(l)) * 1.0 / len(l), 6) AS dwf,
+             round(CASE WHEN len(grams)=0 THEN 0.0 ELSE
+               list_max(list_transform(list_distinct(grams),
+                        gg -> len(list_filter(grams, x -> x = gg)))) * 1.0
+                 / len(grams) END, 6) AS t2f
+      FROM g),
+    tg AS (
+      SELECT doc_id, unnest(list_transform(
+               CASE WHEN length(text) >= 3
+                    THEN generate_series(1, length(text) - 2) ELSE [] END,
+               i -> substring(text, i, 3))) AS tri
+      FROM documents
+    ), tri_c AS (SELECT tri, count(*) AS c3 FROM tg GROUP BY tri),
+    ctx_c AS (SELECT substring(tri, 1, 2) AS ctx, sum(c3) AS c2
+              FROM tri_c GROUP BY 1),
+    v AS (SELECT count(DISTINCT substring(tri, 3, 1)) AS v FROM tri_c),
+    lm AS (
+      SELECT doc_id, round(exp(-avg(lp)), 3) AS ppl FROM (
+        SELECT tg.doc_id, ln((tc.c3 + 1.0) / (cc.c2 + 1.0 * v.v)) AS lp
+        FROM tg JOIN tri_c tc USING (tri)
+        JOIN ctx_c cc ON substring(tg.tri, 1, 2) = cc.ctx, v
+      ) GROUP BY doc_id)
+    SELECT CASE WHEN n_words < 30 THEN 'too_short'
+                WHEN n_stopwords < 2 THEN 'no_stopwords'
+                WHEN frac_alpha_words < 0.8 OR symbol_ratio > 0.1
+                  THEN 'charset'
+                WHEN t2f > 0.07 THEN 'repetitive_2grams'
+                WHEN dwf > 0.6 THEN 'repetitive_words'
+                WHEN ppl > 2.25 THEN 'high_perplexity'
+                ELSE 'kept' END AS verdict,
+           count(*) AS n, min(sig.doc_id) AS min_id
+    FROM sig JOIN lm USING (doc_id) GROUP BY 1
+    """,
+)
+def text_curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone funnel composing every quality family the engine ships
+    — Gopher rules (length, stop words, charset), repetition signals,
+    and the corpus-fit LM perplexity tail — into one first-failing-
+    rule-wins drop verdict, exactly the C4→Gopher→CCNet ordering the
+    public pipelines run.  The oracle re-derives ALL signal families
+    plus the LM fit in one SQL statement."""
+    from pyppeteer_scraper_spark.functions.lm import trigram_lm_scores
+    from pyppeteer_scraper_spark.functions.text import (
+        with_gopher_rules,
+        with_repetition_signals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = with_gopher_rules(docs).select(
+        "doc_id", "n_words", "n_stopwords", "frac_alpha_words",
+        "symbol_ratio",
+    )
+    rep = with_repetition_signals(docs).select(
+        "doc_id", "top_2gram_frac", "dup_word_frac"
+    )
+    lm = trigram_lm_scores(docs).select("doc_id", "ppl")
+    sig = g.join(rep, "doc_id").join(lm, "doc_id")
+    verdict = (
+        F.when(F.col("n_words") < 30, F.lit("too_short"))
+        .when(F.col("n_stopwords") < 2, F.lit("no_stopwords"))
+        .when(
+            (F.col("frac_alpha_words") < 0.8)
+            | (F.col("symbol_ratio") > 0.1),
+            F.lit("charset"),
+        )
+        .when(F.col("top_2gram_frac") > 0.07, F.lit("repetitive_2grams"))
+        .when(F.col("dup_word_frac") > 0.6, F.lit("repetitive_words"))
+        .when(F.col("ppl") > 2.25, F.lit("high_perplexity"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        sig.select("doc_id", verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@query(
     "j_asof_prior_view",
     """
     WITH v AS (
@@ -3154,6 +3250,7 @@ _WINDOW_FIRST = [
     "text_lm_perplexity",
     "text_inverted_index",
     "text_vocab_oov",
+    "text_curation_funnel_full",
     # round-3 session-2 additions
     "export_shard_plan",
     "text_model_quality",
@@ -3173,6 +3270,7 @@ _WINDOW_TAIL = [
     "sim_ivf_topk",  # no_oracle rows-only; pytest-covered
     "dedup_ngram_jaccard",  # bounded-verifier twin of lsh_verified (in window)
     "sim_similar_pairs_exact",  # demoted crossJoin verifier twin (r02-green)
+    "dedup_keep_transitive",  # r02-green; components query stays in window
     # twice-green (r01+r02) core queries displaced by session-2 additions
     "q1_pricing_summary",
     "d1_discovery_anti_join",
