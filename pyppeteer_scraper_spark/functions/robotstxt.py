@@ -100,3 +100,32 @@ def parse_robots_rules(
         (F.col("directive") == "allow").alias("allow"),
     )
     return rules.distinct().join(delays, "domain", "left")
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Extract ``Sitemap:`` directives: (domain, sitemap_url).
+
+    Per RFC 9309 §2.3 / sitemaps.org, ``Sitemap`` lines are
+    GROUP-INDEPENDENT — they apply regardless of user-agent groups, so
+    this is a pure line scan (no group windows): split lines, strip
+    inline comments, keep full absolute URLs.  The output is the fetch
+    list that feeds :func:`sources.sitemaps.parse_sitemaps`, chaining
+    robots discovery into the sitemap seed wave.
+    """
+    dom = F.col(domain_col)
+    lines = df.select(
+        dom.alias("domain"),
+        F.explode(F.split(F.col(text_col), "\r?\n")).alias("raw"),
+    ).select(
+        "domain",
+        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    )
+    kv = lines.filter(F.lower(F.col("line")).startswith("sitemap:")).select(
+        "domain",
+        F.trim(F.expr("substring(line, 9)")).alias("sitemap_url"),
+    )
+    return kv.filter(F.col("sitemap_url") != "").distinct()

@@ -66,3 +66,31 @@ def test_delay_only_group_and_allow_all_default(spark):
     assert all(d != "open.example" and d != "slow.example" for d, _ in got)
     assert got[("multi.example", "/x")] == (False, 4000)
     assert got[("multi.example", "/y")] == (False, 4000)
+
+
+def test_robots_sitemaps_group_independent(spark):
+    from pyppeteer_scraper_spark.functions.robotstxt import robots_sitemaps
+
+    txt = (
+        "User-agent: somebot\r\n"
+        "Disallow: /private\r\n"
+        "Sitemap: https://a.example/sitemap.xml  # comment\r\n"
+        "\n"
+        "User-agent: *\n"
+        "SITEMAP: https://a.example/sitemap-news.xml\n"
+        "Sitemap:\n"  # empty value dropped
+    )
+    df = spark.createDataFrame(
+        [("a.example", txt), ("b.example", "User-agent: *\nDisallow: /x")],
+        "domain string, robots_txt string",
+    )
+    out = {
+        (r["domain"], r["sitemap_url"])
+        for r in robots_sitemaps(df).collect()
+    }
+    # directives surface regardless of which UA group encloses them,
+    # case-insensitively, comments stripped; no-directive domain absent
+    assert out == {
+        ("a.example", "https://a.example/sitemap.xml"),
+        ("a.example", "https://a.example/sitemap-news.xml"),
+    }
