@@ -23,8 +23,13 @@ Scale shape (all relational, no Python):
      billions of distinct trigrams, past the bound the joins shuffle);
   4. per-doc average: groupBy(doc).
 
-The per-position stream is materialized once and reused for fit and
-score (same pass in one job thanks to Spark reusing the scan).
+The trigram-count table (tiny: bounded by |alphabet|^3) is persist()ed
+before the fit statistics are collected, so the O(total-chars) explode
+runs exactly twice — once to FIT (materializing the cached counts) and
+once as the SCORE stream — instead of replaying for the stats collect,
+the trigram join, and the context aggregate separately.  (Uncached
+DataFrames do NOT reuse scans across actions; the round-3 version
+re-ran the corpus explode up to 4x.)
 """
 
 from __future__ import annotations
@@ -67,7 +72,13 @@ def trigram_lm_scores(
     scores low avg_logp / high ppl — the drop signal.
     """
     tg = _doc_trigrams(docs, id_col, text_col)
-    tri_counts = tg.groupBy("tri").agg(F.count("*").alias("c3"))
+    # persist the model table BEFORE the stats collect: it is bounded
+    # by |alphabet|^3 rows however large the corpus, and the collect
+    # below materializes the cache, so the corpus-wide explode is not
+    # replayed for the context aggregate or the scoring joins.
+    tri_counts = (
+        tg.groupBy("tri").agg(F.count("*").alias("c3")).persist()
+    )
     # One action fetches BOTH the smoothing alphabet size V and the
     # model cardinality.  The broadcast hint is cardinality-GUARDED
     # (same policy as the politeness dom_counts broadcast): an ASCII

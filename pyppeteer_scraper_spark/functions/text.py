@@ -30,8 +30,14 @@ BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def ws_token_count(col) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(col, r"\s+")).cast("long")
+    """Whitespace token count — single-space split semantics, exactly
+    ``len(string_split(text, ' '))``: consecutive spaces and tabs yield
+    empty-string tokens that ARE counted.  This is the one tokenizer
+    shared by every text-family oracle; do not silently change it to a
+    ``\\s+`` split (the two agree only on single-spaced text — the
+    round-3 version used ``\\s+`` and diverged on multi-space/tab
+    input, see tests/test_dedup_similarity_text.py)."""
+    return F.size(F.split(col, " ", -1)).cast("long")
 
 
 def bpe_ish_token_count(col) -> Column:

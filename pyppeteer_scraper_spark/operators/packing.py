@@ -56,10 +56,15 @@ def pack_token_stream(
     and get first_seq = last_seq = the sequence they sit between,
     n_seqs = 0).
     """
+    # `div` is exact integer division on longs; float division +
+    # cast('long') can cross an integer boundary via IEEE rounding for
+    # offsets beyond ~2^45 with non-power-of-two divisors.
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
-        (F.col(id_col) / F.lit(bucket_size)).cast("long").alias("__bucket"),
+        F.expr(
+            f"cast({id_col} as bigint) div {int(bucket_size)}"
+        ).alias("__bucket"),
     )
     # pass 1: per-bucket totals (tiny)
     btotals = base.groupBy("__bucket").agg(
@@ -87,13 +92,12 @@ def pack_token_stream(
             + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)),
         )
     )
-    first_seq = (F.col("start_tok") / capacity).cast("long")
+    cap = int(capacity)
+    first_seq = F.expr(f"start_tok div {cap}")
     # last token of the doc sits at start_tok + n_tokens - 1
     last_seq = F.when(
         F.col("n_tokens") > 0,
-        ((F.col("start_tok") + F.col("n_tokens") - 1) / capacity).cast(
-            "long"
-        ),
+        F.expr(f"(start_tok + n_tokens - 1) div {cap}"),
     ).otherwise(first_seq)
     return placed.select(
         F.col("doc_id").alias(id_col),

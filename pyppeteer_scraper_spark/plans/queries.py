@@ -2414,22 +2414,25 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
       FROM documents
     ), p AS (
+      -- DuckDB integer sum() yields HUGEINT; CAST to BIGINT so the
+      -- driver's value hash matches Spark's int64 (cf. the same cast
+      -- in dedup_substring_coverage).
       SELECT doc_id, n_tokens,
-             coalesce(sum(n_tokens) OVER (
+             CAST(coalesce(sum(n_tokens) OVER (
                ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) AS start_tok
+             ), 0) AS BIGINT) AS start_tok
       FROM d
     )
     SELECT doc_id, n_tokens, start_tok,
-           start_tok // 512 AS first_seq,
-           CASE WHEN n_tokens > 0
+           CAST(start_tok // 512 AS BIGINT) AS first_seq,
+           CAST(CASE WHEN n_tokens > 0
                 THEN (start_tok + n_tokens - 1) // 512
-                ELSE start_tok // 512 END AS last_seq,
-           CASE WHEN n_tokens > 0
+                ELSE start_tok // 512 END AS BIGINT) AS last_seq,
+           CAST(CASE WHEN n_tokens > 0
                 THEN (start_tok + n_tokens - 1) // 512
                      - start_tok // 512 + 1
-                ELSE 0 END AS n_seqs
+                ELSE 0 END AS BIGINT) AS n_seqs
     FROM p
     """,
 )
@@ -2460,15 +2463,23 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), agg AS (
-      SELECT page, count(*) AS n_obs, sum(changed) AS n_changes,
+      -- CAST: DuckDB integer sum() is HUGEINT, which breaks the
+      -- driver's value hash vs Spark's int64
+      SELECT page, count(*) AS n_obs,
+             CAST(sum(changed) AS BIGINT) AS n_changes,
              epoch_us(max(ts)) AS max_us, epoch_us(min(ts)) AS min_us
       FROM obs GROUP BY page
     )
     SELECT page, n_obs, n_changes,
-      round(-ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
+      CASE WHEN n_obs <= 1 OR max_us = min_us THEN 0.0
+           -- singleton pages / zero-span histories: the Spark side
+           -- (operators/revisit.py `single` + `mean_interval_days > 0`
+           -- guards) pins lambda_hat to 0 and the interval to the cap
+           ELSE round(-ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
             / ((max_us - min_us) * 1.0 / (n_obs - 1) / 86400000000.0),
-            6) AS lambda_hat,
-      CASE WHEN n_changes = 0 THEN 30.0  -- lambda=0: 1/0 is +inf on the
+            6) END AS lambda_hat,
+      CASE WHEN n_obs <= 1 OR max_us = min_us THEN 30.0
+           WHEN n_changes = 0 THEN 30.0  -- lambda=0: 1/0 is +inf on the
            -- Spark side and clamps to the cap; DuckDB's decimal 1/0 is
            -- NULL and its least/greatest SKIP nulls, so spell the
            -- branch out instead of relying on IEEE semantics
@@ -2727,7 +2738,10 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN ppl > 2.25 THEN 'high_perplexity'
                 ELSE 'kept' END AS verdict,
            count(*) AS n, min(sig.doc_id) AS min_id
-    FROM sig JOIN lm USING (doc_id) GROUP BY 1
+    -- LEFT join: docs under 3 chars emit no trigram and hence no lm
+    -- row; they must still be counted (the earlier rules — too_short
+    -- first — catch them; a NULL ppl never fires high_perplexity)
+    FROM sig LEFT JOIN lm USING (doc_id) GROUP BY 1
     """,
 )
 def text_curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2752,7 +2766,11 @@ def text_curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "top_2gram_frac", "dup_word_frac"
     )
     lm = trigram_lm_scores(docs).select("doc_id", "ppl")
-    sig = g.join(rep, "doc_id").join(lm, "doc_id")
+    # LEFT join: sub-trigram docs have no LM row but must still flow
+    # through the verdict (too_short fires before the ppl rule; a NULL
+    # ppl comparison is never true, so such docs can't leak to
+    # high_perplexity)
+    sig = g.join(rep, "doc_id").join(lm, "doc_id", "left")
     verdict = (
         F.when(F.col("n_words") < 30, F.lit("too_short"))
         .when(F.col("n_stopwords") < 2, F.lit("no_stopwords"))
@@ -2847,28 +2865,22 @@ def a_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag + cumulative-sum over the per-user time order — one shuffle by
     user, no self-join.  The micro-batch analog of Structured
     Streaming's session_window; timestamps compare at microsecond
-    precision (unix_micros) to match the oracle's INTERVAL arithmetic."""
+    precision (unix_micros) to match the oracle's INTERVAL arithmetic.
+    The operator (operators/sessionize.py) also ships the skew-safe
+    bucketed form for mega-keys; the default single-window path runs
+    here and the bucketed twin is asserted bit-identical in
+    tests/test_sessionize_skew.py."""
+    from pyppeteer_scraper_spark.operators.sessionize import (
+        session_stats,
+        sessionize,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = 30 * 60 * 1_000_000
-    # parquet ts is TIMESTAMP_NTZ; cast via the UTC-pinned session so
-    # unix_micros is defined (pure offset — cancels in the difference)
-    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev = F.lag(t_us).over(w)
-    new_sess = F.when(prev.isNull() | (t_us - prev > gap_us), 1).otherwise(0)
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    s = sessionize(
+        ev, key_col="user_id", ts_col="ts", order_cols=("event_id",),
+        gap_seconds=30 * 60,
     )
-    return (
-        ev.select("user_id", "event_id", "ts", new_sess.alias("new_sess"))
-        .withColumn("session_no", F.sum("new_sess").over(cum).cast("long"))
-        .groupBy("user_id", "session_no")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-        )
-    )
+    return session_stats(s, "user_id", "ts")
 
 
 @query(
@@ -3210,6 +3222,10 @@ def rank_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _WINDOW_FIRST = [
+    # round-4: the two r03 hash-red rows, oracles fixed (HUGEINT casts
+    # + singleton guard) — must be re-checked first
+    "pack_sequences",
+    "d6_adaptive_revisit",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -3245,8 +3261,6 @@ _WINDOW_FIRST = [
     # round-3 session-3 additions
     "text_gopher_rules",
     "rank_trap_patterns",
-    "d6_adaptive_revisit",
-    "pack_sequences",
     "text_lm_perplexity",
     "text_inverted_index",
     "text_vocab_oov",

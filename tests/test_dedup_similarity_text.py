@@ -674,3 +674,35 @@ def test_substring_dup_coverage_golden(spark):
     assert out[3] == (7, 6, round(6 / 7, 6))
     assert out[4] == (2, 0, 0.0)
     assert out[5] == (6, 0, 0.0)
+
+
+def test_ws_token_count_single_space_semantics(spark):
+    """The shared tokenizer must match the oracles' string_split(text,
+    ' ') on multi-space / tab / leading-whitespace boundaries — the
+    cases where a \\s+ split silently diverges."""
+    import duckdb
+
+    from pyppeteer_scraper_spark.functions.text import ws_token_count
+
+    texts = [
+        "a  b",          # double space -> empty token counted
+        "a\tb c",        # tab is NOT a separator under ' ' split
+        " leading",      # leading space -> empty first token
+        "trailing ",     # trailing space -> empty last token
+        "",              # empty doc -> one empty token
+        "one",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", ws_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT len(string_split(?, ' '))", [t]
+        ).fetchone()[0]
+        assert got[i] == want == len(t.split(" ")), (i, t, got[i], want)

@@ -12,10 +12,10 @@ def _naive(spark, docs, capacity):
     p = docs.withColumn(
         "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
-    first = (F.col("start_tok") / capacity).cast("long")
+    first = F.expr(f"start_tok div {capacity}")
     last = F.when(
         F.col("n_tokens") > 0,
-        ((F.col("start_tok") + F.col("n_tokens") - 1) / capacity).cast("long"),
+        F.expr(f"(start_tok + n_tokens - 1) div {capacity}"),
     ).otherwise(first)
     return p.select(
         "doc_id", "n_tokens", "start_tok",
@@ -84,3 +84,24 @@ def test_packing_plan_has_no_global_window_on_data(spark):
     assert doc_specs, plan
     for s in doc_specs:
         assert s.index("__bucket") < s.index("doc_id"), plan
+
+
+def test_packing_exact_division_beyond_float_precision(spark):
+    """Offsets past 2^45 with a non-power-of-two capacity: float
+    division + cast('long') rounds across integer boundaries; the
+    operator must use exact integer division (`div`)."""
+    from pyppeteer_scraper_spark.operators.packing import pack_token_stream
+
+    big = (1 << 53) + 1  # not representable as float64 + 1 exactly
+    cap = 1000
+    docs = spark.createDataFrame(
+        [(0, big), (1, 1), (2, 1)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_token_stream(docs, capacity=cap, bucket_size=2).collect()
+    }
+    # doc 1 starts at exactly `big`; Python int // is the ground truth
+    assert out[1]["start_tok"] == big
+    assert out[1]["first_seq"] == big // cap
+    assert out[2]["first_seq"] == (big + 1) // cap
