@@ -3,12 +3,14 @@ columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` stages.
 
 Decode is REAL for every format expressible without external libs:
-binary netpbm (PPM/PGM), uncompressed 24-bit BMP, and PCM WAV are
-decoded with numpy + stdlib (``real_decode``), including a real
-block-average resize (``thumbnail_gray``) and image/audio feature
-extraction.  Only compressed formats (JPEG/PNG/MP4) remain a
-NotImplementedError seam (``real_decode_stub``) — PIL/ffmpeg are not in
-this container.  Everything Spark-side is real and tested: schemas,
+binary netpbm (PPM/PGM), uncompressed 24-bit BMP, PCM WAV, and — from
+stdlib ``zlib`` — 8-bit PNG (gray / truecolor / palette / alpha, all
+five scanline filters, CRC-verified chunks) are decoded with numpy +
+stdlib (``real_decode``), including a real block-average resize
+(``thumbnail_gray``) and image/audio feature extraction.  Only formats
+whose codecs are genuinely out of reach here (JPEG's DCT/Huffman,
+MP4/H.264) remain a NotImplementedError seam (``real_decode_stub``) —
+PIL/ffmpeg are not in this container.  Everything Spark-side is real and tested: schemas,
 batch shapes, partitioning, and the UDF signatures.  Reference analog:
 the screenshot binary sink (/root/reference/scraper/costco.py:123-128)
 — binary payloads ride in ordinary columns.
@@ -123,10 +125,11 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 # --- real decoders for container-expressible formats -----------------------
-# PPM/PGM (netpbm), uncompressed 24-bit BMP, and PCM WAV decode with
-# numpy + stdlib only — no PIL/ffmpeg required, so the decode step is
-# REAL for these formats; compressed formats (JPEG/PNG/MP4) remain the
-# documented NotImplementedError seam (real_decode_stub).
+# PPM/PGM (netpbm), uncompressed 24-bit BMP, PCM WAV, and zlib-based
+# PNG decode with numpy + stdlib only — no PIL/ffmpeg required, so the
+# decode step is REAL for these formats; JPEG (DCT/Huffman) and MP4
+# (H.264) remain the documented NotImplementedError seam
+# (real_decode_stub).
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -229,6 +232,168 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return arr, sr
 
 
+# --- PNG codec (stdlib zlib only) -------------------------------------------
+# A Common-Crawl multimodal pipeline sees PNGs constantly; unlike
+# JPEG/MP4, PNG needs nothing beyond DEFLATE (zlib) + per-row
+# un-filtering, so the decode step is implementable from scratch here.
+# Spec: https://www.w3.org/TR/png-3/ (chunks §5, filters §9).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → 8-bit PNG.  ``filter_type``
+    applies that scanline filter (0..4) to every row — exercising each
+    un-filter path in the decoder via exact roundtrips."""
+    import struct
+    import zlib
+
+    assert img.dtype == np.uint8
+    if img.ndim == 2:
+        color, bpp = 0, 1
+        flat = img[:, :, None]
+    else:
+        assert img.shape[2] == 3
+        color, bpp = 2, 3
+        flat = img
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        cur = flat[y].reshape(-1).astype(np.int32)
+        a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        b = prev
+        c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            out = cur - a
+        elif filter_type == 2:
+            out = cur - b
+        elif filter_type == 3:
+            out = cur - ((a + b) >> 1)
+        elif filter_type == 4:
+            out = cur - _paeth(a, b, c)
+        else:
+            raise ValueError(f"filter_type {filter_type}")
+        lines.append(bytes([filter_type]) + (out & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit PNG → uint8 array: (h, w) for grayscale, (h, w, 3) for
+    truecolor and palette, (h, w, 4) for RGBA (alpha preserved).
+
+    Supports color types 0/2/3/4/6 at bit depth 8, scanline filters
+    0-4, multiple IDAT chunks, CRC verification.  Sub-byte palette
+    depths and Adam7 interlace raise NotImplementedError."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, idat, plte, ihdr = 8, [], None, None
+    while i + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, i)
+        tag = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + ln)
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} not supported (8 only)")
+    if comp or filt:
+        raise ValueError("invalid compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    bpp = channels
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += stride + 1
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up — fully vectorized
+            cur = (line + prev) & 0xFF
+        elif ft == 1:  # Sub — serial in x
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, channels) if channels > 1 else out.reshape(h, w)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[img]
+    if color == 4:  # gray+alpha → keep gray plane
+        return img[:, :, 0]
+    return img
+
+
 def thumbnail_gray(img: np.ndarray, size: int = 8) -> np.ndarray:
     """Block-average grayscale thumbnail (the resize step, real): crop
     to a size-divisible grid, then mean-pool — O(pixels), vectorized."""
@@ -245,8 +410,13 @@ def thumbnail_gray(img: np.ndarray, size: int = 8) -> np.ndarray:
 
 def image_features(img: np.ndarray) -> np.ndarray:
     """[w, h, mean_r, mean_g, mean_b] + flattened 8×8 gray thumbnail —
-    69 floats, deterministic."""
+    69 floats, deterministic.  Grayscale inputs replicate to three
+    channels; RGBA drops alpha."""
     h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    elif img.shape[2] == 4:
+        img = img[:, :, :3]
     means = img.reshape(-1, 3).mean(axis=0) / 255.0
     return np.concatenate(
         [[w, h], means, thumbnail_gray(img).ravel()]
@@ -275,7 +445,9 @@ def real_decode(payload: bytes, dim: int = 0) -> np.ndarray:
         return image_features(decode_bmp(payload))
     if payload.startswith(b"RIFF"):
         return audio_features(*decode_wav(payload))
+    if payload.startswith(_PNG_SIG):
+        return image_features(decode_png(payload))
     raise NotImplementedError(
-        "compressed media (JPEG/PNG/MP4) needs PIL/ffmpeg — absent in this "
-        "container; PPM/BMP/WAV decode is real"
+        "JPEG/MP4 decode needs PIL/ffmpeg — absent in this container; "
+        "PPM/PGM/BMP/WAV/PNG decode is real"
     )

@@ -2931,6 +2931,7 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(batches):
         from pyppeteer_scraper_spark.operators.multimodal import (
+            encode_png,
             encode_ppm,
             encode_wav,
         )
@@ -2944,6 +2945,15 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     y = np.arange(12)[:, None, None]
                     c = np.arange(3)[None, None, :]
                     img = ((d + x + 3 * y + 7 * c) % 256).astype(np.uint8)
+                    if d % 4 == 0:
+                        # same pixels through the zlib PNG path (one
+                        # filter type per row, exercising all five)
+                        rows.append(
+                            (d, "image",
+                             encode_png(img, filter_type=(d // 4) % 5),
+                             (16, 12, None, None, "image/png"))
+                        )
+                        continue
                     rows.append(
                         (d, "image", encode_ppm(img),
                          (16, 12, None, None, "image/x-portable-pixmap"))
