@@ -19,6 +19,10 @@ DRIVER CONTRACT (observed behavior — keep these invariants):
   locally regardless of position.
 - Queries WITHOUT an ``oracle_sql()`` twin get a weaker rows-only
   check (recorded as ``err: "no_oracle"``); keep those pytest-covered.
+  The 9 such queries are rows-only BY DESIGN (probabilistic LSH/IVF/
+  k-means candidates, sketches, binary codecs — semantics ANSI SQL
+  cannot replay); see README.md "Rows-only-by-design queries" for the
+  per-query rationale + the pytest pin and exact-oracled twin of each.
 - Tables are parquet under ``/root/testdata/sf{0.001,0.01,0.1}``; the
   driver compares Spark vs DuckDB at sf0.01 by row count, schema and a
   value hash after sorting columns BY NAME — alias every computed

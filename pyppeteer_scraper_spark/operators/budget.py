@@ -1,0 +1,109 @@
+"""Max-min-fair crawl-budget allocation ("water-filling") — split a
+global per-round fetch budget across hosts so no host is starved and
+no budget is wasted: every host gets ``min(demand, level)`` where the
+water level is the largest L with ``sum(min(demand, L)) <= budget``,
+and the leftover ``budget - sum`` is handed out as +1s in a
+deterministic order.
+
+Reference analog: the reference caps ONE host at a fixed daily number
+(MAX_REGISTER_PER_DAY, /root/reference/service/alert.py) — a
+single-tenant special case.  A frontier with 10^7 pending hosts needs
+the general allocation, and max-min fairness is the standard choice
+(it is what per-host token buckets converge to under contention).
+
+Scale shape — the naive closed form sorts hosts by demand and runs a
+prefix-sum window: a GLOBAL sort + single-partition window, the
+classic scale trap.  Instead, ``sum(min(d, L))`` is monotone in L, so
+the level is found by DISTRIBUTED BINARY SEARCH: O(log2(max_demand))
+tiny aggregate jobs over the (host, demand) table, each a map-side
+partial sum — no global sort, no wide window, any table size.  Only
+the remainder +1s need an order, and only over hosts still unsatisfied
+at the level boundary; the implementation bounds that window to the
+boundary cohort (demand > L), orders of magnitude smaller than the
+host table (for a skew-proof form, rank the cohort with the salted
+two-phase top-k in operators/topk.py).
+
+All arithmetic is integer (exact division/remainder), so the
+allocation is bit-identical to the sort-based closed form — the DuckDB
+oracle derives it INDEPENDENTLY via the prefix-sum window, making the
+driver check a true two-implementation cross-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def maxmin_fair_allocation(
+    demands: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """Allocate ``budget`` units across hosts max-min fairly.
+
+    Input: one row per host with an integer demand ≥ 0.  Output:
+    (host_col, demand, alloc) with
+      - alloc = demand for every host whose full demand fits,
+      - alloc = L or L+1 for the rest, +1s going to the first
+        ``remainder`` unsatisfied hosts in (demand, host) order,
+      - sum(alloc) = min(budget, sum(demand)), alloc <= demand always.
+    """
+    demands = demands.select(
+        F.col(host_col), F.col(demand_col).cast("long").alias(demand_col)
+    ).cache()
+    stats = demands.agg(
+        F.coalesce(F.max(demand_col), F.lit(0)).alias("mx"),
+        F.coalesce(F.sum(demand_col), F.lit(0)).alias("total"),
+    ).collect()[0]
+    mx, total = int(stats["mx"]), int(stats["total"])
+
+    if total <= budget:
+        # Budget covers everyone — no level, no remainder.
+        return demands.withColumn("alloc", F.col(demand_col))
+
+    # Largest L with sum(min(d, L)) <= budget: monotone → binary search,
+    # ~log2(max_demand) aggregate jobs over the cached demand table.
+    lo, hi = 0, mx
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        served = int(
+            demands.agg(
+                F.sum(F.least(F.col(demand_col), F.lit(mid)))
+            ).collect()[0][0]
+        )
+        if served <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    level = lo
+    served_at_level = int(
+        demands.agg(
+            F.sum(F.least(F.col(demand_col), F.lit(level)))
+        ).collect()[0][0]
+    )
+    remainder = budget - served_at_level  # < #unsatisfied by maximality
+
+    # +1 bonuses: first `remainder` hosts with demand > level, in
+    # (demand, host) order.  The sorted window runs over the boundary
+    # cohort ONLY (pre-filtered), never the full host table.
+    cohort = Window.orderBy(F.col(demand_col), F.col(host_col))
+    satisfied = demands.filter(F.col(demand_col) <= level).withColumn(
+        "alloc", F.col(demand_col)
+    )
+    boundary = (
+        demands.filter(F.col(demand_col) > level)
+        .withColumn("__rk", F.row_number().over(cohort))
+        .withColumn(
+            "alloc",
+            (
+                F.lit(level)
+                + F.when(F.col("__rk") <= remainder, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long"),
+        )
+        .drop("__rk")
+    )
+    return satisfied.unionByName(boundary)

@@ -433,6 +433,69 @@ def audio_features(samples: np.ndarray, sr: int) -> np.ndarray:
     return np.array([dur, rms, zcr, peak], dtype=np.float32)
 
 
+def _area_resize_gray(gray: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Exact area-average resize to (rows, cols) via an integral image
+    — the box-filter downscale perceptual hashing expects, O(pixels),
+    any input size (tiny inputs are nearest-repeated up first so every
+    output cell covers ≥1 source pixel)."""
+    g = gray.astype(np.float64)
+    h, w = g.shape
+    if h < rows:
+        g = np.repeat(g, -(-rows // h), axis=0)
+        h = g.shape[0]
+    if w < cols:
+        g = np.repeat(g, -(-cols // w), axis=1)
+        w = g.shape[1]
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = g.cumsum(0).cumsum(1)
+    ys = (np.arange(rows + 1) * h) // rows
+    xs = (np.arange(cols + 1) * w) // cols
+    areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    sums = (
+        integral[ys[1:]][:, xs[1:]]
+        - integral[ys[:-1]][:, xs[1:]]
+        - integral[ys[1:]][:, xs[:-1]]
+        + integral[ys[:-1]][:, xs[:-1]]
+    )
+    return sums / areas
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): area-resize to 8×9 grayscale,
+    emit one bit per horizontally-adjacent cell pair (left < right).
+    Invariant to uniform brightness/contrast shifts and to the encoding
+    container (the same pixels through PPM, BMP, or PNG hash equal —
+    pytest-pinned), tolerant of small rescales — the standard cheap
+    near-dup signature for web images (Krawetz's dHash, as used in
+    image-corpus dedup pipelines)."""
+    if img.ndim == 3:
+        if img.shape[2] == 4:
+            img = img[:, :, :3]
+        img = img.mean(axis=2)
+    g = _area_resize_gray(img, 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return int(
+        np.packbits(bits.astype(np.uint8)).view(">u8")[0]
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff + decode an IMAGE payload to a pixel array (PPM/PGM/BMP/
+    PNG — the real codecs above); NotImplementedError on the
+    compressed-format seam, ValueError on non-image payloads."""
+    if payload.startswith((b"P6", b"P5")):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
+    if payload[:4] in (b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1"):
+        raise NotImplementedError(
+            "JPEG decode needs PIL — absent in this container"
+        )
+    raise ValueError("not a recognized image payload")
+
+
 def real_decode(payload: bytes, dim: int = 0) -> np.ndarray:
     """Format-sniffing REAL decoder for PPM/BMP/WAV; raises the
     documented NotImplementedError for compressed formats (the

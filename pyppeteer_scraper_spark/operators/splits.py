@@ -163,6 +163,75 @@ def split_exact_contamination(
     )
 
 
+def split_ngram_contamination(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    train_split: str = "train",
+) -> DataFrame:
+    """Eval docs sharing ANY n-token n-gram with the train split — the
+    GPT-3 decontamination rule (Brown et al. 2020 App. C: 13-gram
+    overlap; also LLaMA / Gopher eval hygiene).  Exact-text dedup
+    misses partial leakage (a benchmark question pasted inside a blog
+    post); n-gram overlap catches it.
+
+    Output: (eval_id, eval_split, n_grams, n_hits, contaminated) — one
+    row per eval doc (hit or not), ``n_hits`` = how many of its
+    n-grams appear anywhere in train.
+
+    Scale shape: explode each doc into md5-fingerprinted n-gram
+    windows (hash join keys: 16 B instead of ~100 B of gram text —
+    same ids-only-shuffle policy as operators/similarity.py), distinct
+    the train side (bounded by train token count), then a left-semi-
+    style aggregate join.  Tokens are the engine-wide single-space
+    split; docs shorter than n tokens have no windows and are clean by
+    definition.
+    """
+    toks = F.split(F.col(text_col), " ", -1)
+    n_toks = F.size(toks)
+    windows = F.when(
+        n_toks >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - (n - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i, F.lit(n)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col), F.col(split_col), windows.alias("__w")
+    )
+    train_fps = (
+        base.filter(F.col(split_col) == train_split)
+        .select(F.explode("__w").alias("fp"))
+        .distinct()
+    )
+    ev = base.filter(F.col(split_col) != train_split)
+    hits = (
+        ev.select(F.col(id_col), F.explode("__w").alias("fp"))
+        .join(train_fps, "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        ev.select(
+            F.col(id_col).alias("eval_id"),
+            F.col(split_col).alias("eval_split"),
+            F.size("__w").cast("long").alias("n_grams"),
+        )
+        .join(hits.withColumnRenamed(id_col, "eval_id"), "eval_id", "left")
+        .select(
+            "eval_id",
+            "eval_split",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def split_neardup_contamination(
     df: DataFrame,
     text_col: str = "text",

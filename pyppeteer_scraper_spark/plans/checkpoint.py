@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,26 @@ COMPACT_EVERY = 16
 
 def _bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("domain"), F.lit(n_buckets)).cast("int")
+
+
+def _run_parallel(thunks) -> None:
+    """Submit independent Spark write jobs from threads so their fixed
+    per-job scheduling latency overlaps (Spark's scheduler interleaves
+    concurrently-submitted jobs across the executor pool; with 3-4
+    writes per round the serial form pays 3-4x the fixed latency, which
+    is exactly the seconds-scale floor that caps full-crawl scaling
+    efficiency — BENCH/BASELINE.md §2).  All thunks read either cached
+    intra-round DataFrames or the in-memory state tables, so concurrent
+    scans do not recompute heavy lineage.  Exceptions propagate: the
+    caller must not commit the manifest if any write failed."""
+    thunks = [t for t in thunks if t is not None]
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for fut in futures:
+            fut.result()
 
 
 def save_state(
@@ -99,6 +120,12 @@ def save_state(
                 prev_manifest = json.load(f)
     compacted: dict[str, int] = dict(prev_manifest.get("compacted", {}))
     frontier_meta: dict = {"layout": "full"}
+    # All per-round writes are INDEPENDENT jobs over cached/in-memory
+    # inputs — submit them concurrently (_run_parallel) and only then
+    # commit the manifest.  Serial submission paid one fixed job-setup
+    # latency per table per round, the floor that capped full-crawl
+    # N→4N scaling at 0.27 (VERDICT r03 #8).
+    writes = []
     if incremental:
         bdir = os.path.join(ckpt_dir, "frontier_buckets", f"round={state.round_no}")
         fb = state.frontier.withColumn("__bucket", _bucket_col(n_buckets))
@@ -119,36 +146,46 @@ def save_state(
             ).distinct()
             touched = sorted(r["__b"] for r in tb.collect())
             fb = fb.filter(F.col("__bucket").isin(touched))
-        (
-            fb.repartition(n_buckets, "__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(bdir)
-        )
-        # pointers: previous round's, overridden by buckets written now
-        for name in os.listdir(bdir):
-            if name.startswith("__bucket="):
-                pointers[name.split("=", 1)[1]] = state.round_no
         frontier_meta = {
             "layout": "bucketed",
             "n_buckets": n_buckets,
             "pointers": pointers,
         }
+
+        def _write_frontier_bucketed(fb=fb, pointers=pointers):
+            (
+                fb.repartition(n_buckets, "__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(bdir)
+            )
+            # pointers: previous round's, overridden by buckets written
+            # now (mutates the dict frontier_meta already references —
+            # read after the parallel join, before the manifest commit)
+            for name in os.listdir(bdir):
+                if name.startswith("__bucket="):
+                    pointers[name.split("=", 1)[1]] = state.round_no
+
+        writes.append(_write_frontier_bucketed)
     else:
-        (
-            state.frontier.repartition(n_partitions, "domain")
+        writes.append(
+            lambda: state.frontier.repartition(n_partitions, "domain")
             .write.mode("overwrite")
             .parquet(os.path.join(rdir, "frontier"))
         )
     if state.round_no > 0:
-        (
-            state.url_seen.filter(F.col("first_seen_round") == state.round_no)
+        writes.append(
+            lambda: state.url_seen.filter(
+                F.col("first_seen_round") == state.round_no
+            )
             .repartition(n_partitions, "url_hash")
             .write.mode("overwrite")
             .parquet(os.path.join(ckpt_dir, "url_seen", f"round={state.round_no}"))
         )
-        (
-            state.workshops.filter(F.col("discovered_round") == state.round_no)
+        writes.append(
+            lambda: state.workshops.filter(
+                F.col("discovered_round") == state.round_no
+            )
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(ckpt_dir, "workshops", f"round={state.round_no}"))
@@ -160,8 +197,8 @@ def save_state(
     ):
         # The in-memory state IS the full table (compacted-so-far +
         # deltas) — write it once as the new base.
-        (
-            state.url_seen.repartition(n_partitions, "url_hash")
+        writes.append(
+            lambda: state.url_seen.repartition(n_partitions, "url_hash")
             .write.mode("overwrite")
             .parquet(
                 os.path.join(
@@ -169,8 +206,8 @@ def save_state(
                 )
             )
         )
-        (
-            state.workshops.coalesce(1)
+        writes.append(
+            lambda: state.workshops.coalesce(1)
             .write.mode("overwrite")
             .parquet(
                 os.path.join(
@@ -193,8 +230,8 @@ def save_state(
             compacted_table="metrics",
         )
         if mdirs:
-            (
-                spark.read.parquet(*mdirs)
+            writes.append(
+                lambda: spark.read.parquet(*mdirs)
                 .coalesce(max(1, n_partitions // 8))
                 .write.mode("overwrite")
                 .parquet(
@@ -207,6 +244,7 @@ def save_state(
                 )
             )
             compacted["metrics"] = state.round_no - 1
+    _run_parallel(writes)
     manifest = {
         "round_no": state.round_no,
         "n_partitions": n_partitions,
@@ -434,32 +472,44 @@ def crawl(
             track_edges=track_edges,
         )
         batch_count = out.materialize()
+        # One parallel write window per round: the state checkpoint
+        # (itself internally parallel), the link-graph delta, and the
+        # seen-filter sidecar update are mutually independent jobs over
+        # cached round outputs.  Sidecar-before-manifest is crash-safe:
+        # filter positives are exact-verified against url_seen
+        # (anti_join_with_filter), so a torn round can only add
+        # harmless extra positives, never wrong results.
+        round_writes = [
+            lambda: save_state(
+                state,
+                ckpt_dir,
+                incremental=incremental_frontier,
+                touched_domains=out.touched_domains,
+                n_buckets=n_buckets,
+                compact_every=compact_every,
+            )
+        ]
         if track_edges and out.edges is not None:
             # Per-round link-graph delta (src_hash, dst_hash) — the
             # input to offline frontier re-prioritization
             # (operators/linkrank.py::reprioritize_frontier).  Same
             # round-dir layout as the other state deltas.
-            out.edges.write.mode("overwrite").parquet(
-                os.path.join(ckpt_dir, "edges", f"round={state.round_no}")
+            round_writes.append(
+                lambda: out.edges.write.mode("overwrite").parquet(
+                    os.path.join(ckpt_dir, "edges", f"round={state.round_no}")
+                )
             )
-        rdir = save_state(
-            state,
-            ckpt_dir,
-            incremental=incremental_frontier,
-            touched_domains=out.touched_domains,
-            n_buckets=n_buckets,
-            compact_every=compact_every,
-        )
         if use_bloom:
-            update_shards = _filt.update_shards
-
-            update_shards(
-                state.url_seen.filter(
-                    F.col("first_seen_round") == state.round_no
-                ).select("url_hash"),
-                bloom_dir,
-                store_factory=bloom_store_factory,
+            round_writes.append(
+                lambda: _filt.update_shards(
+                    state.url_seen.filter(
+                        F.col("first_seen_round") == state.round_no
+                    ).select("url_hash"),
+                    bloom_dir,
+                    store_factory=bloom_store_factory,
+                )
             )
+        _run_parallel(round_writes)
         # Reload from the checkpoint — flat lineage for the next round.
         state = load_state(spark, ckpt_dir, state.round_no)
         duration_ms = int((time.time() - t_round) * 1000)

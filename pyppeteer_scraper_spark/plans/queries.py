@@ -3206,6 +3206,296 @@ def rank_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+# --- round-4 additions: data-selection / mixing / budget / decontam ------
+
+
+@query(
+    "text_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, (source = 'src0') AS tgt,
+             list_filter(string_split_regex(trim(lower(text)), '\\W+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tgt,
+             t || list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1]) AS g
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, tgt,
+             CAST(('0x' || substr(md5('dsir-v1' || chr(31) || gr),
+                                  1, 6))::BIGINT % 256 AS INT) AS b
+      FROM grams, unnest(g) AS u(gr)
+    ),
+    counts AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cr,
+             CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+      FROM ex GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS r_total,
+             CAST(sum(ct) AS BIGINT) AS t_total
+      FROM counts
+    ),
+    scored AS (
+      SELECT ex.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             round(avg(ln((ct + 1.0) / (t_total + 256.0))
+                     - ln((cr + 1.0) / (r_total + 256.0))), 6)
+               AS avg_log_ratio,
+             round(sum(ln((ct + 1.0) / (t_total + 256.0))
+                     - ln((cr + 1.0) / (r_total + 256.0))), 6)
+               AS log_weight
+      FROM ex JOIN counts USING (b) CROSS JOIN tot
+      GROUP BY ex.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           COALESCE(s.avg_log_ratio, 0.0) AS avg_log_ratio,
+           COALESCE(s.log_weight, 0.0) AS log_weight
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-doc log likelihood
+    ratio of hashed-n-gram models fit on the trusted subset (source =
+    'src0' stands in for the curated corpus) vs the full corpus — the
+    "which of these 100 TB look like my target data" selector.  One fit
+    aggregation computes BOTH distributions (bounded 256-bucket output,
+    broadcast back); the oracle REFITS both models in SQL end-to-end."""
+    from pyppeteer_scraper_spark.functions.dsir import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, F.col("source") == "src0")
+
+
+@query(
+    "mix_source_weights",
+    """
+    WITH per AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+             AS raw_share,
+           round(pow(n_tokens, 0.3)
+                 / sum(pow(n_tokens, 0.3)) OVER (), 6) AS weight,
+           round(pow(n_tokens, 0.3) / sum(pow(n_tokens, 0.3)) OVER ()
+                 * 10000000.0 / n_tokens, 6) AS epochs
+    FROM per
+    """,
+)
+def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (mC4/mT5, Xue et al. 2021):
+    per-(source, lang) sampling weight ∝ tokens^0.3 plus effective
+    epochs under a 10M-token budget — the composition step between a
+    curated corpus and its training shards.  One map-side-combined
+    aggregation; the windows run over the ≤|sources×langs|-row result."""
+    from pyppeteer_scraper_spark.functions.mixing import (
+        temperature_mix_weights,
+    )
+
+    return temperature_mix_weights(
+        load_table(spark, sf_dir, "documents"),
+        group_cols=["source", "lang"],
+        alpha=0.3,
+        token_budget=10_000_000,
+    )
+
+
+@query(
+    "budget_maxmin_fair",
+    """
+    WITH demand AS (
+      SELECT user_id AS host, CAST(count(*) AS BIGINT) AS demand
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(CAST(sum(demand) AS BIGINT) // 2 AS BIGINT) AS budget
+      FROM demand
+    ),
+    sorted AS (
+      SELECT host, demand,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(COALESCE(SUM(demand) OVER (
+               ORDER BY demand, host
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefix,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM demand WINDOW w AS (ORDER BY demand, host)
+    ),
+    crit AS (
+      SELECT min(rn) AS kstar
+      FROM sorted, tot
+      WHERE demand * (n - rn + 1) > budget - prefix
+    ),
+    lev AS (
+      SELECT s.rn AS kstar,
+             CAST((budget - s.prefix) // (s.n - s.rn + 1) AS BIGINT)
+               AS level,
+             CAST((budget - s.prefix) % (s.n - s.rn + 1) AS BIGINT)
+               AS rem
+      FROM sorted s, crit c, tot WHERE s.rn = c.kstar
+    )
+    SELECT s.host, s.demand,
+           CAST(CASE WHEN l.kstar IS NULL OR s.rn < l.kstar THEN s.demand
+                ELSE l.level
+                     + CASE WHEN s.rn - l.kstar < l.rem THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc
+    FROM sorted s LEFT JOIN lev l ON TRUE
+    """,
+)
+def budget_maxmin_fair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min-fair ("water-filling") crawl-budget allocation: split a
+    global budget (half of total demand) across hosts so every host
+    gets min(demand, level) + deterministic remainder +1s.  The Spark
+    side finds the water level by DISTRIBUTED BINARY SEARCH (no global
+    sort — O(log max_demand) tiny aggregates); the oracle derives the
+    same allocation INDEPENDENTLY via the sort/prefix-sum closed form,
+    so the driver check is a true two-implementation cross-check
+    (integer arithmetic throughout — exact)."""
+    from pyppeteer_scraper_spark.operators.budget import (
+        maxmin_fair_allocation,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    demands = ev.groupBy(F.col("user_id").alias("host")).agg(
+        F.count("*").alias("demand")
+    )
+    budget = ev.count() // 2
+    return maxmin_fair_allocation(demands, budget)
+
+
+@query(
+    "split_ngram_overlap_contamination",
+    f"""
+    WITH corpus AS ({_CONTAM_CORPUS_SQL}),
+    base AS (
+      SELECT doc_id, {_SPLIT_CASE} AS split,
+             string_split(text, ' ') AS t
+      FROM corpus
+    ),
+    w AS (
+      SELECT doc_id, split,
+             CASE WHEN len(t) >= 13
+                  THEN list_transform(range(1, len(t) - 11),
+                    i -> md5(array_to_string(list_slice(t, i, i + 12), ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS wl
+      FROM base
+    ),
+    train_fps AS (
+      SELECT DISTINCT fp FROM w, unnest(wl) AS u(fp) WHERE split = 'train'
+    ),
+    hits AS (
+      SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM w e, unnest(e.wl) AS u(fp)
+      WHERE e.split <> 'train' AND fp IN (SELECT fp FROM train_fps)
+      GROUP BY e.doc_id
+    )
+    SELECT e.doc_id AS eval_id, e.split AS eval_split,
+           CAST(len(e.wl) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM w e LEFT JOIN hits h USING (doc_id)
+    WHERE e.split <> 'train'
+    """,
+)
+def split_ngram_overlap_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GPT-3-style 13-gram decontamination (Brown et al. 2020 App. C):
+    an eval doc is contaminated iff ANY of its 13-token windows appears
+    anywhere in train — catches the partial leakage exact-text dedup
+    misses.  Windows travel as md5 fingerprints (16 B join keys, the
+    ids-only-shuffle policy); runs over the planted-duplicate corpus so
+    leakage exists by construction."""
+    from pyppeteer_scraper_spark.operators.splits import (
+        hash_split,
+        split_ngram_contamination,
+    )
+
+    return split_ngram_contamination(
+        hash_split(_contam_corpus(spark, sf_dir)), n=13
+    )
+
+
+@query("media_phash_dedup")  # rows-only: binary decode is non-SQL
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over REAL decoded pixels: images are
+    synthesized per doc (same pixel content every 3 consecutive ids,
+    round-robined through the PPM / BMP / PNG encoders), decoded with
+    the from-scratch codecs, dHash-64 fingerprinted, and grouped — the
+    container-invariant near-dup signature an image corpus dedups on
+    (same pixels through different encoders MUST collide; pytest pins
+    the invariances).  Arrow mapInPandas end-to-end; grouping is a
+    16-byte-key groupBy, never pixel-level comparison."""
+    import pandas as pd
+
+    from pyppeteer_scraper_spark.operators.multimodal import (
+        decode_image,
+        dhash64,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 60)
+    )
+
+    def synth_and_hash(batches):
+        import numpy as np
+
+        from pyppeteer_scraper_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                content = d // 3  # 3 consecutive ids share pixels
+                # seeded-random pixels: a gradient would be monotone in
+                # x and collapse every image's dHash to all-ones
+                img = (
+                    np.random.default_rng(content)
+                    .integers(0, 256, size=(12, 18, 3))
+                    .astype(np.uint8)
+                )
+                enc = (encode_ppm, encode_bmp, encode_png)[d % 3]
+                payload = enc(img)
+                out.append(
+                    (
+                        d,
+                        format(dhash64(decode_image(payload)), "016x"),
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "dhash", "n_bytes"]
+            )
+
+    hashed = ids.mapInPandas(
+        synth_and_hash, "doc_id long, dhash string, n_bytes long"
+    )
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -3236,6 +3526,12 @@ _WINDOW_FIRST = [
     # + singleton guard) — must be re-checked first
     "pack_sequences",
     "d6_adaptive_revisit",
+    # round-4 additions (new operators need a driver row immediately)
+    "text_dsir_weights",
+    "mix_source_weights",
+    "budget_maxmin_fair",
+    "split_ngram_overlap_contamination",
+    "media_phash_dedup",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -3286,6 +3582,13 @@ _WINDOW_FIRST = [
 ]
 
 _WINDOW_TAIL = [
+    # r03-green similarity/dedup family displaced by round-4 additions
+    # (pytest recall floors + oracled exact twins keep covering them)
+    "dedup_connected_components",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "sim_embedding_near_dups",
     # twice-green (r01+r02) queries displaced by session-3 additions
     "text_lang_id",
     "text_quality_score",
