@@ -40,6 +40,7 @@ def maxmin_fair_allocation(
     budget: int,
     host_col: str = "host",
     demand_col: str = "demand",
+    caches: list | None = None,
 ) -> DataFrame:
     """Allocate ``budget`` units across hosts max-min fairly.
 
@@ -53,6 +54,10 @@ def maxmin_fair_allocation(
     demands = demands.select(
         F.col(host_col), F.col(demand_col).cast("long").alias(demand_col)
     ).cache()
+    if caches is not None:
+        # per-round callers (run_round) sweep this at round end — the
+        # same contract as bloom.anti_join_with_filter's `caches`
+        caches.append(demands)
     stats = demands.agg(
         F.coalesce(F.max(demand_col), F.lit(0)).alias("mx"),
         F.coalesce(F.sum(demand_col), F.lit(0)).alias("total"),
@@ -107,3 +112,48 @@ def maxmin_fair_allocation(
         .drop("__rk")
     )
     return satisfied.unionByName(boundary)
+
+
+def apply_global_budget(
+    batch: DataFrame,
+    budget: int,
+    domain_col: str = "domain",
+    order_cols: tuple = ("priority", "depth", "discovered_ts", "url"),
+    caches: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Trim a politeness-capped fetch batch to a GLOBAL per-round
+    budget, max-min fairly across domains (crawl(global_budget=...)).
+
+    Per-domain politeness caps bound each HOST's round share; a real
+    deployment also has a hard round-level capacity (fetcher fleet
+    bandwidth).  Taking the global top-N by priority would starve
+    whole domains behind one hot one; water-filling gives every domain
+    min(its politeness-capped demand, level) — fair AND work-conserving.
+
+    Returns (kept, cut): ``kept`` is the budgeted batch, ``cut`` rows
+    must return to the pending pool (they were schedulable, just not
+    funded this round).  Within a domain the keep order is the
+    politeness total order, so the cut rows are exactly the lowest-
+    priority tail.  The per-domain rank window partitions by domain
+    over the ALREADY politeness-capped batch (≤ cap rows each), never
+    the raw frontier.  Cost: the level binary search adds
+    O(log2 max_demand) tiny aggregate jobs per round over the cached
+    per-domain counts.
+    """
+    demands = batch.groupBy(domain_col).agg(F.count("*").alias("demand"))
+    alloc = maxmin_fair_allocation(
+        demands, budget, host_col=domain_col, caches=caches
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    ranked = batch.withColumn("__grk", F.row_number().over(w)).join(
+        alloc.select(domain_col, "alloc"), domain_col
+    )
+    kept = ranked.filter(F.col("__grk") <= F.col("alloc")).drop(
+        "__grk", "alloc"
+    )
+    cut = ranked.filter(F.col("__grk") > F.col("alloc")).drop(
+        "__grk", "alloc"
+    )
+    return kept, cut

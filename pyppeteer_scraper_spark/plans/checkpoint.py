@@ -386,6 +386,7 @@ def crawl(
     bloom_store_factory=None,
     seen_filter: str = "bloom",
     track_edges: bool = False,
+    global_budget: int | None = None,
 ) -> CrawlResult:
     """Drive ``n_rounds`` scheduler rounds with per-round checkpoints.
 
@@ -398,6 +399,10 @@ def crawl(
     operators/cuckoo.py; pass ``bloom_params=CuckooParams(...)``).
     ``bloom_store_factory`` points shard I/O at shared storage on a
     cluster (operators/bloom.py ShardStore seam — local FS by default).
+    ``global_budget`` caps each round's TOTAL fetch batch (fetcher
+    fleet capacity) on top of the per-domain politeness caps, shared
+    max-min fairly across domains via water-filling
+    (operators/budget.py); unfunded rows stay pending.
 
     ``collect_outputs=True`` RETAINS every round's intra-round caches
     (window passes, fetched, extracted, new_links) so the returned
@@ -469,7 +474,7 @@ def crawl(
             spark, state, pages_prepared, robots, bloom_dir=bloom_dir,
             pages_fallback=pages_fallback, expected_domains=n_domains_hint,
             bloom_store_factory=bloom_store_factory, seen_filter=seen_filter,
-            track_edges=track_edges,
+            track_edges=track_edges, global_budget=global_budget,
         )
         batch_count = out.materialize()
         # One parallel write window per round: the state checkpoint

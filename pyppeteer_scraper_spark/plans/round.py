@@ -412,6 +412,7 @@ def run_round(
     bloom_store_factory=None,
     seen_filter: str = "bloom",
     track_edges: bool = False,
+    global_budget: int | None = None,
 ) -> tuple[CrawlState, RoundOutputs]:
     round_no = state.round_no + 1
     ts = round_ts(round_no)
@@ -438,6 +439,22 @@ def run_round(
     batch, blocked, still_pending, window_caches = select_batch(
         pending, robots, expected_domains=expected_domains, round_no=round_no
     )
+    if global_budget is not None:
+        # Round-level fetch capacity on top of per-domain politeness:
+        # water-fill the budget across domains (max-min fair, exact —
+        # operators/budget.py); unfunded rows stay pending for the next
+        # round, indistinguishable from over-cap leftovers.
+        from pyppeteer_scraper_spark.operators.budget import (
+            apply_global_budget,
+        )
+
+        budget_caches: list = []
+        batch, cut = apply_global_budget(
+            batch, global_budget, order_cols=tuple(ORDER_COLS),
+            caches=budget_caches,
+        )
+        still_pending = still_pending.unionByName(cut)
+        window_caches = tuple(window_caches) + tuple(budget_caches)
 
     # "Fetch" — in-sandbox, a left join against the pages table (J5);
     # at production scale this stage is a mapInPandas HTTP fetcher.

@@ -532,7 +532,13 @@ def test_real_decode_stub_contract_for_compressed(spark):
 
     from pyppeteer_scraper_spark.operators.multimodal import real_decode
 
+    # JPEG/MP4 stay the documented external-codec seam...
     with _pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    # ...but PNG is REAL now (from-scratch zlib codec): a payload with
+    # the PNG signature and garbage chunks must fail PARSING (ValueError
+    # from the actual decoder), not hit the not-implemented seam.
+    with _pytest.raises(ValueError):
         real_decode(b"\x89PNG\r\n\x1a\n....")
 
 
