@@ -61,6 +61,16 @@ HEADLINE = [
     "text_inverted_index",
     "text_vocab_oov",
     "text_curation_funnel_full",
+    # round-4 additions (comparable from BENCH_r04 on)
+    "text_dsir_weights",
+    "mix_source_weights",
+    "budget_maxmin_fair",
+    "split_ngram_overlap_contamination",
+    "media_phash_dedup",
+    "select_token_budget",
+    "text_ccnet_ppl_buckets",
+    "tok_bpe_pair_counts",
+    "text_zipf_heaps",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -117,3 +117,51 @@ def trigram_lm_scores(
         F.round(F.avg("lp"), 6).alias("avg_logp"),
         F.round(F.exp(-F.avg("lp")), 3).alias("ppl"),
     ).withColumnRenamed("__id", id_col)
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020
+    §4.3): within each language, rank documents by LM perplexity and
+    cut the ranking into ``n_buckets`` equal-count buckets — bucket 1
+    ("head") is the most-fluent third the downstream pipeline trains
+    on first.
+
+    Returns one row per doc: (group_col, id_col, ppl, bucket) with
+    bucket in 1..n_buckets.
+
+    Determinism contract: ranking uses the ROUNDED (3 dp) perplexity
+    from trigram_lm_scores — hash-stable across engines — with the doc
+    id as total-order tie-break, and ntile's integer row-count
+    arithmetic, so a SQL oracle reproduces the buckets exactly.  Docs
+    shorter than one trigram have no LM row and are excluded (the
+    curation funnel counts them as too_short BEFORE this stage —
+    plans/queries.py text_curation_funnel_full).
+
+    Scale shape: ntile is a per-language window — one shuffle on
+    group_col, sort bounded by the LARGEST language (the same
+    bounded-skew class as sessionization; operators/asof.py's
+    time-bucket carry-forward pattern applies if one language is the
+    whole corpus).  The published CCNet computes the cut points from a
+    SAMPLE instead (percentile thresholds then a broadcast-join
+    filter) — that is the documented 100-TB swap-in
+    (F.percentile_approx over a per-lang aggregate, no full sort); the
+    exact ntile form is kept here because it is oracle-reproducible
+    bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    scores = trigram_lm_scores(docs, id_col=id_col, text_col=text_col)
+    labeled = docs.select(group_col, id_col).join(scores, id_col)
+    w = Window.partitionBy(group_col).orderBy(F.col("ppl"), F.col(id_col))
+    return labeled.select(
+        group_col,
+        id_col,
+        "ppl",
+        F.ntile(n_buckets).over(w).cast("long").alias("bucket"),
+    )

@@ -332,3 +332,85 @@ def nfc_normalize_udf(s: pd.Series) -> pd.Series:
     return s.map(
         lambda x: unicodedata.normalize("NFC", x) if x is not None else None
     )
+
+
+def word_char_pairs(col) -> Column:
+    """Array of within-word adjacent character pairs — the candidate
+    set a BPE tokenizer trainer counts on its first merge iteration
+    (Sennrich et al. 2016).  Words are the classifier family's
+    tokenizer (lowercase, split on non-word runs, empties dropped) so
+    the SQL oracle shares semantics; a word of length L contributes
+    L-1 pairs, single-char words contribute none.
+
+    Pure codegen: split -> per-word substring positions via
+    transform(sequence), flattened.  The len>=2 guard matters — Spark's
+    sequence(1, 0) DESCENDS (same trap as functions/lm.py trigrams).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(col)), r"\W+"), lambda t: t != ""
+    )
+    pairs_per_word = F.transform(
+        toks,
+        lambda w: F.when(
+            F.length(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1),
+                lambda i: w.substr(i, F.lit(2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return F.flatten(pairs_per_word)
+
+
+def zipf_heaps_stats(docs, text_col: str = "text", top_n: int = 1000):
+    """One-row corpus statistics: total tokens, vocabulary size, and
+    the Zipf rank-frequency log-log slope over the top ``top_n`` terms
+    (a healthy natural-language corpus slopes ~-1; boilerplate- or
+    spam-heavy crawls flatten or steepen it — a cheap corpus-level
+    quality diagnostic alongside the per-doc filters).
+
+    Scale shape: token counts are one map-side-combined groupBy; the
+    top-N is TakeOrdered (distributed heap per partition + driver
+    merge of N·P candidates — no global sort, no single-partition
+    window); the regression runs over only ``top_n`` rows.  Ranks are
+    assigned by (count desc, token) so ties are deterministic, and the
+    slope is covar_pop/var_pop over (ln rank, ln count) — rounded 4 dp
+    to absorb summation-order ulp.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\W+"),
+                lambda t: t != "",
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt")).persist()
+    totals = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_n)
+    # top_n rows: the rank window runs over a bounded, already-reduced
+    # set — single partition by construction and by intent.
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    slope = (
+        top.withColumn("rank", F.row_number().over(w))
+        .agg(
+            F.round(
+                F.covar_pop(F.log("rank"), F.log("cnt"))
+                / F.var_pop(F.log("rank")),
+                4,
+            ).alias("zipf_slope"),
+            F.count("*").cast("long").alias("n_top"),
+        )
+    )
+    # combine the two one-row aggregates on a constant equi-key (a
+    # broadcast hash join, so the registry's CartesianProduct ban holds)
+    return (
+        totals.withColumn("__k", F.lit(1))
+        .join(F.broadcast(slope.withColumn("__k", F.lit(1))), "__k")
+        .select("n_tokens", "vocab", "n_top", "zipf_slope")
+    )

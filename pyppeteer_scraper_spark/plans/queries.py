@@ -1,4 +1,4 @@
-"""Query registry (95 entries, 86 DuckDB-oracled) — every
+"""Query registry (104 entries, 94 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -3496,6 +3496,187 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# =========================================================================
+# Round-4 session-2: corpus selection, CCNet buckets, tokenizer prep,
+# corpus-level statistics.
+# =========================================================================
+
+_TOKEN_BUDGET = 700  # per-source; ~half of each sf0.01 source's tokens
+
+
+def _select_budget_oracle_sql() -> str:
+    return f"""
+    WITH {_model_scored_ctes(carry="doc_id, source")},
+    sc AS (
+      SELECT s.doc_id, s.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             CASE WHEN s.n_grams > 0
+                  THEN round(1.0 / (1.0 + exp(-(CAST(s.score_raw AS DOUBLE)
+                       / (CAST(s.n_grams AS DOUBLE) * 1000.0)))), 6)
+                  ELSE 0.5 END AS score
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tokens, score,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM sc
+    )
+    SELECT source, doc_id, n_tokens, score, cum_tokens
+    FROM cum WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """
+
+
+@query("select_token_budget", _select_budget_oracle_sql())
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first token-budget corpus selection (operators/
+    selection.py): per source, admit docs in descending model-quality
+    order while the running token total stays within budget — the
+    FineWeb/DCLM-style "best X tokens per source" curation step.  One
+    shuffle on source; ordering uses the rounded (hash-stable) sigmoid
+    score with doc_id tie-break, so the DuckDB twin (which REFITS the
+    classifier and replays the window) is exact."""
+    from pyppeteer_scraper_spark.operators.selection import (
+        select_by_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return select_by_token_budget(docs, _TOKEN_BUDGET)
+
+
+_LM_FIT_CTES = """
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               CASE WHEN length(text) >= 3
+                    THEN generate_series(1, length(text) - 2)
+                    ELSE [] END,
+               i -> substring(text, i, 3)
+             )) AS tri
+      FROM documents
+    ), tri_c AS (
+      SELECT tri, count(*) AS c3 FROM tg GROUP BY tri
+    ), ctx_c AS (
+      SELECT substring(tri, 1, 2) AS ctx, sum(c3) AS c2
+      FROM tri_c GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT substring(tri, 3, 1)) AS v FROM tri_c
+    ), lm_scored AS (
+      SELECT tg.doc_id,
+             ln((tc.c3 + 1.0) / (cc.c2 + 1.0 * v.v)) AS lp
+      FROM tg
+      JOIN tri_c tc USING (tri)
+      JOIN ctx_c cc ON substring(tg.tri, 1, 2) = cc.ctx, v
+    ), perdoc AS (
+      SELECT doc_id, round(exp(-avg(lp)), 3) AS ppl
+      FROM lm_scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_ccnet_ppl_buckets",
+    f"""
+    WITH {_LM_FIT_CTES}
+    SELECT d.lang, p.doc_id, p.ppl,
+           ntile(3) OVER (
+             PARTITION BY d.lang ORDER BY p.ppl, p.doc_id
+           ) AS bucket
+    FROM perdoc p JOIN documents d USING (doc_id)
+    """,
+)
+def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning (functions/lm.py::
+    ppl_buckets): per language, rank docs by corpus-LM perplexity and
+    ntile(3) the ranking.  The oracle REFITS the trigram LM in SQL and
+    replays the ntile — fit, score, and bucket all cross-checked.
+    Ranking keys on the ROUNDED ppl (+ doc_id) so both engines order
+    identically; the 100-TB swap-in (sampled percentile thresholds, no
+    per-lang sort) is documented at the operator."""
+    from pyppeteer_scraper_spark.functions.lm import ppl_buckets
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return ppl_buckets(docs, n_buckets=3)
+
+
+@query(
+    "tok_bpe_pair_counts",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\W+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), words AS (
+      SELECT unnest(t) AS w FROM toks
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) AS pair
+      FROM words
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100
+    """,
+)
+def tok_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer first-iteration merge candidates (Sennrich et al.
+    2016): within-word adjacent character-pair frequencies, top 100.
+    Pure codegen explode (functions/text.py::word_char_pairs) + one
+    map-side-combined groupBy + TakeOrdered — the per-iteration kernel
+    a distributed BPE trainer repeats after each merge."""
+    from pyppeteer_scraper_spark.functions.text import word_char_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_char_pairs(F.col("text"))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(100)
+    )
+
+
+@query(
+    "text_zipf_heaps",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\W+'),
+               t -> t <> '')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM c
+    ), top AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM c ORDER BY cnt DESC, token LIMIT 1000
+    ), sl AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_top,
+             round(covar_pop(ln(rank), ln(cnt)) / var_pop(ln(rank)), 4)
+               AS zipf_slope
+      FROM top
+    )
+    SELECT n_tokens, vocab, n_top, zipf_slope FROM tot, sl
+    """,
+)
+def text_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level statistics (functions/text.py::zipf_heaps_stats):
+    total tokens, vocabulary size, and the Zipf log-log slope over the
+    top-1000 terms — a one-row corpus health diagnostic (natural text
+    slopes ~-1; spam/boilerplate flattens it).  Top-N via TakeOrdered,
+    regression over 1000 rows; slope rounded 4 dp on both engines."""
+    from pyppeteer_scraper_spark.functions.text import zipf_heaps_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_heaps_stats(docs)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -3532,6 +3713,11 @@ _WINDOW_FIRST = [
     "budget_maxmin_fair",
     "split_ngram_overlap_contamination",
     "media_phash_dedup",
+    # round-4 session-2 additions
+    "select_token_budget",
+    "text_ccnet_ppl_buckets",
+    "tok_bpe_pair_counts",
+    "text_zipf_heaps",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -3574,14 +3760,16 @@ _WINDOW_FIRST = [
     # round-3 session-2 additions
     "export_shard_plan",
     "text_model_quality",
-    "robots_parse_rules",
-    "sitemap_parse",
-    "warc_parse_records",
     "rank_domain_quality",
-    "text_normalize_nfc",
 ]
 
 _WINDOW_TAIL = [
+    # r03-green ingestion/normalization displaced by round-4 session-2
+    # additions (independent-derivation oracles + pytest keep covering)
+    "robots_parse_rules",
+    "sitemap_parse",
+    "warc_parse_records",
+    "text_normalize_nfc",
     # r03-green similarity/dedup family displaced by round-4 additions
     # (pytest recall floors + oracled exact twins keep covering them)
     "dedup_connected_components",
