@@ -112,3 +112,67 @@ def dsir_log_weights(
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+def dsir_gumbel_topk(
+    docs: DataFrame,
+    is_target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir-v1",
+    sample_salt: str = "resample-v1",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """DSIR step 3 (Xie et al. 2023): importance-RESAMPLE the corpus —
+    draw k docs with probability ∝ exp(log_weight) via seeded
+    Gumbel-top-k (Kool et al. 2019): key = log_weight + Gumbel(0,1),
+    take the k largest.  Working in log space means the (often huge)
+    log-ratios never pass through exp(), so there is no overflow and
+    the draw is exact.
+
+    The Gumbel noise is DETERMINISTIC — u = (md5(sample_salt, id)[0:12
+    hex] + 1) / (16^12 + 1), g = -ln(-ln(u)) — so the sample is a pure
+    function of (weights, salt): reproducible across cluster sizes and
+    replayable by a SQL oracle (t5_seeded_random_pick's policy, scaled
+    to weighted sampling).  Keys round to 6 dp (the log_weight inputs
+    already do) so cross-engine ln() ulp can't flip the hash.
+
+    Scale: the noise is one codegen projection; top-k is TakeOrdered
+    (per-partition heap + driver merge of k·P candidates) — no global
+    sort.  Returns (id_col, log_weight, gumbel_key), the selected docs.
+    """
+    weights = dsir_log_weights(
+        docs,
+        is_target,
+        id_col=id_col,
+        text_col=text_col,
+        salt=salt,
+        n_buckets=n_buckets,
+    )
+    denom = float(16**12 + 1)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", F.lit(sample_salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ).cast("double") / F.lit(denom)
+    gumbel = -F.log(-F.log(u))
+    return (
+        weights.withColumn(
+            "gumbel_key", F.round(F.col("log_weight") + gumbel, 6)
+        )
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(int(k))
+        .select(id_col, "log_weight", "gumbel_key")
+    )

@@ -106,3 +106,78 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two ``bits``-bit dimensions —
+    multi-dimensional file clustering for scan pruning (what Delta's
+    OPTIMIZE ZORDER / Iceberg's sort-order rewrite compute): rows close
+    in BOTH dimensions land in the same files, so per-file min/max
+    stats prune scans filtered on EITHER dimension, not just the lead
+    sort column of a lexicographic layout.
+
+    Statically unrolled bit arithmetic (2·bits shift/mask/add terms,
+    one codegen projection, exact integers — so a SQL oracle replays
+    it bit-for-bit).  Inputs must already be reduced to [0, 2^bits)
+    (mask or bucket upstream).
+    """
+    a = a.cast("long")
+    b = b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(
+            F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = z + F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str,
+    rows_per_file: int = 64,
+    bits: int = 16,
+) -> DataFrame:
+    """Plan a Z-ordered file layout and report per-file min/max stats
+    for both dimensions — the numbers a format's data-skipping index
+    stores, and the direct measure of how prunable the layout is.
+
+    Returns (file_id, n_rows, a_min, a_max, b_min, b_max, z_min,
+    z_max).  This exact form uses one global row_number over z (oracle
+    parity); the production write is ``repartitionByRange(z)`` +
+    ``sortWithinPartitions(z)`` — the same range-partitioned global
+    sort every z-order table rewrite pays, amortized once per layout,
+    bounded per task by rows_per_file·tasks, never by corpus size.
+    """
+    z = zorder_key(F.col(a_col), F.col(b_col), bits=bits).alias("z")
+    keyed = df.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+        F.col(id_col).alias("__id"),
+        z,
+    )
+    return (
+        keyed.withColumn(
+            "file_id",
+            # exact integer division (div), not float-/ + cast — IEEE
+            # rounding past 2^45 mis-assigns ids (the packing.py lesson)
+            F.expr(
+                f"(row_number() over (order by z, __id) - 1)"
+                f" div {int(rows_per_file)}"
+            ).cast("long"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("a").alias("a_min"),
+            F.max("a").alias("a_max"),
+            F.min("b").alias("b_min"),
+            F.max("b").alias("b_max"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )

@@ -3677,6 +3677,214 @@ def text_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_heaps_stats(docs)
 
 
+
+_DSIR_FIT_CTES = """
+    toks AS (
+      SELECT doc_id, (source = 'src0') AS tgt,
+             list_filter(string_split_regex(trim(lower(text)), '\\W+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tgt,
+             t || list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1]) AS g
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, tgt,
+             CAST(('0x' || substr(md5('dsir-v1' || chr(31) || gr),
+                                  1, 6))::BIGINT % 256 AS INT) AS b
+      FROM grams, unnest(g) AS u(gr)
+    ),
+    counts AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cr,
+             CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+      FROM ex GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS r_total,
+             CAST(sum(ct) AS BIGINT) AS t_total
+      FROM counts
+    ),
+    scored AS (
+      SELECT ex.doc_id,
+             round(sum(ln((ct + 1.0) / (t_total + 256.0))
+                     - ln((cr + 1.0) / (r_total + 256.0))), 6)
+               AS log_weight
+      FROM ex JOIN counts USING (b) CROSS JOIN tot
+      GROUP BY ex.doc_id
+    )"""
+
+
+@query(
+    "select_dsir_resample",
+    f"""
+    WITH {_DSIR_FIT_CTES},
+    final AS (
+      SELECT d.doc_id, COALESCE(s.log_weight, 0.0) AS log_weight
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+    ),
+    keyed AS (
+      SELECT doc_id, log_weight,
+             round(log_weight + (-ln(-ln(
+               (('0x' || substr(md5('resample-v1' || chr(31) || doc_id),
+                                1, 12))::BIGINT + 1)
+               / 281474976710657.0
+             ))), 6) AS gumbel_key
+      FROM final
+    )
+    SELECT doc_id, log_weight, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
+    """,
+)
+def select_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING (Xie et al. 2023 step 3, via seeded
+    Gumbel-top-k, Kool et al. 2019): draw the 50 docs sampled with
+    probability proportional to exp(log_weight), deterministically —
+    the noise is a pure md5 function of (salt, doc_id), so the oracle
+    refits the DSIR models AND replays the draw.  Log-space keys mean
+    no exp() overflow; selection is TakeOrdered, no global sort."""
+    from pyppeteer_scraper_spark.functions.dsir import dsir_gumbel_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_gumbel_topk(docs, F.col("source") == "src0", k=50)
+
+
+@query(
+    "export_warc_offsets",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'https://' || source || '.example/doc/' || doc_id AS url,
+             text
+      FROM documents
+    ),
+    rec AS (
+      SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+             'WARC/1.0' || e'\r\n'
+             || 'WARC-Type: response' || e'\r\n'
+             || 'WARC-Target-URI: ' || url || e'\r\n'
+             || 'WARC-Date: 2026-01-01T00:00:00Z' || e'\r\n'
+             || 'Content-Type: application/http; msgtype=response'
+             || e'\r\n'
+             || 'Content-Length: '
+             || strlen('HTTP/1.1 200 OK' || e'\r\n'
+                       || 'Content-Type: text/html' || e'\r\n'
+                       || e'\r\n' || text)
+             || e'\r\n' || e'\r\n'
+             || 'HTTP/1.1 200 OK' || e'\r\n'
+             || 'Content-Type: text/html' || e'\r\n'
+             || e'\r\n' || text
+             || e'\r\n' || e'\r\n' AS record
+      FROM pages
+    )
+    SELECT shard, doc_id,
+           CAST(strlen(record) AS BIGINT) AS rec_len,
+           CAST(COALESCE(sum(strlen(record)) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS offset,
+           md5(record) AS rec_md5
+    FROM rec
+    """,
+)
+def export_warc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC EMIT side (sources/warc.py::serialize_warc): render page
+    rows as WARC/1.0 response records and compute each record's shard,
+    byte length, and byte offset within its shard — the CDX-style index
+    a WARC publisher writes next to the archive.  The oracle rebuilds
+    every record byte-for-byte in SQL (md5-pinned) and replays the
+    offset window; pytest pins serialize→parse roundtrip identity."""
+    from pyppeteer_scraper_spark.sources.warc import serialize_warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_ts"),
+        "text",
+    )
+    rec = serialize_warc(pages, ts_is_iso_string=True)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        rec.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("long"))
+        .withColumn(
+            "rec_len", F.octet_length("warc_record").cast("long")
+        )
+        .select(
+            "shard",
+            "doc_id",
+            "rec_len",
+            F.coalesce(F.sum("rec_len").over(w), F.lit(0))
+            .cast("long")
+            .alias("offset"),
+            F.md5("warc_record").alias("rec_md5"),
+        )
+    )
+
+
+@query(
+    "export_zorder_layout",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(n_chars % 65536 AS BIGINT) AS a,
+             CAST(('0x' || substr(md5(source), 1, 4))::BIGINT AS BIGINT)
+               AS b
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, a, b,
+             CAST(list_sum(list_transform(range(0, 16), i ->
+               (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1))
+             )) AS BIGINT) AS z
+      FROM dims
+    ),
+    filed AS (
+      SELECT a, b, z,
+             CAST((row_number() OVER (ORDER BY z, doc_id) - 1) // 64
+                  AS BIGINT) AS file_id
+      FROM keyed
+    )
+    SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           min(a) AS a_min, max(a) AS a_max,
+           min(b) AS b_min, max(b) AS b_max,
+           min(z) AS z_min, max(z) AS z_max
+    FROM filed GROUP BY file_id
+    """,
+)
+def export_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) file clustering plan (operators/export.py::
+    zorder_layout): interleave two 16-bit dimensions (doc length
+    bucket, source hash), lay rows into 64-row files in z order, and
+    report per-file min/max stats for both dimensions — the
+    data-skipping index entries that make scans filtered on EITHER
+    dimension prunable.  Exact unrolled bit arithmetic, replayed
+    bit-for-bit by the oracle."""
+    from pyppeteer_scraper_spark.operators.export import zorder_layout
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("n_chars"), F.lit(65536)).alias("a16"),
+        F.conv(F.substring(F.md5("source"), 1, 4), 16, 10)
+        .cast("long")
+        .alias("b16"),
+    )
+    return zorder_layout(
+        docs, "a16", "b16", "doc_id", rows_per_file=64, bits=16
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -3718,6 +3926,9 @@ _WINDOW_FIRST = [
     "text_ccnet_ppl_buckets",
     "tok_bpe_pair_counts",
     "text_zipf_heaps",
+    "select_dsir_resample",
+    "export_warc_offsets",
+    "export_zorder_layout",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -3757,13 +3968,13 @@ _WINDOW_FIRST = [
     "text_inverted_index",
     "text_vocab_oov",
     "text_curation_funnel_full",
-    # round-3 session-2 additions
-    "export_shard_plan",
-    "text_model_quality",
-    "rank_domain_quality",
 ]
 
 _WINDOW_TAIL = [
+    # r03-green model-quality family displaced by round-4 session-2
+    "text_model_quality",
+    "rank_domain_quality",
+    "export_shard_plan",
     # r03-green ingestion/normalization displaced by round-4 session-2
     # additions (independent-derivation oracles + pytest keep covering)
     "robots_parse_rules",

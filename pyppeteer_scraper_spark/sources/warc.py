@@ -110,3 +110,54 @@ def warc_pages(df: DataFrame, warc_col: str = "warc") -> DataFrame:
             F.lit(None).cast("string").alias("lang"),
         )
     )
+
+
+def serialize_warc(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "text",
+    ts_is_iso_string: bool = False,
+) -> DataFrame:
+    """Render page rows as WARC/1.0 response records — the EMIT side of
+    this module (a crawl at Common-Crawl scale also publishes its
+    fetches as WARC shards).  Inverse of :func:`parse_warc`:
+    serialize → parse is identity on (url, payload) — pytest-pinned.
+
+    Pure codegen string concat, O(bytes), no shuffle.  Output adds a
+    ``warc_record`` column; ``Content-Length`` is the BYTE length of
+    the block (HTTP envelope + payload), per spec.  The record framing
+    note from the parser applies in reverse: bodies containing a
+    line-initial ``WARC/1.x`` would confuse the text-mode parser's
+    boundary regex (real consumers frame by Content-Length, which this
+    writer emits correctly).
+    """
+    crlf = "\r\n"
+    body = F.coalesce(F.col(body_col).cast("string"), F.lit(""))
+    block = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf),
+        F.lit("Content-Type: text/html" + crlf),
+        F.lit(crlf),
+        body,
+    )
+    # ts_is_iso_string=True takes the column verbatim (already ISO-8601
+    # text) — date_format renders in the SESSION timezone, which an
+    # engine-independent oracle comparison must not depend on.
+    ts_iso = (
+        F.col(ts_col)
+        if ts_is_iso_string
+        else F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + crlf),
+        F.lit("WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: "), F.col(url_col), F.lit(crlf),
+        F.lit("WARC-Date: "), ts_iso, F.lit(crlf),
+        F.lit("Content-Type: application/http; msgtype=response" + crlf),
+        F.lit("Content-Length: "),
+        F.octet_length(block).cast("string"), F.lit(crlf),
+        F.lit(crlf),
+        block,
+        F.lit(crlf + crlf),
+    )
+    return pages.withColumn("warc_record", record)
