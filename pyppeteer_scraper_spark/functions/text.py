@@ -388,10 +388,14 @@ def zipf_heaps_stats(docs, text_col: str = "text", top_n: int = 1000):
         ).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt")).persist()
-    totals = counts.agg(
+    # two scalars to the driver (same policy as the LM fit's stats
+    # collect) — attaching them as literals to the slope row avoids a
+    # one-row-to-one-row join that Catalyst constant-folds into a
+    # nested-loop cross
+    tr = counts.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("vocab"),
-    )
+    ).collect()[0]
     top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_n)
     # top_n rows: the rank window runs over a bounded, already-reduced
     # set — single partition by construction and by intent.
@@ -407,10 +411,9 @@ def zipf_heaps_stats(docs, text_col: str = "text", top_n: int = 1000):
             F.count("*").cast("long").alias("n_top"),
         )
     )
-    # combine the two one-row aggregates on a constant equi-key (a
-    # broadcast hash join, so the registry's CartesianProduct ban holds)
-    return (
-        totals.withColumn("__k", F.lit(1))
-        .join(F.broadcast(slope.withColumn("__k", F.lit(1))), "__k")
-        .select("n_tokens", "vocab", "n_top", "zipf_slope")
+    return slope.select(
+        F.lit(int(tr["n_tokens"])).cast("long").alias("n_tokens"),
+        F.lit(int(tr["vocab"])).cast("long").alias("vocab"),
+        "n_top",
+        "zipf_slope",
     )
