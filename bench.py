@@ -71,6 +71,10 @@ HEADLINE = [
     "text_ccnet_ppl_buckets",
     "tok_bpe_pair_counts",
     "text_zipf_heaps",
+    "select_dsir_resample",
+    "export_warc_offsets",
+    "export_zorder_layout",
+    "rank_hits",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

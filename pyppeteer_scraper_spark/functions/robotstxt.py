@@ -129,3 +129,64 @@ def robots_sitemaps(
         F.trim(F.expr("substring(line, 9)")).alias("sitemap_url"),
     )
     return kv.filter(F.col("sitemap_url") != "").distinct()
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """Compile one robots.txt path pattern to a regex implementing
+    RFC 9309 / Google matching semantics: prefix match, ``*`` matches
+    any run (including ``/``), trailing ``$`` anchors the end.
+
+    Driver-side compile (a crawler compiles its rule set once per
+    robots fetch; the per-URL MATCH runs engine-side).  The output is
+    RE2-safe AND java.util.regex-safe — only escaped literals, ``.*``,
+    and anchors — so Spark's regexp_like and a SQL oracle's
+    regexp_matches evaluate it identically.  Spec semantics are pinned
+    by pytest against RFC 9309's own example table.
+    """
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    esc = _re.escape(body).replace(r"\*", ".*")
+    return "^" + esc + ("$" if anchored else "")
+
+
+def match_robots(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Evaluate URL paths against compiled robots rules with
+    longest-match precedence (RFC 9309 §2.2.2): among matching rules
+    the longest PATTERN wins; on a length tie the least restrictive
+    (Allow) wins; no matching rule means allowed.
+
+    ``urls``: (domain, path).  ``rules``: (domain, pattern, regex,
+    allow) — regex from :func:`robots_pattern_regex`.
+
+    Returns (domain, path, allowed, matched_pattern).  One broadcast-
+    friendly equi-join on domain (rules tables are small dimensions —
+    the scheduler already broadcasts them, plans/round.py) + one window
+    over (domain, path), partition-bounded by rules-per-domain.
+    """
+    j = urls.join(rules, "domain", "left")
+    hit = F.when(
+        F.col("pattern").isNotNull()
+        & F.regexp_like(F.col("path"), F.col("regex")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("domain", "path").orderBy(
+        F.col("hit").desc(),
+        F.length("pattern").desc(),
+        F.col("allow").desc(),
+        F.col("pattern"),
+    )
+    ranked = (
+        j.withColumn("hit", hit)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+    )
+    return ranked.select(
+        "domain",
+        "path",
+        F.when(F.col("hit") == 1, F.col("allow"))
+        .otherwise(F.lit(True))
+        .alias("allowed"),
+        F.when(F.col("hit") == 1, F.col("pattern")).alias("matched_pattern"),
+    )

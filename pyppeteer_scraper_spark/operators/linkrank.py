@@ -179,3 +179,67 @@ def reprioritize_frontier(
     )
     scores.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over deduplicated edges
+    for FIXED ``iters`` mutual-reinforcement rounds; returns
+    (node, hub, authority), each distribution L1-normalized (sum = 1 —
+    exact in SQL, unlike the usual L2 norm's cross-engine sqrt).
+
+    Complements PageRank for frontier prioritization: authorities are
+    the link-endorsed content pages, hubs the directory/index pages
+    whose OUTLINKS deserve crawling first — a hub-weighted frontier
+    finds new authorities faster than in-degree alone.
+
+    Scale shape mirrors ``pagerank``: cached edge table, one join +
+    bounded groupBy per half-step, ONE scalar normalization collect per
+    half-step, ``localCheckpoint`` truncating each iteration's lineage.
+    Deterministic: fixed iterations, no RNG.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    hub = nodes.withColumn("hub", F.lit(1.0 / n))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        a_tot = float(a_raw.agg(F.sum("s")).collect()[0][0] or 1.0)
+        auth = nodes.join(
+            a_raw.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(a_tot)).alias(
+                "authority"
+            ),
+        ).localCheckpoint()
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("authority").alias("s"))
+        )
+        h_tot = float(h_raw.agg(F.sum("s")).collect()[0][0] or 1.0)
+        hub = nodes.join(
+            h_raw.withColumnRenamed("src", "node"), "node", "left"
+        ).select(
+            "node",
+            (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(h_tot)).alias("hub"),
+        ).localCheckpoint()
+    out = nodes.join(hub, "node").join(auth, "node")
+    nodes.unpersist()
+    e.unpersist()
+    return out.select("node", "hub", "authority")

@@ -3885,6 +3885,167 @@ def export_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _hits_iter_sql(i: int) -> str:
+    """One HITS mutual-reinforcement round (authority half-step then
+    hub half-step, each L1-normalized) — mirrors operators/linkrank.py
+    ::hits exactly."""
+    prev = f"h{i - 1}"
+    return f"""ar{i} AS (
+      SELECT e.dst AS node, sum(h.hub) AS s
+      FROM edges e JOIN {prev} h ON h.node = e.src GROUP BY e.dst
+    ), at{i} AS (SELECT sum(s) AS t FROM ar{i}),
+    a{i} AS (
+      SELECT n.node, coalesce(ar.s, 0) / (SELECT t FROM at{i}) AS authority
+      FROM nodes n LEFT JOIN ar{i} ar ON ar.node = n.node
+    ), hr{i} AS (
+      SELECT e.src AS node, sum(a.authority) AS s
+      FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+    ), ht{i} AS (SELECT sum(s) AS t FROM hr{i}),
+    h{i} AS (
+      SELECT n.node, coalesce(hr.s, 0) / (SELECT t FROM ht{i}) AS hub
+      FROM nodes n LEFT JOIN hr{i} hr ON hr.node = n.node
+    )"""
+
+
+@query(
+    "rank_hits",
+    f"""
+    WITH {_TRANS_EDGES_SQL},
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM nodes),
+    {_hits_iter_sql(1)},
+    {_hits_iter_sql(2)}
+    SELECT h2.node, round(h2.hub, 6) AS hub,
+           round(a2.authority, 6) AS authority
+    FROM h2 JOIN a2 USING (node)
+    """,
+)
+def rank_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/linkrank.py::hits) over the
+    same derived link graph as rank_pagerank: 2 mutual-reinforcement
+    rounds, L1-normalized (exact in SQL, no sqrt).  The oracle unrolls
+    both rounds as CTEs — hash-exact at 6 dp, like PageRank.  Hubs
+    drive frontier prioritization: a high-hub page's OUTLINKS are the
+    URLs most likely to reach new authorities."""
+    from pyppeteer_scraper_spark.operators.linkrank import hits
+
+    ranks = hits(_transition_edges(spark, sf_dir), iters=2)
+    return ranks.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+# robots matching spec: RFC 9309 / Google example rules, compiled
+# driver-side by robots_pattern_regex (pytest pins the compile against
+# the RFC's own example table); variants assigned per domain by md5.
+_ROBOTS_MATCH_RULESPEC = [(0, '/p', False), (0, '/page', True), (0, '/*.htm$', False), (0, '/fish*', False), (0, '/fish/', True), (1, '/', False), (1, '/public/', True), (1, '/*?', False), (2, '/a$', True), (2, '/a', False)]
+_ROBOTS_MATCH_PATHS = ['/page', '/pagex', '/p', '/fish.php', '/fish/salmon.htm', '/public/doc.htm', '/a', '/a/b', '/qs?x=1', '/']
+
+
+@query(
+    "robots_match_urls",
+    """
+    WITH doms AS (
+      SELECT lower(replace(n_name, ' ', '-')) || '.example' AS domain
+      FROM nation
+    ),
+    v AS (
+      SELECT domain,
+             ('0x' || substr(md5(domain), 1, 2))::INT % 3 AS variant
+      FROM doms
+    ),
+    spec(variant, pattern, regex, allow) AS (
+      VALUES
+        (0, '/p', '^/p', false),
+        (0, '/page', '^/page', true),
+        (0, '/*.htm$', '^/.*\.htm$', false),
+        (0, '/fish*', '^/fish.*', false),
+        (0, '/fish/', '^/fish/', true),
+        (1, '/', '^/', false),
+        (1, '/public/', '^/public/', true),
+        (1, '/*?', '^/.*\?', false),
+        (2, '/a$', '^/a$', true),
+        (2, '/a', '^/a', false)
+    ),
+    paths(path) AS (VALUES ('/page'), ('/pagex'), ('/p'), ('/fish.php'), ('/fish/salmon.htm'), ('/public/doc.htm'), ('/a'), ('/a/b'), ('/qs?x=1'), ('/')),
+    cand AS (
+      SELECT v.domain, p.path, s.pattern, s.allow,
+             CASE WHEN regexp_matches(p.path, s.regex)
+                  THEN 1 ELSE 0 END AS hit
+      FROM v, paths p
+      JOIN spec s ON true
+      WHERE s.variant = v.variant
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY domain, path
+               ORDER BY hit DESC, length(pattern) DESC, allow DESC, pattern
+             ) AS rk
+      FROM cand
+    )
+    SELECT domain, path,
+           CASE WHEN hit = 1 THEN allow ELSE true END AS allowed,
+           CASE WHEN hit = 1 THEN pattern END AS matched_pattern
+    FROM ranked WHERE rk = 1
+    """,
+)
+def robots_match_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots rule MATCHING with RFC 9309 semantics (functions/
+    robotstxt.py::match_robots): longest-pattern precedence, Allow wins
+    ties, ``*``/``$`` wildcards, unmatched paths allowed.  Rules are
+    the RFC/Google example set compiled driver-side to engine-portable
+    regexes; the oracle evaluates the same regexes in RE2 (vs Spark's
+    java.util.regex) and replays the precedence window — two regex
+    engines and two rankers must agree on every verdict."""
+    from pyppeteer_scraper_spark.functions.robotstxt import (
+        match_robots,
+        robots_pattern_regex,
+    )
+
+    doms = load_table(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lower(F.replace(F.col("n_name"), F.lit(" "), F.lit("-"))),
+            F.lit(".example"),
+        ).alias("domain")
+    )
+    variant = F.pmod(
+        F.conv(F.substring(F.md5(F.col("domain")), 1, 2), 16, 10).cast("int"),
+        F.lit(3),
+    )
+    by_variant = {}
+    for v, pat, allow in _ROBOTS_MATCH_RULESPEC:
+        by_variant.setdefault(v, []).append(
+            F.struct(
+                F.lit(pat).alias("pattern"),
+                F.lit(robots_pattern_regex(pat)).alias("regex"),
+                F.lit(allow).alias("allow"),
+            )
+        )
+    rules_arr = None
+    for v, structs in by_variant.items():
+        arr = F.array(*structs)
+        rules_arr = (
+            F.when(variant == v, arr)
+            if rules_arr is None
+            else rules_arr.when(variant == v, arr)
+        )
+    rules = doms.select(
+        "domain", F.explode(rules_arr).alias("r")
+    ).select("domain", "r.pattern", "r.regex", "r.allow")
+    urls = doms.select(
+        "domain",
+        F.explode(
+            F.array(*[F.lit(p) for p in _ROBOTS_MATCH_PATHS])
+        ).alias("path"),
+    )
+    return match_robots(urls, rules)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -3929,6 +4090,8 @@ _WINDOW_FIRST = [
     "select_dsir_resample",
     "export_warc_offsets",
     "export_zorder_layout",
+    "rank_hits",
+    "robots_match_urls",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -3962,8 +4125,6 @@ _WINDOW_FIRST = [
     "dedup_semantic",
     "dedup_substring_coverage",
     # round-3 session-3 additions
-    "text_gopher_rules",
-    "rank_trap_patterns",
     "text_lm_perplexity",
     "text_inverted_index",
     "text_vocab_oov",
@@ -3971,6 +4132,9 @@ _WINDOW_FIRST = [
 ]
 
 _WINDOW_TAIL = [
+    # r03-green queries displaced by round-4 session-2 batch 3
+    "text_gopher_rules",
+    "rank_trap_patterns",
     # r03-green model-quality family displaced by round-4 session-2
     "text_model_quality",
     "rank_domain_quality",
