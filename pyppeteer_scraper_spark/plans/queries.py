@@ -4046,6 +4046,81 @@ def robots_match_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_robots(urls, rules)
 
 
+
+@query(
+    "a_countmin_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\W+'),
+               t -> t <> '')) AS token
+      FROM documents
+    ),
+    truec AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM toks GROUP BY token
+    ),
+    top AS (
+      SELECT token, true_cnt FROM truec
+      ORDER BY true_cnt DESC, token LIMIT 20
+    ),
+    ex AS (SELECT token, d FROM toks, unnest([0, 1, 2, 3]) AS t(d)),
+    cms AS (
+      SELECT d,
+             ('0x' || substr(md5('cms-v1:' || CAST(d AS VARCHAR)
+                                 || chr(31) || token), 1, 6))::BIGINT
+               % 64 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ex GROUP BY d, b
+    ),
+    probe AS (
+      SELECT t.token, t.true_cnt, dd.d,
+             ('0x' || substr(md5('cms-v1:' || CAST(dd.d AS VARCHAR)
+                                 || chr(31) || t.token), 1, 6))::BIGINT
+               % 64 AS b
+      FROM top t, unnest([0, 1, 2, 3]) AS dd(d)
+    )
+    SELECT p.token, p.true_cnt, CAST(min(c.cnt) AS BIGINT) AS cms_est
+    FROM probe p JOIN cms c USING (d, b)
+    GROUP BY p.token, p.true_cnt
+    """,
+)
+def a_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (operators/countmin.py): build a
+    4x64 sketch over the corpus token stream, then point-estimate the
+    top-20 true tokens through it.  The sketch is a (d, b, cnt) table —
+    mergeable by union+sum, output bounded by depth*width at any corpus
+    size — and every step is integer md5-bucket arithmetic, so the
+    oracle rebuilds sketch AND estimates exactly.  The one-sided error
+    law (est >= true, overshoot = collisions) is pytest-pinned with a
+    deliberately tiny width."""
+    from pyppeteer_scraper_spark.operators.countmin import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\W+"),
+                lambda t: t != "",
+            )
+        ).alias("token")
+    )
+    true_top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+    cms = cms_build(toks, "token", depth=4, width=64)
+    est = cms_estimate(cms, true_top, "token", depth=4, width=64)
+    return true_top.join(est, "token").select(
+        "token", "true_cnt", "cms_est"
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -4092,6 +4167,7 @@ _WINDOW_FIRST = [
     "export_zorder_layout",
     "rank_hits",
     "robots_match_urls",
+    "a_countmin_heavy_hitters",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -4125,7 +4201,6 @@ _WINDOW_FIRST = [
     "dedup_semantic",
     "dedup_substring_coverage",
     # round-3 session-3 additions
-    "text_lm_perplexity",
     "text_inverted_index",
     "text_vocab_oov",
     "text_curation_funnel_full",
@@ -4135,6 +4210,7 @@ _WINDOW_TAIL = [
     # r03-green queries displaced by round-4 session-2 batch 3
     "text_gopher_rules",
     "rank_trap_patterns",
+    "text_lm_perplexity",
     # r03-green model-quality family displaced by round-4 session-2
     "text_model_quality",
     "rank_domain_quality",
