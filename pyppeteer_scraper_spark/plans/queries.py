@@ -4121,6 +4121,148 @@ def a_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "a_event_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+      FROM s LEFT JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    )
+    SELECT user_id, signup_ts, purchase_ts,
+           purchase_ts IS NOT NULL AS converted,
+           round((epoch(purchase_ts) - epoch(signup_ts)) / 3600.0, 4)
+             AS hrs_to_convert
+    FROM p
+    """,
+)
+def a_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion (signup -> first purchase at-or-after it) per
+    user — the classic product-analytics two-step that needs a
+    CONDITIONAL aggregate join, not a plain groupBy.  Two shuffles
+    (user-keyed agg, user-keyed join — co-partitioned after AQE);
+    elapsed hours computed from microsecond-exact epoch seconds on
+    both engines (timestamp->double cast, never unix_timestamp's
+    second truncation), rounded 4 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    joined = s.join(
+        p, (s["user_id"] == p["user_id"]) & (p["pts"] >= s["signup_ts"]),
+        "left",
+    ).groupBy(s["user_id"].alias("user_id"), "signup_ts").agg(
+        F.min("pts").alias("purchase_ts")
+    )
+    return joined.select(
+        "user_id",
+        "signup_ts",
+        "purchase_ts",
+        F.col("purchase_ts").isNotNull().alias("converted"),
+        F.round(
+            (
+                # NTZ -> timestamp -> double: the tz shift (if any) is
+                # identical on both terms, so the DIFFERENCE is exact
+                # epoch seconds with microsecond precision
+                F.col("purchase_ts").cast("timestamp").cast("double")
+                - F.col("signup_ts").cast("timestamp").cast("double")
+            )
+            / 3600.0,
+            4,
+        ).alias("hrs_to_convert"),
+    )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "sample_neyman_allocation",
+    f"""
+    WITH strata AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_h,
+             round(stddev_pop(value), 6) AS sd_h
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n_h, sd_h,
+             (n_h * sd_h) / (SELECT sum(n_h * sd_h) FROM strata) AS w_h
+      FROM strata
+    ),
+    fl AS (
+      SELECT event_type, n_h, sd_h, w_h,
+             CAST(floor({_NEYMAN_BUDGET} * w_h) AS BIGINT) AS base,
+             {_NEYMAN_BUDGET} * w_h - floor({_NEYMAN_BUDGET} * w_h) AS rem
+      FROM w
+    ),
+    tot AS (SELECT CAST({_NEYMAN_BUDGET} - sum(base) AS BIGINT) AS left_over FROM fl)
+    SELECT event_type, n_h, sd_h,
+           CAST(base + CASE WHEN row_number() OVER (
+                  ORDER BY rem DESC, event_type
+                ) <= (SELECT left_over FROM tot)
+                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM fl
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sampling allocation (minimum-variance
+    estimator for a fixed budget): sample size per stratum proportional
+    to N_h * sigma_h, integerized by largest-remainder so the budget is
+    spent exactly.  The variance inputs round to 6 dp BEFORE the weight
+    arithmetic, so both engines compute the allocation from identical
+    rationals; the remainder window runs over only the strata (5 rows),
+    never the data.  This is the planner a 100-TB quality-audit
+    sampler runs before drawing (sample_stratified_hash draws it)."""
+    ev = load_table(spark, sf_dir, "events")
+    strata = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.round(F.stddev_pop("value"), 6).alias("sd_h"),
+    )
+    total = float(
+        strata.agg(F.sum(F.col("n_h") * F.col("sd_h"))).collect()[0][0]
+    )
+    B = _NEYMAN_BUDGET
+    w = strata.withColumn(
+        "w_h", (F.col("n_h") * F.col("sd_h")) / F.lit(total)
+    )
+    fl = w.select(
+        "event_type",
+        "n_h",
+        "sd_h",
+        F.floor(F.lit(B) * F.col("w_h")).cast("long").alias("base"),
+        (F.lit(B) * F.col("w_h") - F.floor(F.lit(B) * F.col("w_h"))).alias(
+            "rem"
+        ),
+    )
+    left_over = B - int(fl.agg(F.sum("base")).collect()[0][0])
+    win = Window.orderBy(F.col("rem").desc(), F.col("event_type"))
+    return fl.select(
+        "event_type",
+        "n_h",
+        "sd_h",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(win) <= left_over, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -4168,6 +4310,8 @@ _WINDOW_FIRST = [
     "rank_hits",
     "robots_match_urls",
     "a_countmin_heavy_hitters",
+    "a_event_funnel",
+    "sample_neyman_allocation",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -4201,13 +4345,13 @@ _WINDOW_FIRST = [
     "dedup_semantic",
     "dedup_substring_coverage",
     # round-3 session-3 additions
-    "text_inverted_index",
-    "text_vocab_oov",
     "text_curation_funnel_full",
 ]
 
 _WINDOW_TAIL = [
     # r03-green queries displaced by round-4 session-2 batch 3
+    "text_inverted_index",
+    "text_vocab_oov",
     "text_gopher_rules",
     "rank_trap_patterns",
     "text_lm_perplexity",
