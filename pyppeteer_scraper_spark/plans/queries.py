@@ -4263,6 +4263,65 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "text_quality_signal_corr",
+    f"""
+    WITH {_model_scored_ctes()},
+    model AS (
+      SELECT doc_id,
+             CASE WHEN n_grams > 0
+                  THEN round(1.0 / (1.0 + exp(-(CAST(score_raw AS DOUBLE)
+                       / (CAST(n_grams AS DOUBLE) * 1000.0)))), 6)
+                  ELSE 0.5 END AS model_score
+      FROM scored
+    ),
+    heur AS (
+      SELECT doc_id,
+             round((least(n_tokens / 100.0, 1.0)
+                  + least(stopword_ratio * 5, 1.0)
+                  + 1.0 - least(punct_ratio * 10, 1.0)) / 3, 6) AS quality
+      FROM (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+               round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b')) AS BIGINT)
+                     / greatest(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT), 1), 6) AS stopword_ratio
+        FROM documents
+      )
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(corr(m.model_score, h.quality), 4) AS corr_model_heuristic
+    FROM model m JOIN heur h USING (doc_id)
+    """,
+)
+def text_quality_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal agreement report: Pearson correlation between the
+    hashed-n-gram model score and the heuristic quality score across
+    the corpus — the calibration check a pipeline runs before trusting
+    a NEW quality signal to replace a vetted one (low agreement means
+    the gates select different corpora).  Both inputs are the rounded
+    (hash-stable) per-doc scores, so the engines correlate identical
+    rationals; one map-side-combined aggregate, no shuffle beyond it."""
+    from pyppeteer_scraper_spark.functions.classifier import (
+        quality_model_score,
+    )
+    from pyppeteer_scraper_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    both = docs.select(
+        quality_model_score(F.col("text"))["score"].alias("model_score"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return both.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.corr("model_score", "quality"), 4).alias(
+            "corr_model_heuristic"
+        ),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -4312,6 +4371,7 @@ _WINDOW_FIRST = [
     "a_countmin_heavy_hitters",
     "a_event_funnel",
     "sample_neyman_allocation",
+    "text_quality_signal_corr",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -4329,7 +4389,6 @@ _WINDOW_FIRST = [
     "sample_stratified_hash",
     "split_exact_contamination",
     "split_neardup_contamination",
-    "dedup_lines_c4",
     "text_repetition_signals",
     "text_idf_top_terms",
     "text_curation_funnel",
@@ -4350,6 +4409,7 @@ _WINDOW_FIRST = [
 
 _WINDOW_TAIL = [
     # r03-green queries displaced by round-4 session-2 batch 3
+    "dedup_lines_c4",
     "text_inverted_index",
     "text_vocab_oov",
     "text_gopher_rules",

@@ -89,3 +89,36 @@ def run_available_now(
     else:
         q = writer.outputMode("append").format("noop").start()
     q.awaitTermination()
+
+
+def fetch_rate_windows(
+    pages: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-domain fetch-rate monitoring: tumbling event-time windows
+    over the page feed in APPEND mode — each (window, domain) row is
+    emitted EXACTLY ONCE, when the watermark passes the window end, and
+    late pages behind the watermark are dropped (bounded state, no
+    restatement downstream).
+
+    This is the operational telemetry stream a fetch fleet alarms on
+    (politeness violations, dead hosts); complete-mode daily_emit_gate
+    restates history every batch, which is right for a dashboard but
+    wrong for an alert log.  Exactly-once emission across restarts
+    comes from the checkpointed watermark (tests run it as two
+    AvailableNow drains sharing a checkpoint — the cron-run analog)."""
+    from pyppeteer_scraper_spark.functions.canonicalize import domain_of
+
+    return (
+        pages.withColumn("domain", domain_of(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "domain")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "domain",
+            "n_pages",
+        )
+    )
