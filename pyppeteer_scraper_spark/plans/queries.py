@@ -4322,6 +4322,82 @@ def text_quality_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "text_lang_confusion",
+    """
+    WITH pred AS (
+      SELECT doc_id, lang,
+        CASE
+          WHEN greatest(en_s, fr_s, de_s) = 0 THEN 'und'
+          WHEN en_s = greatest(en_s, fr_s, de_s) THEN 'en'
+          WHEN fr_s = greatest(en_s, fr_s, de_s) THEN 'fr'
+          ELSE 'de'
+        END AS lang_pred
+      FROM (
+        SELECT doc_id, lang,
+          CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b')) AS BIGINT) AS en_s,
+          CAST(len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|un|une)\\b')) AS BIGINT) AS fr_s,
+          CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ein|nicht)\\b')) AS BIGINT) AS de_s
+        FROM documents
+      )
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 6)
+             AS row_frac
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang x predicted lang
+    counts + per-row fractions — the EVALUATION operator for the
+    lang-ID gate (a pipeline reports this before trusting the filter
+    on a new corpus slice).  One map-side-combined groupBy plus a
+    per-lang window over the tiny (5x4) matrix."""
+    from pyppeteer_scraper_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+    counts = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("row_frac"),
+    )
+
+
+@query(
+    "sim_label_centroids",
+    """
+    SELECT label, t.i - 1 AS dim,
+           round(avg(embedding[t.i]), 6) AS c,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, t.i - 1
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, element-wise (the class
+    prototypes k-NN/IVF coarse quantizers and SemDeDup cells start
+    from): posexplode the vector column and aggregate per (label,
+    dim).  The explode-then-groupBy form shuffles (label, dim, val)
+    triples — narrow rows, map-side partials — instead of whole
+    vectors, and never collects a vector to the driver; the oracle
+    unnests WITH ORDINALITY and must agree at 6 dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("c"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -4372,6 +4448,8 @@ _WINDOW_FIRST = [
     "a_event_funnel",
     "sample_neyman_allocation",
     "text_quality_signal_corr",
+    "text_lang_confusion",
+    "sim_label_centroids",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -4392,9 +4470,7 @@ _WINDOW_FIRST = [
     "text_repetition_signals",
     "text_idf_top_terms",
     "text_curation_funnel",
-    "j_asof_prior_view",
     "a_sessionize_gaps",
-    "a_value_percentiles",
     "media_real_decode_features",
     "a_sketch_aggregates",
     "text_pii_counts",
@@ -4409,6 +4485,8 @@ _WINDOW_FIRST = [
 
 _WINDOW_TAIL = [
     # r03-green queries displaced by round-4 session-2 batch 3
+    "j_asof_prior_view",
+    "a_value_percentiles",
     "dedup_lines_c4",
     "text_inverted_index",
     "text_vocab_oov",
