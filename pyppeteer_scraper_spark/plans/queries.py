@@ -4398,6 +4398,90 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "pipeline_curate_pack_shard",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_words,
+        round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+              / len(toks), 6) AS mean_word_len,
+        round(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+              * 1.0 / len(toks), 6) AS frac_alpha_words,
+        len(list_filter(toks, w -> list_contains(
+          ['the','be','to','of','and','that','have','with'], lower(w)
+        ))) AS n_stopwords,
+        round(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) * 1.0
+              / len(toks), 6) AS symbol_ratio
+      FROM t
+    ), kept AS (
+      SELECT doc_id, n_words AS n_tokens FROM s
+      WHERE n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_ratio <= 0.1
+        AND frac_alpha_words >= 0.8
+        AND n_stopwords >= 2
+    ), p AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_tok
+      FROM kept
+    ), spans AS (
+      SELECT doc_id, n_tokens,
+             CAST(start_tok // 512 AS BIGINT) AS first_seq,
+             CAST((start_tok + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+      FROM p
+    )
+    SELECT CAST(first_seq // 16 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+           min(first_seq) AS seq_min, max(last_seq) AS seq_max
+    FROM spans GROUP BY shard
+    """,
+)
+def pipeline_curate_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus pipeline as one plan: Gopher quality gate →
+    sequence packing (512-token sequences over the kept docs in id
+    order, distributed prefix sum) → 16-sequence shard assignment →
+    per-shard manifest (doc/token counts, sequence range).  Exercises
+    the composition a real user runs — filter, pack, shard — in a
+    single lineage with one window-free prefix-sum shuffle; the oracle
+    replays the whole funnel in SQL, so cross-stage plumbing (the
+    filter changing the packing offsets, the offsets changing shard
+    membership) is what the hash checks."""
+    from pyppeteer_scraper_spark.functions.text import (
+        with_gopher_rules,
+        ws_token_count,
+    )
+    from pyppeteer_scraper_spark.operators.packing import pack_token_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = (
+        with_gopher_rules(docs)
+        .filter(F.col("keep") == 1)
+        .select("doc_id", ws_token_count(F.col("text")).alias("n_tokens"))
+    )
+    packed = pack_token_stream(kept, capacity=512, bucket_size=64)
+    # every kept doc has n_tokens >= 50 (the Gopher floor), so the
+    # zero-token span case cannot occur here
+    return (
+        packed.withColumn(
+            "shard", F.expr("first_seq div 16").cast("long")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tok_sum"),
+            F.min("first_seq").alias("seq_min"),
+            F.max("last_seq").alias("seq_max"),
+        )
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -4450,6 +4534,7 @@ _WINDOW_FIRST = [
     "text_quality_signal_corr",
     "text_lang_confusion",
     "sim_label_centroids",
+    "pipeline_curate_pack_shard",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -4467,7 +4552,6 @@ _WINDOW_FIRST = [
     "sample_stratified_hash",
     "split_exact_contamination",
     "split_neardup_contamination",
-    "text_repetition_signals",
     "text_idf_top_terms",
     "text_curation_funnel",
     "a_sessionize_gaps",
@@ -4485,6 +4569,7 @@ _WINDOW_FIRST = [
 
 _WINDOW_TAIL = [
     # r03-green queries displaced by round-4 session-2 batch 3
+    "text_repetition_signals",
     "j_asof_prior_view",
     "a_value_percentiles",
     "dedup_lines_c4",
