@@ -1,4 +1,4 @@
-"""Query registry (104 entries, 94 DuckDB-oracled) — every
+"""Query registry (116 entries, 106 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
