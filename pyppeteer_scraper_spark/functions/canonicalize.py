@@ -148,3 +148,44 @@ def with_canonical_url(
         .withColumn("host", host_of(F.col(out_col)))
         .withColumn("domain", domain_of(F.col(out_col)))
     )
+
+
+def surt_key(col) -> "F.Column":
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL —
+    the Common-Crawl / CDX-index canonical form that sorts all pages
+    of a registrable domain contiguously, so an Iceberg frontier
+    partitioned or Z-ordered by this key clusters per-host work
+    without a shuffle.
+
+    Rules (applied entirely with codegen'd built-ins, no UDF):
+
+    1. lowercase; strip the scheme
+    2. split ``host[:port]`` from path+query at the first ``/``/``?``
+    3. drop default ports 80/443, keep others as ``:port``
+    4. strip one leading ``www.``; reverse host labels, join with ','
+    5. append ``)`` then the path (``/`` if empty)
+    6. query params sorted lexicographically after ``?``
+
+    ``http://WWW.Foo.Example:8080/A/b?b=2&a=1`` →
+    ``example,foo:8080)/a/b?a=1&b=2``.
+    """
+    u = F.lower(col)
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://", "")
+    hostport = F.regexp_extract(u, r"^([^/?]*)", 1)
+    rest = F.regexp_extract(u, r"^[^/?]*(.*)$", 1)
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    portpart = F.when(
+        (port != "") & (port != "80") & (port != "443"),
+        F.concat(F.lit(":"), port),
+    ).otherwise(F.lit(""))
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qpart = F.when(
+        query != "",
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(rev, portpart, F.lit(")"), path, qpart)

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def indegree(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -243,3 +243,48 @@ def hits(
     nodes.unpersist()
     e.unpersist()
     return out.select("node", "hub", "authority")
+
+
+def anchor_text_topk(
+    links: DataFrame,
+    k: int = 3,
+    *,
+    dst: str = "dst",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Top-k anchor texts per link TARGET — the classic web-search /
+    crawl-quality signal (anchor text describes the target better than
+    the target describes itself; Brin & Page 1998 §2.2 propagate
+    anchor text to the linked page).  A training-data pipeline uses it
+    to title/summarize pages and to score navigational-vs-content
+    hubs.
+
+    Shape at 10^10 links: one groupBy (dst, anchor) — map-side
+    combined, output bounded by distinct (target, phrase) pairs which
+    is orders smaller than the link count — then a per-dst window over
+    THAT aggregate for rank and totals.  A mega-hub (10^6 in-links)
+    collapses to its distinct anchor phrases before the window sees
+    it, so the skew the raw link table carries never reaches the sort.
+
+    Ties rank by count desc, anchor asc (deterministic).  Output: one
+    row per (dst, top-k anchor) with per-target totals.
+    """
+    counts = links.groupBy(dst, anchor).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy(dst).orderBy(F.col("n").desc(), F.col(anchor))
+    wt = Window.partitionBy(dst)
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_unique_anchors", F.count("*").over(wt).cast("long"))
+        .withColumn("n_inlinks", F.sum("n").over(wt).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col(dst).alias("node"),
+            anchor,
+            "n",
+            F.col("rk").cast("int").alias("rk"),
+            "n_unique_anchors",
+            "n_inlinks",
+        )
+    )

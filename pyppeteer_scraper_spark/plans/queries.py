@@ -4482,6 +4482,353 @@ def pipeline_curate_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-4 session-3: crawl-frontier URL operators ---------------------
+
+# Deterministic synthetic URL universe shared by both engines: customer
+# joined to nation, with scheme/WWW-prefix/sub-label/port/path/query
+# variants keyed off c_custkey residues so every SURT rule fires at
+# test scale (case folding, default-port stripping, www-stripping,
+# label reversal, empty path, query-param sorting).
+_SURT_URL_SQL = """urls AS (
+      SELECT c_custkey AS id,
+        (CASE WHEN c_custkey % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        || '://'
+        || (CASE WHEN c_custkey % 3 = 0 THEN 'WWW.' ELSE '' END)
+        || (CASE WHEN c_custkey % 7 = 0 THEN 'Shop.' ELSE '' END)
+        || replace(lower(n_name), '_', '-') || '.Example'
+        || (CASE WHEN c_custkey % 5 = 0 THEN ':8080'
+                 WHEN c_custkey % 5 = 1 THEN ':80'
+                 WHEN c_custkey % 5 = 2 AND c_custkey % 2 = 1 THEN ':443'
+                 ELSE '' END)
+        || (CASE WHEN c_custkey % 11 = 0 THEN ''
+                 ELSE '/' || c_mktsegment || '/c' || c_custkey END)
+        || (CASE WHEN c_custkey % 4 = 0
+                 THEN '?b=' || (c_custkey % 7) || '&a=1'
+                 WHEN c_custkey % 4 = 1 THEN '?a=1'
+                 ELSE '' END) AS url
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )"""
+
+
+@query(
+    "url_surt_keys",
+    f"""
+    WITH {_SURT_URL_SQL},
+    t AS (
+      SELECT id, url,
+             regexp_replace(lower(url), '^[a-z][a-z0-9+.\\-]*://', '') AS v
+      FROM urls
+    ),
+    p AS (
+      SELECT id, url,
+             regexp_extract(v, '^([^/?]*)', 1) AS hostport,
+             regexp_extract(v, '^[^/?]*(.*)$', 1) AS rest
+      FROM t
+    ),
+    h AS (
+      SELECT id, url, rest,
+             regexp_replace(regexp_extract(hostport, '^([^:]*)', 1),
+                            '^www\\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+      FROM p
+    )
+    SELECT id, url,
+           array_to_string(list_reverse(string_split(host, '.')), ',')
+           || (CASE WHEN port NOT IN ('', '80', '443')
+                    THEN ':' || port ELSE '' END)
+           || ')'
+           || (CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = ''
+                    THEN '/'
+                    ELSE regexp_extract(rest, '^([^?]*)', 1) END)
+           || (CASE WHEN regexp_extract(rest, '\\?(.*)$', 1) <> ''
+                    THEN '?' || array_to_string(
+                        list_sort(string_split(
+                            regexp_extract(rest, '\\?(.*)$', 1), '&')), '&')
+                    ELSE '' END) AS surt
+    FROM h
+    """,
+)
+def url_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical keys (Common-Crawl CDX convention): lowercase,
+    scheme stripped, default ports dropped, ``www.`` stripped, host
+    labels reversed comma-joined, ``)`` then path, query params
+    sorted.  Sorting/partitioning a 10^10-row frontier by this key
+    clusters every page of a registrable domain contiguously — the
+    layout the per-host politeness scheduler and robots gate want —
+    with zero Python in the path (functions/canonicalize.py::surt_key
+    is all codegen built-ins).  The oracle derives the transform
+    independently in DuckDB's regex/list dialect over the identical
+    synthetic URL universe."""
+    from pyppeteer_scraper_spark.functions.canonicalize import surt_key
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("c_custkey")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(k % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.lit("Shop.")).otherwise(F.lit("")),
+        F.concat(F.regexp_replace(F.lower("n_name"), "_", "-"), F.lit(".Example")),
+        F.when(k % 5 == 0, F.lit(":8080"))
+        .when(k % 5 == 1, F.lit(":80"))
+        .when((k % 5 == 2) & (k % 2 == 1), F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/"), F.col("c_mktsegment"), F.lit("/c"), k)
+        ),
+        F.when(k % 4 == 0, F.concat(F.lit("?b="), k % 7, F.lit("&a=1")))
+        .when(k % 4 == 1, F.lit("?a=1"))
+        .otherwise(F.lit("")),
+    )
+    urls = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        k.alias("id"), url.alias("url")
+    )
+    return urls.select("id", "url", surt_key(F.col("url")).alias("surt"))
+
+
+@query(
+    "url_filter_refinedweb",
+    """
+    WITH urls AS (
+      SELECT p_partkey AS id,
+             'brand' || replace(lower(p_brand), 'brand#', '') || '.example'
+               AS domain,
+             'http://brand' || replace(lower(p_brand), 'brand#', '')
+               || '.example/' || lower(p_type) || '/'
+               || replace(p_name, ' ', '-') || '/p' || p_partkey
+               || (CASE WHEN p_size > 25 THEN '/rev/latest' ELSE '' END)
+               AS url
+      FROM part
+    ),
+    blocked AS (
+      SELECT DISTINCT domain FROM urls
+      WHERE ('0x' || substr(md5(domain), 1, 2))::INT % 5 = 0
+    ),
+    kw(token, weight) AS (
+      VALUES ('widget', 2.0), ('gizmo', 1.5), ('anvil', 1.0),
+             ('red', 1.5), ('blue', 1.0), ('hot', 0.5),
+             ('economy', 0.5), ('promo', 1.0)
+    ),
+    toks AS (
+      SELECT id, unnest(list_distinct(string_split_regex(
+               regexp_extract(url, '^[a-z]+://[^/]*/(.*)$', 1),
+               '[/\\-?=&.]'))) AS token
+      FROM urls
+    ),
+    scores AS (
+      SELECT id, round(sum(weight), 2) AS kw_score
+      FROM toks JOIN kw USING (token) GROUP BY id
+    ),
+    feat AS (
+      SELECT u.id, u.url, u.domain,
+             len(string_split(
+               regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1), '/')) - 1
+               AS depth,
+             coalesce(s.kw_score, 0.0) AS kw_score,
+             (b.domain IS NOT NULL) AS blocked
+      FROM urls u
+      LEFT JOIN scores s USING (id)
+      LEFT JOIN blocked b ON u.domain = b.domain
+    )
+    SELECT id, url, domain, CAST(depth AS INT) AS depth, kw_score,
+           CASE WHEN blocked THEN 'blocklist'
+                WHEN depth > 4 THEN 'too_deep'
+                WHEN kw_score >= 3.0 THEN 'keyword_score'
+                ELSE 'keep' END AS verdict
+    FROM feat
+    """,
+)
+def url_filter_refinedweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style pre-fetch URL filter (blocklist broadcast join
+    + soft keyword-weight score over distinct path tokens + structural
+    depth cap), verdict = first failing rule.  The rules a 10^10-URL
+    frontier applies before spending a fetch; all codegen except two
+    broadcast joins against tiny dims (functions/urlfilter.py).  The
+    oracle replays blocklist membership (md5-derived), the token
+    explode/score, and the precedence CASE independently."""
+    from pyppeteer_scraper_spark.functions.urlfilter import filter_urls
+
+    p = load_table(spark, sf_dir, "part")
+    dom = F.concat(
+        F.lit("brand"),
+        F.regexp_replace(F.lower("p_brand"), "brand#", ""),
+        F.lit(".example"),
+    )
+    urls = p.select(
+        F.col("p_partkey").alias("id"),
+        dom.alias("domain"),
+        F.concat(
+            F.lit("http://"),
+            dom,
+            F.lit("/"),
+            F.lower("p_type"),
+            F.lit("/"),
+            F.regexp_replace("p_name", " ", "-"),
+            F.lit("/p"),
+            F.col("p_partkey"),
+            F.when(F.col("p_size") > 25, F.lit("/rev/latest")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    blocklist = (
+        urls.select("domain")
+        .distinct()
+        .filter(
+            F.conv(F.substring(F.md5("domain"), 1, 2), 16, 10).cast("int") % 5 == 0
+        )
+    )
+    kw = {
+        "widget": 2.0,
+        "gizmo": 1.5,
+        "anvil": 1.0,
+        "red": 1.5,
+        "blue": 1.0,
+        "hot": 0.5,
+        "economy": 0.5,
+        "promo": 1.0,
+    }
+    out = filter_urls(
+        urls,
+        blocklist,
+        spark,
+        keyword_weights=kw,
+        score_threshold=3.0,
+        max_depth=4,
+        url_key="url",
+        domain_col="domain",
+    )
+    return out.select(
+        "id", "url", "domain", F.col("depth").cast("int").alias("depth"),
+        "kw_score", "verdict"
+    )
+
+
+@query(
+    "shard_binpack_hosts",
+    """
+    WITH loads AS (
+      SELECT 'u' || user_id AS host, CAST(count(*) AS BIGINT) AS n_urls
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT host, n_urls,
+             row_number() OVER (ORDER BY n_urls DESC, host) - 1 AS rk
+      FROM loads
+    ),
+    assigned AS (
+      SELECT host, n_urls, rk // 8 AS tier,
+             CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+                  ELSE 7 - (rk % 8) END AS shard
+      FROM ranked
+    ),
+    tot AS (SELECT sum(n_urls) / 8.0 AS ideal FROM assigned)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(sum(n_urls) AS BIGINT) AS load,
+           round(sum(n_urls) / (SELECT ideal FROM tot), 6) AS balance
+    FROM assigned GROUP BY shard
+    """,
+)
+def shard_binpack_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-shard bin packing: hosts ranked by URL load descending
+    and dealt serpentine across 8 shards (operators/export.py::
+    binpack_hosts — distributed LPT stand-in, one window over the
+    distinct-host aggregate).  Returns the per-shard manifest the
+    fetch fleet schedules from: host count, total load, and
+    balance = load/ideal (≈1.0 everywhere is the point).  The oracle
+    replays rank → serpentine → rollup in SQL."""
+    from pyppeteer_scraper_spark.operators.export import binpack_hosts
+
+    ev = load_table(spark, sf_dir, "events")
+    loads = ev.groupBy(
+        F.concat(F.lit("u"), F.col("user_id")).alias("host")
+    ).agg(F.count("*").cast("long").alias("n_urls"))
+    packed = binpack_hosts(loads, 8, host_col="host", load_col="n_urls")
+    tot = packed.agg((F.sum("n_urls") / 8.0).alias("ideal"))
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_hosts"),
+            F.sum("n_urls").cast("long").alias("load"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_hosts",
+            "load",
+            F.round(F.col("load") / F.col("ideal"), 6).alias("balance"),
+        )
+    )
+
+
+@query(
+    "rank_anchor_texts",
+    """
+    WITH trans AS (
+      SELECT event_id % 200 AS src,
+             lead(event_id % 200) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    links AS (
+      SELECT src, dst,
+             ['home','docs','blog','shop','news','about','login','search']
+               [CAST((src * 7 + dst * 13) % 8 AS INT) + 1] AS anchor
+      FROM trans WHERE dst IS NOT NULL AND dst <> src
+    ),
+    counts AS (
+      SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+      FROM links GROUP BY dst, anchor
+    ),
+    ranked AS (
+      SELECT dst, anchor, n,
+             row_number() OVER (
+               PARTITION BY dst ORDER BY n DESC, anchor) AS rk,
+             CAST(count(*) OVER (PARTITION BY dst) AS BIGINT)
+               AS n_unique_anchors,
+             CAST(sum(n) OVER (PARTITION BY dst) AS BIGINT) AS n_inlinks
+      FROM counts
+    )
+    SELECT dst AS node, anchor, n, CAST(rk AS INT) AS rk,
+           n_unique_anchors, n_inlinks
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def rank_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target top-3 anchor-text aggregation (Brin & Page 1998
+    §2.2: anchor text as the target-page description signal) over the
+    user-transition link graph, anchors drawn deterministically from
+    an 8-phrase vocabulary by edge residue.  The raw link table
+    collapses to distinct (target, phrase) counts BEFORE any window,
+    so mega-hub skew never reaches the sort
+    (operators/linkrank.py::anchor_text_topk)."""
+    from pyppeteer_scraper_spark.operators.linkrank import anchor_text_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    page = F.col("event_id") % 200
+    trans = ev.select(page.alias("src"), F.lead(page).over(w).alias("dst"))
+    vocab = F.array(
+        *[
+            F.lit(x)
+            for x in [
+                "home", "docs", "blog", "shop",
+                "news", "about", "login", "search",
+            ]
+        ]
+    )
+    links = trans.filter(
+        F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
+    ).select(
+        "dst",
+        F.element_at(
+            vocab,
+            ((F.col("src") * 7 + F.col("dst") * 13) % 8).cast("int") + 1,
+        ).alias("anchor"),
+    )
+    return anchor_text_topk(links, 3, dst="dst", anchor="anchor")
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -4535,6 +4882,11 @@ _WINDOW_FIRST = [
     "text_lang_confusion",
     "sim_label_centroids",
     "pipeline_curate_pack_shard",
+    # round-4 session-3 additions
+    "url_surt_keys",
+    "url_filter_refinedweb",
+    "shard_binpack_hosts",
+    "rank_anchor_texts",
     # never driver-checked (r2 positions 51-60) — must be in r03's window
     "p9_url_construction",
     "s8_keyword_param_scan",
@@ -4557,17 +4909,21 @@ _WINDOW_FIRST = [
     "a_sessionize_gaps",
     "media_real_decode_features",
     "a_sketch_aggregates",
-    "text_pii_counts",
-    "text_pii_redact",
-    "rank_indegree",
+    # (text_pii_counts / text_pii_redact / rank_indegree /
+    # dedup_substring_coverage: r03-green, displaced to _WINDOW_TAIL by
+    # the round-4 session-3 additions)
     "rank_pagerank",
     "dedup_semantic",
-    "dedup_substring_coverage",
     # round-3 session-3 additions
     "text_curation_funnel_full",
 ]
 
 _WINDOW_TAIL = [
+    # r03-green queries displaced by round-4 session-3 additions
+    "text_pii_counts",
+    "text_pii_redact",
+    "rank_indegree",
+    "dedup_substring_coverage",
     # r03-green queries displaced by round-4 session-2 batch 3
     "text_repetition_signals",
     "j_asof_prior_view",
