@@ -103,6 +103,77 @@ def pagerank(
     return ranks
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """TrustRank (Gyongyi/Garcia-Molina/Pedersen, VLDB 2004):
+    PageRank personalized to a trusted ``seeds`` node set — teleport
+    mass (and dangling mass) goes ONLY to seeds, so trust decays with
+    link distance from the seed set and spam farms that PageRank
+    rewards stay near zero.  Crawl use: seed with curated hosts and
+    demote low-trust frontier URLs.
+
+    Returns (node, trust) with sum(trust) == 1.  Scale shape mirrors
+    ``pagerank``: cached edge table, one equi-join + groupBy per
+    iteration, an 8-byte dangling-mass scalar to the driver, and
+    ``localCheckpoint`` lineage truncation.  ``seeds`` (one ``node``
+    column) is tiny by construction — it broadcast-joins.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    seed_nodes = F.broadcast(seeds.select(F.col("node")).distinct()).cache()
+    ns = seed_nodes.count()
+    # seed teleport vector: 1/|seeds| on seeds, 0 elsewhere
+    svec = nodes.join(
+        seed_nodes.withColumn("s", F.lit(1.0 / ns)), "node", "left"
+    ).select("node", F.coalesce("s", F.lit(0.0)).alias("s"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
+    ranks = svec.select("node", F.col("s").alias("trust"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("trust") / F.col("out_deg")).alias("c"))
+        )
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.sum("trust"))
+            .collect()[0][0]
+            or 0.0
+        )
+        ranks = (
+            svec.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("s")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(dangling) * F.col("s")
+                    )
+                ).alias("trust"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    out_deg.unpersist()
+    seed_nodes.unpersist()
+    e.unpersist()
+    return ranks
+
+
 def load_edges(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     """Read every per-round link-graph delta written by
     ``plans.checkpoint.crawl(track_edges=True)`` as one edge table.

@@ -1,4 +1,4 @@
-"""Query registry (116 entries, 106 DuckDB-oracled) — every
+"""Query registry (124 entries, 114 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -4744,19 +4744,20 @@ def shard_binpack_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("u"), F.col("user_id")).alias("host")
     ).agg(F.count("*").cast("long").alias("n_urls"))
     packed = binpack_hosts(loads, 8, host_col="host", load_col="n_urls")
-    tot = packed.agg((F.sum("n_urls") / 8.0).alias("ideal"))
+    # one scalar to the driver (same policy as the LM fit / zipf stats) —
+    # a one-row join here constant-folds into a nested-loop cross
+    ideal = packed.agg((F.sum("n_urls") / 8.0).alias("ideal")).collect()[0][0]
     return (
         packed.groupBy("shard")
         .agg(
             F.count("*").cast("long").alias("n_hosts"),
             F.sum("n_urls").cast("long").alias("load"),
         )
-        .join(F.broadcast(tot))
         .select(
             "shard",
             "n_hosts",
             "load",
-            F.round(F.col("load") / F.col("ideal"), 6).alias("balance"),
+            F.round(F.col("load") / F.lit(float(ideal)), 6).alias("balance"),
         )
     )
 
@@ -4829,6 +4830,270 @@ def rank_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_topk(links, 3, dst="dst", anchor="anchor")
 
 
+# --- round-4 session-4: URL-alias resolution, CDX ingestion, TrustRank ---
+
+
+@query(
+    "rank_redirect_resolve",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS src, c_custkey - 1 AS dst
+      FROM customer WHERE c_custkey % 16 <> 0
+      UNION ALL
+      SELECT * FROM (VALUES (CAST(9000001 AS BIGINT), CAST(9000002 AS BIGINT)),
+                            (CAST(9000002 AS BIGINT), CAST(9000001 AS BIGINT))) v(src, dst)
+    ),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM edges
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.cur
+      WHERE w.hops < 16
+    ),
+    final AS (
+      SELECT src, cur, hops,
+             row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rk
+      FROM walk
+    )
+    SELECT f.src, f.cur AS final, CAST(f.hops AS BIGINT) AS hops,
+           (s.src IS NULL) AS resolved
+    FROM final f
+    LEFT JOIN (SELECT DISTINCT src FROM edges) s ON s.src = f.cur
+    WHERE f.rk = 1
+    """,
+)
+def rank_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect/rel=canonical chain resolution by pointer doubling
+    (operators/redirects.py::resolve_redirects): 4 self-join rounds
+    resolve chains up to 2^4 = 16 hops — log-depth, never a
+    driver-side walk.  The synthetic map chains every custkey down to
+    the next multiple of 16 (depth <= 15) plus one planted 2-cycle,
+    which must surface as resolved = false with the hop budget
+    exhausted.  The oracle walks the same map with a hop-capped
+    recursive CTE — an independent derivation of both the terminal
+    and the hop count."""
+    from pyppeteer_scraper_spark.operators.redirects import resolve_redirects
+
+    c = load_table(spark, sf_dir, "customer")
+    chain = c.filter(F.col("c_custkey") % 16 != 0).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") - 1).alias("dst"),
+    )
+    cyc = spark.createDataFrame(
+        [(9000001, 9000002), (9000002, 9000001)], "src long, dst long"
+    )
+    return resolve_redirects(chain.unionByName(cyc), iters=4)
+
+
+@query(
+    "dedup_dust_rules",
+    """
+    WITH obs AS (
+      SELECT DISTINCT
+             'h' || (l_partkey % 40) || '.example' AS host,
+             '/p/' || l_partkey AS path,
+             CASE WHEN l_linenumber % 3 = 1 THEN 'utm_source'
+                  WHEN l_linenumber % 3 = 2 AND l_orderkey % 2 = 0 THEN 'session'
+                  WHEN l_linenumber % 3 = 2 THEN 'view'
+                  ELSE '' END AS param,
+             CASE WHEN l_linenumber % 3 = 2 AND l_orderkey % 2 = 1
+                  THEN md5('doc-' || l_partkey || '-print')
+                  ELSE md5('doc-' || l_partkey) END AS digest
+      FROM lineitem
+    ),
+    plain AS (
+      SELECT DISTINCT host, path, digest AS plain_digest
+      FROM obs WHERE param = ''
+    ),
+    withp AS (
+      SELECT DISTINCT host, path, param, digest FROM obs WHERE param <> ''
+    )
+    SELECT w.host, w.param,
+           CAST(count(DISTINCT CASE WHEN w.digest = p.plain_digest
+                                    THEN w.path END) AS BIGINT) AS n_support,
+           CAST(count(DISTINCT CASE WHEN w.digest <> p.plain_digest
+                                    THEN w.path END) AS BIGINT) AS n_contradict,
+           (count(DISTINCT CASE WHEN w.digest = p.plain_digest
+                                THEN w.path END) >= 2
+            AND count(DISTINCT CASE WHEN w.digest <> p.plain_digest
+                                    THEN w.path END) = 0) AS safe
+    FROM withp w JOIN plain p ON w.host = p.host AND w.path = p.path
+    GROUP BY w.host, w.param
+    """,
+)
+def dedup_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST parameter-rule mining (Bar-Yossef et al., WWW'07): find
+    per-host URL params whose removal never changes the content
+    digest (operators/redirects.py::dust_rules).  Synthetic aliases:
+    every part-page has a plain URL; utm_source / session variants
+    carry the SAME digest (strippable), view=print variants a
+    DIFFERENT one (content-bearing, must be vetoed).  Spark parses
+    host/path/param back out of the built URL string; the oracle
+    derives them straight from the generators — so the URL parser
+    itself is under test."""
+    from pyppeteer_scraper_spark.operators.redirects import dust_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    host = F.concat(F.lit("h"), F.col("l_partkey") % 40, F.lit(".example"))
+    path = F.concat(F.lit("/p/"), F.col("l_partkey"))
+    v = F.col("l_linenumber") % 3
+    qs = (
+        F.when(v == 1, F.lit("?utm_source=feed"))
+        .when(
+            (v == 2) & (F.col("l_orderkey") % 2 == 0),
+            F.concat(F.lit("?session=s"), F.col("l_orderkey")),
+        )
+        .when(v == 2, F.lit("?view=print"))
+        .otherwise(F.lit(""))
+    )
+    digest = F.when(
+        (v == 2) & (F.col("l_orderkey") % 2 == 1),
+        F.md5(F.concat(F.lit("doc-"), F.col("l_partkey"), F.lit("-print"))),
+    ).otherwise(F.md5(F.concat(F.lit("doc-"), F.col("l_partkey"))))
+    pages = li.select(
+        F.concat(F.lit("http://"), host, path, qs).alias("url"),
+        digest.alias("digest"),
+    )
+    return dust_rules(pages, min_support=2)
+
+
+@query(
+    "src_cdx_parse",
+    """
+    WITH base AS (
+      SELECT 'com,shop' || (o_custkey % 10) || ')/o/' || o_orderkey AS surt,
+             date_trunc('second', o_orderdate) AS fetch_ts,
+             'https://shop' || (o_custkey % 10) || '.example/o/' || o_orderkey
+               AS url,
+             CASE WHEN o_orderkey % 11 = 0 THEN 404
+                  WHEN o_orderkey % 7 = 0 THEN 301
+                  ELSE 200 END AS status,
+             'text/html' AS mime,
+             'sha1:' || upper(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS digest,
+             CAST(o_orderkey % 9000 + 120 AS BIGINT) AS length
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT surt, fetch_ts, url, CAST(status AS INT) AS status, mime, digest,
+           length
+    FROM base
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+    """,
+)
+def src_cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl CDXJ index ingestion (sources/cdx.py::parse_cdx):
+    build one CDXJ line per capture — `<surt> <ts14> <json>` with
+    status/length as JSON *strings*, matching the real index — then
+    parse it back to typed columns with pure codegen built-ins
+    (regexp_extract + get_json_object).  One planted garbage line must
+    quarantine to a NULL-surt row, not crash.  The oracle emits the
+    ground-truth field values straight from the generators, so the
+    whole parse path (3-field split, timestamp decode, JSON casts) is
+    what's being checked."""
+    from pyppeteer_scraper_spark.sources.cdx import parse_cdx
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    k = F.col("o_orderkey")
+    status = (
+        F.when(k % 11 == 0, F.lit("404"))
+        .when(k % 7 == 0, F.lit("301"))
+        .otherwise(F.lit("200"))
+    )
+    js = F.concat(
+        F.lit('{"url": "https://shop'),
+        F.col("o_custkey") % 10,
+        F.lit(".example/o/"),
+        k,
+        F.lit('", "status": "'),
+        status,
+        F.lit('", "mime": "text/html", "digest": "sha1:'),
+        F.upper(F.substring(F.md5(k.cast("string")), 1, 8)),
+        F.lit('", "length": "'),
+        (k % 9000 + 120),
+        F.lit('"}'),
+    )
+    line = F.concat(
+        F.lit("com,shop"),
+        F.col("o_custkey") % 10,
+        F.lit(")/o/"),
+        k,
+        F.lit(" "),
+        F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+        F.lit(" "),
+        js,
+    )
+    lines = o.select(line.alias("line")).unionByName(
+        spark.createDataFrame([("this is not a cdx line",)], "line string")
+    )
+    return parse_cdx(lines)
+
+
+# TrustRank: one unrolled personalized power-iteration (mirrors
+# operators/linkrank.py::trustrank — teleport AND dangling mass go to
+# the seed vector only; (1 - 0.85) written as an expression both sides
+# so the parsed doubles are bit-identical).
+def _tr_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""c{i} AS (
+      SELECT e.dst AS node, sum(r.trust / o.od) AS c
+      FROM edges e JOIN {prev} r ON r.node = e.src JOIN outd o ON o.src = e.src
+      GROUP BY e.dst
+    ), d{i} AS (
+      SELECT coalesce(sum(r.trust), 0) AS dm FROM {prev} r
+      WHERE r.node NOT IN (SELECT src FROM outd)
+    ), r{i} AS (
+      SELECT s.node,
+             (1 - 0.85) * s.s
+             + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d{i}) * s.s) AS trust
+      FROM svec s LEFT JOIN c{i} c ON c.node = s.node
+    )"""
+
+
+@query(
+    "rank_trustrank",
+    f"""
+    WITH {_TRANS_EDGES_SQL},
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seeds AS (SELECT node FROM nodes WHERE node % 17 = 0),
+    nsn AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+    svec AS (
+      SELECT n.node,
+             CASE WHEN n.node % 17 = 0 THEN 1.0 / (SELECT ns FROM nsn)
+                  ELSE 0.0 END AS s
+      FROM nodes n
+    ),
+    outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT node, s AS trust FROM svec),
+    {_tr_iter_sql(1)},
+    {_tr_iter_sql(2)},
+    {_tr_iter_sql(3)}
+    SELECT node, round(trust, 6) AS trust FROM r3
+    """,
+)
+def rank_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyongyi/Garcia-Molina/Pedersen, VLDB 2004) over the
+    same transition graph as rank_pagerank, seeded with the node%17
+    'curated host' set: teleport and dangling mass flow only to
+    seeds, so trust decays with link distance and spam-farm nodes
+    PageRank rewards stay near zero
+    (operators/linkrank.py::trustrank).  The oracle unrolls the 3
+    personalized power-iterations in SQL, hash-exact at 6 dp."""
+    from pyppeteer_scraper_spark.operators.linkrank import trustrank
+
+    edges = _transition_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 17 == 0)
+    ranks = trustrank(edges, seeds, iters=3, damping=0.85)
+    return ranks.select("node", F.round("trust", 6).alias("trust"))
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -4887,11 +5152,13 @@ _WINDOW_FIRST = [
     "url_filter_refinedweb",
     "shard_binpack_hosts",
     "rank_anchor_texts",
-    # never driver-checked (r2 positions 51-60) — must be in r03's window
-    "p9_url_construction",
-    "s8_keyword_param_scan",
-    "a5_rollup_metrics",
-    "a6_manual_pivot",
+    # round-4 session-4 additions
+    "rank_redirect_resolve",
+    "dedup_dust_rules",
+    "src_cdx_parse",
+    "rank_trustrank",
+    # never driver-checked before r03 — r03-green; p9/s8/a5/a6 displaced
+    # to _WINDOW_TAIL by the session-4 additions
     "p3_struct_json_roundtrip",
     "d2_registered_skip",
     "p1_extract_fields",
@@ -4919,6 +5186,11 @@ _WINDOW_FIRST = [
 ]
 
 _WINDOW_TAIL = [
+    # r03-green queries displaced by round-4 session-4 additions
+    "p9_url_construction",
+    "s8_keyword_param_scan",
+    "a5_rollup_metrics",
+    "a6_manual_pivot",
     # r03-green queries displaced by round-4 session-3 additions
     "text_pii_counts",
     "text_pii_redact",
