@@ -417,3 +417,77 @@ def zipf_heaps_stats(docs, text_col: str = "text", top_n: int = 1000):
         "n_top",
         "zipf_slope",
     )
+
+
+def c4_line_filters(
+    docs: "DataFrame",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> "DataFrame":
+    """C4 cleaning (Raffel et al., JMLR 2020 §2.2) over newline-
+    delimited documents: keep a line only if it ends in terminal
+    punctuation, has >= ``min_words`` words, and mentions neither
+    "javascript" nor "{"; then drop whole documents with fewer than
+    ``min_kept_lines`` surviving lines or any "lorem ipsum".
+
+    Returns one row per doc: (doc_id, n_lines, n_kept, verdict,
+    kept_md5) — verdict in {kept, too_few_lines, lorem_ipsum},
+    kept_md5 = md5 of the newline-rejoined surviving text (NULL for
+    dropped docs, so downstream never resurrects them).
+
+    Scale shape: explode lines -> per-line boolean projection (all
+    codegen built-ins) -> one groupBy(doc) — a single shuffle keyed
+    by doc_id carrying (flag, line) rows; no UDF, no window.
+    """
+    lines = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("lorem"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    keep = (
+        F.col("line").rlike(r'[.!?"]$')
+        & (F.size(F.split(F.col("line"), " ")) >= min_words)
+        & ~F.lower(F.col("line")).contains("javascript")
+        & ~F.col("line").contains("{")
+    )
+    per_doc = (
+        lines.withColumn("keep", keep)
+        .groupBy("doc_id", "lorem")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.filter(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("keep"),
+                                        F.struct("pos", "line"),
+                                    )
+                                )
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                        lambda s: s["line"],
+                    ),
+                )
+            ).alias("kept_md5_raw"),
+        )
+    )
+    verdict = (
+        F.when(F.col("lorem"), F.lit("lorem_ipsum"))
+        .when(F.col("n_kept") < min_kept_lines, F.lit("too_few_lines"))
+        .otherwise(F.lit("kept"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        verdict.alias("verdict"),
+        F.when(verdict == "kept", F.col("kept_md5_raw")).alias("kept_md5"),
+    )

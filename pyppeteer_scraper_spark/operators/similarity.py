@@ -425,3 +425,78 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
     return result, cache_handle
+
+
+def kmeans_relational(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means in pure relational form — the exactly-checkable
+    twin of ``ivf_index``'s Arrow-matmul quantizer (same algorithm,
+    different physical shape; production ANN uses ivf_index, this
+    form exists so the clustering math itself can be oracled
+    hash-exact against an independent SQL engine).
+
+    Deterministic init: centroid c = mean of vectors with id % k == c
+    (no RNG, derivable in SQL).  Each iteration: assignment =
+    argmin squared-L2 via posexplode -> broadcast join on (pos) ->
+    groupBy(vec, cluster) -> min-struct argmin; update = per-(cluster,
+    pos) avg.  Returns (cluster, n_members, centroid_norm) after
+    ``iters`` iterations.
+
+    Scale notes: the exploded join streams |corpus| x k x dim rows
+    through one map-side-combinable aggregation per iteration — fine
+    for the coarse-quantizer regime (k <= a few hundred); the
+    centroid table (k x dim rows) always broadcasts.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select("vid", "pos", F.col("x").cast("double").alias("x"))
+    vecs = vecs.persist()
+    cents = (
+        vecs.groupBy((F.col("vid") % k).alias("cluster"), "pos")
+        .agg(F.avg("x").alias("c"))
+    )
+    for _ in range(iters):
+        # assignment: argmin_c sum_pos (x - c)^2, ties to lowest cluster
+        d = (
+            vecs.join(F.broadcast(cents), "pos")
+            .groupBy("vid", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ).alias("d2")
+            )
+        )
+        assign = d.groupBy("vid").agg(
+            F.min(F.struct("d2", "cluster")).alias("m")
+        ).select("vid", F.col("m.cluster").alias("cluster"))
+        cents = (
+            vecs.join(assign, "vid")
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("c"))
+        )
+    out = (
+        cents.groupBy("cluster")
+        .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("centroid_norm"))
+        .join(
+            assign.groupBy("cluster").agg(
+                F.count("*").cast("long").alias("n_members")
+            ),
+            "cluster",
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_members",
+            F.round("centroid_norm", 4).alias("centroid_norm"),
+        )
+        # k rows: materialize before releasing the cached explode the
+        # whole lineage hangs off (eager localCheckpoint)
+        .localCheckpoint()
+    )
+    vecs.unpersist()
+    return out

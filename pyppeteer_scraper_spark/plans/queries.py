@@ -1,4 +1,4 @@
-"""Query registry (124 entries, 114 DuckDB-oracled) — every
+"""Query registry (129 entries, 117 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -5094,6 +5094,254 @@ def rank_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("trust", 6).alias("trust"))
 
 
+# --- round-4 session-4 batch 2: C4 cleaning, BPE, k-means, HLL -----------
+
+
+@query(
+    "text_c4_line_filters",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             list_concat(
+               list_concat(
+                 list_concat(
+                   list_concat(
+                     list_concat(
+                       list_transform(
+                         range(1, len(string_split(text,' '))+1, 6),
+                         s -> array_to_string(
+                                string_split(text,' ')[s:s+5], ' ') || '.'),
+                       CASE WHEN doc_id % 3 = 0 THEN ['ok.']
+                            ELSE [] END),
+                     CASE WHEN doc_id % 5 = 0
+                          THEN ['please enable javascript to view this page.']
+                          ELSE [] END),
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ['function() { return 1; } window.onload.']
+                        ELSE [] END),
+                 CASE WHEN doc_id % 13 = 0
+                      THEN ['this line has no terminal punctuation mark']
+                      ELSE [] END),
+               CASE WHEN doc_id % 17 = 0
+                    THEN ['lorem ipsum dolor sit amet consectetur.']
+                    ELSE [] END) AS lines
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id,
+             contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+               AS lorem,
+             u.pos, u.line
+      FROM aug,
+           LATERAL (SELECT unnest(range(1, len(lines)+1)) AS pos,
+                           unnest(lines) AS line) u
+    ),
+    flagged AS (
+      SELECT doc_id, lorem, pos, line,
+             (regexp_matches(line, '[.!?"]$')
+              AND len(string_split(line, ' ')) >= 5
+              AND NOT contains(lower(line), 'javascript')
+              AND NOT contains(line, '{')) AS keep
+      FROM ln
+    ),
+    per_doc AS (
+      SELECT doc_id, lorem,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY pos)
+                   FILTER (WHERE keep)) AS kept_md5_raw
+      FROM flagged GROUP BY doc_id, lorem
+    )
+    SELECT doc_id, n_lines, n_kept,
+           CASE WHEN lorem THEN 'lorem_ipsum'
+                WHEN n_kept < 3 THEN 'too_few_lines'
+                ELSE 'kept' END AS verdict,
+           CASE WHEN NOT lorem AND n_kept >= 3 THEN kept_md5_raw END
+             AS kept_md5
+    FROM per_doc
+    """,
+)
+def text_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al., JMLR 2020 §2.2:
+    terminal-punctuation, >=5 words, no 'javascript', no '{' per
+    line; 'lorem ipsum' and <3 surviving lines per doc) over the
+    6-word-chunked corpus with planted violations of each rule —
+    short lines (doc%3), javascript boilerplate (doc%5), code braces
+    (doc%7), unterminated lines (doc%13), lorem-ipsum pages (doc%17).
+    One explode -> codegen flag projection -> single groupBy(doc)
+    (functions/text.py::c4_line_filters); the oracle replays rules,
+    verdicts, and the md5 of the rejoined surviving text."""
+    from pyppeteer_scraper_spark.functions.text import c4_line_filters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(6)),
+        lambda s: F.concat(F.concat_ws(" ", F.slice(toks, s, 6)), F.lit(".")),
+    )
+
+    def planted(mod: int, line: str):
+        return F.when(
+            F.col("doc_id") % mod == 0, F.array(F.lit(line))
+        ).otherwise(F.array().cast("array<string>"))
+
+    lines = F.concat(
+        base,
+        planted(3, "ok."),
+        planted(5, "please enable javascript to view this page."),
+        planted(7, "function() { return 1; } window.onload."),
+        planted(13, "this line has no terminal punctuation mark"),
+        planted(17, "lorem ipsum dolor sit amet consectetur."),
+    )
+    aug = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return c4_line_filters(aug)
+
+
+@query("tok_bpe_train")
+def tok_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al., ACL 2016) on the
+    corpus word-frequency table: 12 merge rounds, each one pair-count
+    aggregation + a single argmax row to the driver, merge applied by
+    a JVM fold (functions/bpe.py::train_bpe).  Returns the learned
+    merge table in rank order.  No SQL oracle (the merge loop is
+    iterative argmax — not expressible as one query); pytest pins the
+    result against an independent pure-Python reference trainer
+    (tests/test_bpe.py)."""
+    from pyppeteer_scraper_spark.functions.bpe import train_bpe, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(word_counts(docs), n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+@query("tok_bpe_encode")
+def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode documents with the merges learned by tok_bpe_train:
+    Arrow-batched pandas UDF applying the rank-ordered merge list per
+    word (functions/bpe.py::encode_bpe).  Returns per-doc BPE token
+    count + an md5 over the token stream (order-sensitive, so any
+    encode divergence flips the hash).  Pytest golden-checks against
+    a pure-Python encoder; no SQL oracle (iterative merge
+    application)."""
+    from pyppeteer_scraper_spark.functions.bpe import (
+        encode_bpe,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(word_counts(docs), n_merges=12)
+    enc = encode_bpe(docs.filter(F.col("doc_id") % 10 == 0), merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", F.col("bpe_tokens"))).alias("tokens_md5"),
+    )
+
+
+# one relational Lloyd iteration, parameterized by the previous
+# centroid CTE — mirrors operators/similarity.py::kmeans_relational
+# (squared distance written as multiplication on BOTH sides so the
+# doubles match bit-for-bit before the final rounding).
+def _km_iter_sql(i: int) -> str:
+    prev = f"c{i - 1}"
+    return f"""d{i} AS (
+      SELECT v.vid, c.cluster, sum((v.x - c.c) * (v.x - c.c)) AS d2
+      FROM vecs v JOIN {prev} c USING (pos)
+      GROUP BY v.vid, c.cluster
+    ), a{i} AS (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster,
+               row_number() OVER (PARTITION BY vid ORDER BY d2, cluster) AS rk
+        FROM d{i}) WHERE rk = 1
+    ), c{i} AS (
+      SELECT a.cluster, v.pos, avg(v.x) AS c
+      FROM vecs v JOIN a{i} a USING (vid)
+      GROUP BY a.cluster, v.pos
+    )"""
+
+
+@query(
+    "sim_kmeans_relational",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id AS vid, u.pos, CAST(u.x AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS pos,
+                           unnest(embedding) AS x) u
+    ),
+    c0 AS (
+      SELECT vid % 8 AS cluster, pos, avg(x) AS c
+      FROM vecs GROUP BY vid % 8, pos
+    ),
+    {_km_iter_sql(1)},
+    {_km_iter_sql(2)}
+    SELECT CAST(c.cluster AS INT) AS cluster, n.n_members,
+           round(sqrt(sum(c.c * c.c)), 4) AS centroid_norm
+    FROM c2 c
+    JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+          FROM a2 GROUP BY cluster) n USING (cluster)
+    GROUP BY c.cluster, n.n_members
+    """,
+)
+def sim_kmeans_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 2 iterations, deterministic id%k-mean
+    init) in pure relational form over the embeddings table
+    (operators/similarity.py::kmeans_relational) — the exactly-
+    checkable twin of the Arrow-matmul quantizer inside ivf_index,
+    here so the clustering math itself gets a hash-exact oracle (the
+    rows-only SemDeDup/IVF paths build on the same algorithm).  The
+    oracle unrolls both Lloyd iterations in SQL over the unnested
+    vectors."""
+    from pyppeteer_scraper_spark.operators.similarity import kmeans_relational
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_relational(emb, k=8, iters=2)
+
+
+@query(
+    "a_hll_registers",
+    """
+    WITH el AS (
+      SELECT 'e' || (l_orderkey * 10 + l_linenumber) AS e FROM lineitem
+    ),
+    hashed AS (
+      SELECT ('0x' || substr(md5(e), 1, 12))::BIGINT AS h FROM el
+    ),
+    parts AS (
+      SELECT CAST(h // 1099511627776 AS BIGINT) AS bucket,
+             h % 1099511627776 AS w
+      FROM hashed
+    )
+    SELECT bucket,
+           CAST(max(CASE WHEN w = 0 THEN 41
+                         ELSE 40 - length(bin(w)) + 1 END) AS INT) AS rho
+    FROM parts GROUP BY bucket
+    """,
+)
+def a_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) in exact
+    relational form (operators/hll.py): bucket = top 8 bits of a
+    48-bit md5 prefix, register = max(1 + leading zeros of the low 40
+    bits) — one map-side-combinable groupBy, shuffle <= 256 rows per
+    mapper, merge across shards = the same max.  Registers are a
+    deterministic function of the input set, so the sketch itself is
+    oracled hash-exact; the estimator on top is pytest-checked
+    against the true distinct count (tests/test_hll.py)."""
+    from pyppeteer_scraper_spark.operators.hll import hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    el = li.select(
+        F.concat(
+            F.lit("e"), F.col("l_orderkey") * 10 + F.col("l_linenumber")
+        ).alias("e")
+    )
+    return hll_registers(el, "e", p=8)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -5157,13 +5405,14 @@ _WINDOW_FIRST = [
     "dedup_dust_rules",
     "src_cdx_parse",
     "rank_trustrank",
-    # never driver-checked before r03 — r03-green; p9/s8/a5/a6 displaced
-    # to _WINDOW_TAIL by the session-4 additions
-    "p3_struct_json_roundtrip",
-    "d2_registered_skip",
-    "p1_extract_fields",
-    "dedup_lsh_verified_jaccard",
-    "d4_multifield_change",
+    "text_c4_line_filters",
+    "tok_bpe_train",
+    "tok_bpe_encode",
+    "sim_kmeans_relational",
+    "a_hll_registers",
+    # never driver-checked before r03 — r03-green; p9/s8/a5/a6 and
+    # p3/d2/p1/lsh_verified/d4_multifield displaced to _WINDOW_TAIL by
+    # the session-4 additions
     "p6_currency_struct",
     # round-3 additions (new operators need a driver row immediately)
     "p2_selector_extract",
@@ -5191,6 +5440,11 @@ _WINDOW_TAIL = [
     "s8_keyword_param_scan",
     "a5_rollup_metrics",
     "a6_manual_pivot",
+    "p3_struct_json_roundtrip",
+    "d2_registered_skip",
+    "p1_extract_fields",
+    "dedup_lsh_verified_jaccard",
+    "d4_multifield_change",
     # r03-green queries displaced by round-4 session-3 additions
     "text_pii_counts",
     "text_pii_redact",
