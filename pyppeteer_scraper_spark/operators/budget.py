@@ -157,3 +157,85 @@ def apply_global_budget(
         "__grk", "alloc"
     )
     return kept, cut
+
+
+def adaptive_crawl_delay(
+    outcomes: "DataFrame",
+    n_rounds: int = 6,
+    host_col: str = "host",
+    round_col: str = "round",
+    error_col: str = "is_error",
+    init_ms: int = 500,
+    min_ms: int = 100,
+    max_ms: int = 5000,
+    err_threshold: float = 0.15,
+    decrease_ms: int = 100,
+) -> "DataFrame":
+    """AIMD politeness adaptation (the TCP congestion-control shape,
+    applied per host): after each crawl round, a host whose error
+    rate (429/5xx) exceeded ``err_threshold`` gets its crawl delay
+    DOUBLED (multiplicative backoff, capped at ``max_ms``); a clean
+    round earns an additive ``decrease_ms`` speed-up (floored at
+    ``min_ms``).  The reference hardcodes per-site delays
+    (/root/reference/scraper/costco.py sleep loops); a web-scale
+    crawler must learn them per host from its own fetch outcomes.
+
+    ``outcomes``: one row per fetch with (host, round, is_error).
+    Returns (host, delay_ms, n_backoff, n_speedup) after folding
+    rounds 0..n_rounds-1 in order.
+
+    Scale shape: one groupBy(host, round) count aggregation, then one
+    groupBy(host) building a round->err_rate map, then the fold runs
+    as a JVM ``aggregate`` over sequence(0, n-1) — pure codegen, one
+    shuffle keyed by host, no window, no driver loop.  Integer state
+    only, so results are bit-exact across engines.
+    """
+    rates = (
+        outcomes.groupBy(
+            F.col(host_col).alias("host"),
+            F.col(round_col).cast("long").alias("round"),
+        )
+        .agg(
+            (
+                F.sum(F.col(error_col).cast("long"))
+                / F.count("*")
+            ).alias("err_rate")
+        )
+        .groupBy("host")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("round", "err_rate"))
+            ).alias("rates")
+        )
+    )
+    zero = F.struct(
+        F.lit(init_ms).cast("long").alias("delay"),
+        F.lit(0).cast("long").alias("nb"),
+        F.lit(0).cast("long").alias("ns"),
+    )
+
+    def step(acc, i):
+        er = F.coalesce(
+            F.element_at(F.col("rates"), i.cast("long")), F.lit(0.0)
+        )
+        backoff = er > err_threshold
+        new_delay = F.when(
+            backoff, F.least(acc["delay"] * 2, F.lit(max_ms).cast("long"))
+        ).otherwise(
+            F.greatest(acc["delay"] - decrease_ms, F.lit(min_ms).cast("long"))
+        )
+        return F.struct(
+            new_delay.alias("delay"),
+            (acc["nb"] + backoff.cast("long")).alias("nb"),
+            (acc["ns"] + (~backoff).cast("long")).alias("ns"),
+        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_rounds - 1)), zero, step
+    )
+    return rates.select(
+        "host",
+        folded["delay"].alias("delay_ms"),
+        folded["nb"].alias("n_backoff"),
+        folded["ns"].alias("n_speedup"),
+    )

@@ -97,3 +97,48 @@ def demote_low_quality_domains(
             demote, F.greatest(F.col("priority"), F.lit(demoted_priority))
         ).otherwise(F.col("priority")),
     ).drop("__cold")
+
+
+def fetch_rate_anomalies(
+    fetches: "DataFrame",
+    host_col: str = "host",
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+) -> "DataFrame":
+    """Per-host fetch-rate anomaly detection: bucket fetches by hour,
+    z-score each (host, hour) count against that host's own
+    mean/stddev across hours, flag |z| > ``z_threshold``.  Crawl ops
+    use: a host whose fetch rate spikes is usually a trap/loop the
+    scheduler is stuck in; one that collapses is being throttled —
+    both want the politeness controller's attention before the next
+    round.
+
+    Returns (host, hour, n_fetches, z, anomaly).  Hosts with a single
+    observed hour (stddev undefined) or zero variance report z = NULL
+    and anomaly = false rather than dividing by zero.
+
+    Scale shape: two map-side-combinable aggregations plus one
+    broadcast-size join back on host (hosts << fetches); no window
+    over raw rows.
+    """
+    counts = fetches.groupBy(
+        F.col(host_col).alias("host"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count("*").cast("long").alias("n_fetches"))
+    stats = counts.groupBy("host").agg(
+        F.avg("n_fetches").alias("mu"),
+        F.stddev_samp("n_fetches").alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0, (F.col("n_fetches") - F.col("mu")) / F.col("sigma")
+    )
+    return (
+        counts.join(stats, "host")
+        .select(
+            "host",
+            "hour",
+            "n_fetches",
+            F.round(z, 4).alias("z"),
+            F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("anomaly"),
+        )
+    )

@@ -115,3 +115,56 @@ def demote_trap_urls(
         )
         .drop("__trap", "__pattern", "pattern")
     )
+
+
+def param_entropy(
+    urls: "DataFrame",
+    url_col: str = "url",
+    threshold: float = 4.0,
+) -> "DataFrame":
+    """Per-(host, parameter) Shannon entropy of observed parameter
+    VALUES — the classic session-id / calendar-trap signal: a
+    parameter whose values are near-unique per URL (entropy ~
+    ln(n_urls)) generates unbounded URL spaces and should be stripped
+    or demoted before scheduling, complementing ``trap_patterns``
+    (which keys on path shape, not query strings).
+
+    Returns (host, param, n_values, entropy, trap) where entropy =
+    -sum p ln p over the value distribution and trap = entropy >
+    ``threshold`` (ln(55) ~ 4.0: more than ~55 effective values).
+
+    Scale shape: explode query params once, two map-side-combinable
+    aggregations ((host,param,value) counts -> per-(host,param)
+    entropy); no window, no driver data.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?]*)", 1)
+    qs = F.regexp_extract(F.col(url_col), r"\?(.*)$", 1)
+    kv = urls.filter(qs != "").select(
+        host.alias("host"),
+        F.explode(F.split(qs, "&")).alias("pair"),
+    ).select(
+        "host",
+        F.split(F.col("pair"), "=").getItem(0).alias("param"),
+        F.split(F.col("pair"), "=").getItem(1).alias("value"),
+    )
+    counts = kv.groupBy("host", "param", "value").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        counts.groupBy("host", "param")
+        .agg(
+            F.count("*").cast("long").alias("n_values"),
+            # H = ln(N) - (1/N) * sum(c * ln c): one pass, no p column
+            F.sum("c").alias("n_obs"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+        )
+        .select(
+            "host",
+            "param",
+            "n_values",
+            F.round(
+                F.log(F.col("n_obs")) - F.col("clogc") / F.col("n_obs"), 6
+            ).alias("entropy"),
+        )
+        .withColumn("trap", F.col("entropy") > threshold)
+    )

@@ -1,4 +1,4 @@
-"""Query registry (129 entries, 117 DuckDB-oracled) — every
+"""Query registry (132 entries, 120 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -5342,6 +5342,181 @@ def a_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(el, "e", p=8)
 
 
+# --- round-4 session-4 batch 3: politeness adaptation + crawl ops ---------
+
+
+@query(
+    "rank_param_entropy",
+    """
+    WITH kv AS (
+      SELECT 'h' || (l_partkey % 30) || '.example' AS host,
+             CASE l_linenumber % 3 WHEN 0 THEN 'page'
+                  WHEN 1 THEN 'session' ELSE 'ref' END AS param,
+             CASE l_linenumber % 3
+                  WHEN 0 THEN CAST(l_orderkey % 7 AS VARCHAR)
+                  WHEN 1 THEN 's' || l_orderkey
+                  ELSE 'r' || (l_suppkey % 3) END AS value
+      FROM lineitem
+    ),
+    counts AS (
+      SELECT host, param, value, count(*) AS c
+      FROM kv GROUP BY host, param, value
+    ),
+    ent AS (
+      SELECT host, param,
+             CAST(count(*) AS BIGINT) AS n_values,
+             sum(c) AS n_obs,
+             sum(c * ln(c)) AS clogc
+      FROM counts GROUP BY host, param
+    )
+    SELECT host, param, n_values,
+           round(ln(n_obs) - clogc / n_obs, 6) AS entropy,
+           (ln(n_obs) - clogc / n_obs) > 4.0 AS trap
+    FROM ent
+    """,
+)
+def rank_param_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-id / calendar-trap detection by per-(host, param)
+    value entropy (operators/traps.py::param_entropy): 'session'
+    params carry near-unique values (entropy ~ ln n -> trap), 'page'
+    and 'ref' bounded vocabularies (entropy < 2 -> safe).  Spark
+    parses host/param/value back out of built URL strings; the oracle
+    derives them from the generators and recomputes
+    H = ln(N) - sum(c ln c)/N independently."""
+    from pyppeteer_scraper_spark.operators.traps import param_entropy
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_linenumber") % 3
+    param = (
+        F.when(v == 0, F.lit("page"))
+        .when(v == 1, F.lit("session"))
+        .otherwise(F.lit("ref"))
+    )
+    value = (
+        F.when(v == 0, (F.col("l_orderkey") % 7).cast("string"))
+        .when(v == 1, F.concat(F.lit("s"), F.col("l_orderkey")))
+        .otherwise(F.concat(F.lit("r"), F.col("l_suppkey") % 3))
+    )
+    urls = li.select(
+        F.concat(
+            F.lit("http://h"),
+            F.col("l_partkey") % 30,
+            F.lit(".example/x?"),
+            param,
+            F.lit("="),
+            value,
+        ).alias("url")
+    )
+    return param_entropy(urls, threshold=4.0)
+
+
+@query(
+    "a_fetch_anomaly_zscore",
+    """
+    WITH counts AS (
+      SELECT 'h' || (user_id % 25) AS host,
+             date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_fetches
+      FROM events GROUP BY host, hour
+    ),
+    stats AS (
+      SELECT host, avg(n_fetches) AS mu, stddev_samp(n_fetches) AS sigma
+      FROM counts GROUP BY host
+    )
+    SELECT c.host, c.hour, c.n_fetches,
+           round(CASE WHEN s.sigma > 0
+                      THEN (c.n_fetches - s.mu) / s.sigma END, 4) AS z,
+           coalesce(abs(CASE WHEN s.sigma > 0
+                             THEN (c.n_fetches - s.mu) / s.sigma END) > 2.0,
+                    false) AS anomaly
+    FROM counts c JOIN stats s ON c.host = s.host
+    """,
+)
+def a_fetch_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-rate anomaly detection
+    (operators/hostquality.py::fetch_rate_anomalies): hourly fetch
+    counts z-scored against each host's own distribution; |z| > 2
+    flags the trap-loop spikes and throttling collapses the
+    politeness controller should react to.  Zero-variance hosts
+    report NULL z / false anomaly instead of dividing by zero.  The
+    oracle recomputes the bucketing, moments, and flags."""
+    from pyppeteer_scraper_spark.operators.hostquality import (
+        fetch_rate_anomalies,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("h"), F.col("user_id") % 25).alias("host"), "ts"
+    )
+    return fetch_rate_anomalies(fetches, z_threshold=2.0)
+
+
+# one AIMD round, parameterized by the previous state CTE — mirrors
+# operators/budget.py::adaptive_crawl_delay (integer state, bit-exact).
+def _aimd_iter_sql(i: int) -> str:
+    prev = f"r{i}"
+    return f"""r{i + 1} AS (
+      SELECT r.host,
+             CASE WHEN e.err > 0.15 THEN least(r.delay * 2, 5000)
+                  ELSE greatest(r.delay - 100, 100) END AS delay,
+             r.nb + CASE WHEN e.err > 0.15 THEN 1 ELSE 0 END AS nb,
+             r.ns + CASE WHEN e.err > 0.15 THEN 0 ELSE 1 END AS ns
+      FROM {prev} r JOIN dense e ON e.host = r.host AND e.round = {i}
+    )"""
+
+
+@query(
+    "d8_adaptive_crawl_delay",
+    f"""
+    WITH outcomes AS (
+      SELECT 'h' || (user_id % 20) AS host,
+             event_id % 6 AS round,
+             (event_type = 'error') AS is_error
+      FROM events
+    ),
+    rr AS (
+      SELECT host, round,
+             sum(CASE WHEN is_error THEN 1 ELSE 0 END) * 1.0 / count(*)
+               AS err_rate
+      FROM outcomes GROUP BY host, round
+    ),
+    hosts AS (SELECT DISTINCT host FROM outcomes),
+    dense AS (
+      SELECT h.host, g.range AS round, coalesce(rr.err_rate, 0.0) AS err
+      FROM hosts h CROSS JOIN range(0, 6) g
+      LEFT JOIN rr ON rr.host = h.host AND rr.round = g.range
+    ),
+    r0 AS (
+      SELECT host, CAST(500 AS BIGINT) AS delay,
+             CAST(0 AS BIGINT) AS nb, CAST(0 AS BIGINT) AS ns
+      FROM hosts
+    ),
+    {_aimd_iter_sql(0)}, {_aimd_iter_sql(1)}, {_aimd_iter_sql(2)},
+    {_aimd_iter_sql(3)}, {_aimd_iter_sql(4)}, {_aimd_iter_sql(5)}
+    SELECT host, delay AS delay_ms, nb AS n_backoff, ns AS n_speedup
+    FROM r6
+    """,
+)
+def d8_adaptive_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD per-host politeness adaptation
+    (operators/budget.py::adaptive_crawl_delay): fold 6 crawl rounds
+    of fetch outcomes per host — error rate > 15% doubles the crawl
+    delay (cap 5 s), a clean round earns -100 ms (floor 100 ms).
+    The reference hardcodes per-site sleeps; at web scale delays must
+    be learned from outcomes.  Spark runs the fold as one JVM
+    ``aggregate`` over a round->err_rate map (one shuffle by host);
+    the oracle unrolls all 6 AIMD steps — integer state, bit-exact."""
+    from pyppeteer_scraper_spark.operators.budget import adaptive_crawl_delay
+
+    ev = load_table(spark, sf_dir, "events")
+    outcomes = ev.select(
+        F.concat(F.lit("h"), F.col("user_id") % 20).alias("host"),
+        (F.col("event_id") % 6).alias("round"),
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+    return adaptive_crawl_delay(outcomes, n_rounds=6)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -5410,13 +5585,13 @@ _WINDOW_FIRST = [
     "tok_bpe_encode",
     "sim_kmeans_relational",
     "a_hll_registers",
-    # never driver-checked before r03 — r03-green; p9/s8/a5/a6 and
-    # p3/d2/p1/lsh_verified/d4_multifield displaced to _WINDOW_TAIL by
-    # the session-4 additions
-    "p6_currency_struct",
+    "rank_param_entropy",
+    "a_fetch_anomaly_zscore",
+    "d8_adaptive_crawl_delay",
+    # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
+    # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
+    # displaced to _WINDOW_TAIL by the session-4 additions
     # round-3 additions (new operators need a driver row immediately)
-    "p2_selector_extract",
-    "split_hash_assign",
     "sample_stratified_hash",
     "split_exact_contamination",
     "split_neardup_contamination",
@@ -5445,6 +5620,9 @@ _WINDOW_TAIL = [
     "p1_extract_fields",
     "dedup_lsh_verified_jaccard",
     "d4_multifield_change",
+    "p6_currency_struct",
+    "p2_selector_extract",
+    "split_hash_assign",
     # r03-green queries displaced by round-4 session-3 additions
     "text_pii_counts",
     "text_pii_redact",
