@@ -491,3 +491,54 @@ def c4_line_filters(
         verdict.alias("verdict"),
         F.when(verdict == "kept", F.col("kept_md5_raw")).alias("kept_md5"),
     )
+
+
+def lang_segments(
+    docs: "DataFrame",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    seg_words: int = 6,
+    dominant_frac: float = 0.8,
+) -> "DataFrame":
+    """Per-segment language ID and mixed-language detection (the CCNet
+    recipe runs language ID per paragraph, not per page — pages mix
+    languages, and a page-level argmax silently mislabels the minority
+    half).  Documents are chunked into ``seg_words``-word segments,
+    each segment gets the stopword-argmax ``lang_id``, and the doc
+    reports its dominant segment language plus a ``mixed`` flag when
+    the dominant language covers < ``dominant_frac`` of segments.
+
+    Returns (doc_id, n_segments, dominant_lang, n_dominant, mixed).
+
+    Scale shape: one explode -> codegen lang projection -> two
+    map-side-combinable aggregations; ties break (count desc, lang
+    asc) so the argmax is deterministic.
+    """
+    toks = F.split(F.col(text_col), " ")
+    segs = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(seg_words)),
+        lambda s: F.concat_ws(" ", F.slice(toks, s, seg_words)),
+    )
+    per_seg = docs.select(
+        F.col(doc_id_col).alias("doc_id"), F.explode(segs).alias("seg")
+    ).select("doc_id", lang_id(F.col("seg")).alias("seg_lang"))
+    counts = per_seg.groupBy("doc_id", "seg_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_segments"),
+            # argmax count with lang-ASC tie-break, as one min(struct)
+            F.min(F.struct((-F.col("n")).alias("negn"), "seg_lang")).alias("m"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            F.col("m.seg_lang").alias("dominant_lang"),
+            (-F.col("m.negn")).cast("long").alias("n_dominant"),
+            (
+                (-F.col("m.negn")) / F.col("n_segments") < dominant_frac
+            ).alias("mixed"),
+        )
+    )

@@ -634,3 +634,44 @@ def substring_dup_coverage(
             6,
         ).alias("dup_frac"),
     )
+
+
+def keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Representative selection for near-dup clusters: resolve ``pairs``
+    transitively (:func:`connected_components`) and keep the HIGHEST-
+    ``score_col`` member of each component, ties to the lowest id —
+    the policy production dedup actually wants (C4/RefinedWeb keep a
+    canonical copy; keeping the *best-quality* copy instead of the
+    first-seen one is the standard refinement when a quality model is
+    available).
+
+    Returns (component, kept_id, kept_quality, n_members).
+
+    Scale shape: the component table is O(docs) ids; the argmax is one
+    max(struct) groupBy — no window, no per-component sort.
+    """
+    comp = connected_components(pairs, nodes=docs.select(id_col), id_col=id_col)
+    j = comp.join(docs.select(id_col, score_col), id_col)
+    return (
+        j.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("q"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("m"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            "component",
+            (-F.col("m.nid")).alias("kept_id"),
+            F.col("m.q").alias("kept_quality"),
+            "n_members",
+        )
+    )

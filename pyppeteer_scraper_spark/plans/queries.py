@@ -1,4 +1,4 @@
-"""Query registry (132 entries, 120 DuckDB-oracled) — every
+"""Query registry (134 entries, 122 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -5517,6 +5517,141 @@ def d8_adaptive_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive_crawl_delay(outcomes, n_rounds=6)
 
 
+# --- round-4 session-4 batch 4: keep-best dedup + per-segment lang-ID ----
+
+
+@query(
+    "dedup_keep_best",
+    # Same Jaccard pair graph as dedup_connected_components, but the
+    # survivor is the HIGHEST-quality member (tie -> lowest id), not
+    # the min id — the refinement real pipelines apply once a quality
+    # model exists.
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS toks
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT ta.doc_id AS a, tb.doc_id AS b,
+               CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_common,
+               CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS BIGINT) AS n_union
+        FROM t ta, t tb WHERE ta.doc_id < tb.doc_id
+      ) WHERE round(n_common / n_union, 6) >= 0.8
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, x) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT reach.node, s.v FROM reach JOIN sym s ON s.u = reach.x
+    ),
+    comp AS (SELECT node AS doc_id, MIN(x) AS component FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             round((least(n_tokens / 100.0, 1.0)
+                  + least(stopword_ratio * 5, 1.0)
+                  + 1.0 - least(punct_ratio * 10, 1.0)) / 3, 6) AS quality
+      FROM (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+               round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b')) AS BIGINT)
+                     / greatest(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT), 1), 6) AS stopword_ratio
+        FROM documents WHERE doc_id % 10 = 0
+      )
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, c.doc_id) AS rk,
+             CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+               AS n_members
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT component, doc_id AS kept_id, quality AS kept_quality, n_members
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax representative selection over near-dup clusters
+    (operators/dedup.py::keep_best): connected components over the
+    exact-Jaccard pair graph, then each component keeps its highest-
+    quality member (Gopher-style quality score; ties to lowest id) —
+    one max(struct) groupBy, no per-component sort.  The oracle
+    resolves components with a recursive CTE and replays the argmax
+    with a window."""
+    from pyppeteer_scraper_spark.functions.text import quality_score
+    from pyppeteer_scraper_spark.operators.dedup import (
+        keep_best,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return keep_best(scored, pairs, score_col="quality")
+
+
+@query(
+    "text_lang_segments",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text,' '))+1, 6),
+               s -> array_to_string(string_split(text,' ')[s:s+5], ' ')))
+               AS seg
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(seg), '\\b(the|and|of|to|a|in|is)\\b')) AS BIGINT) AS en_s,
+        CAST(len(regexp_extract_all(lower(seg), '\\b(le|la|et|les|des|un|une)\\b')) AS BIGINT) AS fr_s,
+        CAST(len(regexp_extract_all(lower(seg), '\\b(der|die|und|das|ein|nicht)\\b')) AS BIGINT) AS de_s
+      FROM segs
+    ),
+    labeled AS (
+      SELECT doc_id,
+        CASE
+          WHEN greatest(en_s, fr_s, de_s) = 0 THEN 'und'
+          WHEN en_s = greatest(en_s, fr_s, de_s) THEN 'en'
+          WHEN fr_s = greatest(en_s, fr_s, de_s) THEN 'fr'
+          ELSE 'de'
+        END AS seg_lang
+      FROM scored
+    ),
+    counts AS (
+      SELECT doc_id, seg_lang, CAST(count(*) AS BIGINT) AS n
+      FROM labeled GROUP BY doc_id, seg_lang
+    ),
+    ranked AS (
+      SELECT doc_id, seg_lang, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, seg_lang) AS rk,
+             CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_segments
+      FROM counts
+    )
+    SELECT doc_id, n_segments, seg_lang AS dominant_lang, n AS n_dominant,
+           (n * 1.0 / n_segments < 0.8) AS mixed
+    FROM ranked WHERE rk = 1
+    """,
+)
+def text_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment language ID (CCNet runs language ID per paragraph,
+    not per page): 6-word segments each get the stopword-argmax label,
+    docs report dominant language + a mixed flag when it covers < 80%
+    of segments (functions/text.py::lang_segments).  The oracle
+    replays chunking, per-segment argmax, and the (count desc, lang
+    asc) dominant tie-break."""
+    from pyppeteer_scraper_spark.functions.text import lang_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_segments(docs)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -5588,12 +5723,12 @@ _WINDOW_FIRST = [
     "rank_param_entropy",
     "a_fetch_anomaly_zscore",
     "d8_adaptive_crawl_delay",
+    "dedup_keep_best",
+    "text_lang_segments",
     # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
     # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
     # displaced to _WINDOW_TAIL by the session-4 additions
     # round-3 additions (new operators need a driver row immediately)
-    "sample_stratified_hash",
-    "split_exact_contamination",
     "split_neardup_contamination",
     "text_idf_top_terms",
     "text_curation_funnel",
@@ -5623,6 +5758,8 @@ _WINDOW_TAIL = [
     "p6_currency_struct",
     "p2_selector_extract",
     "split_hash_assign",
+    "sample_stratified_hash",
+    "split_exact_contamination",
     # r03-green queries displaced by round-4 session-3 additions
     "text_pii_counts",
     "text_pii_redact",
