@@ -75,6 +75,20 @@ HEADLINE = [
     "export_warc_offsets",
     "export_zorder_layout",
     "rank_hits",
+    # round-4 session-4 additions (comparable from BENCH_r04 on)
+    "rank_redirect_resolve",
+    "dedup_dust_rules",
+    "src_cdx_parse",
+    "rank_trustrank",
+    "text_c4_line_filters",
+    "tok_bpe_train",
+    "sim_kmeans_relational",
+    "a_hll_registers",
+    "rank_param_entropy",
+    "a_fetch_anomaly_zscore",
+    "d8_adaptive_crawl_delay",
+    "dedup_keep_best",
+    "text_lang_segments",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
@@ -123,7 +137,13 @@ def bench_frontier(spark, sf_dir: str) -> dict:
     ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
     try:
         t0 = time.time()
-        result = crawl(spark, pages, seeds, robots, BENCH_ROUNDS, ckpt)
+        # async_checkpoint: the shipping configuration — writes overlap
+        # the next round's compute; results proven identical
+        # (tests/test_async_checkpoint.py, BENCH/BASELINE.md §2f A/B).
+        result = crawl(
+            spark, pages, seeds, robots, BENCH_ROUNDS, ckpt,
+            async_checkpoint=True,
+        )
         elapsed = time.time() - t0
         scheduled = result.state.url_seen.count()
     finally:

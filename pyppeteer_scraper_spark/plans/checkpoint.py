@@ -68,6 +68,17 @@ def _run_parallel(thunks) -> None:
             fut.result()
 
 
+def _pin_parallel(dfs: list[DataFrame]) -> list[DataFrame]:
+    """localCheckpoint several DataFrames concurrently (independent
+    jobs over cached inputs — same rationale as ``_run_parallel``).
+    Returns the pinned frames in input order."""
+    if len(dfs) == 1:
+        return [dfs[0].localCheckpoint()]
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        futures = [pool.submit(lambda d=d: d.localCheckpoint()) for d in dfs]
+        return [f.result() for f in futures]
+
+
 def save_state(
     state: CrawlState,
     ckpt_dir: str,
@@ -387,8 +398,25 @@ def crawl(
     seen_filter: str = "bloom",
     track_edges: bool = False,
     global_budget: int | None = None,
+    async_checkpoint: bool = False,
 ) -> CrawlResult:
     """Drive ``n_rounds`` scheduler rounds with per-round checkpoints.
+
+    ``async_checkpoint=True`` overlaps round N's checkpoint writes with
+    round N+1's plan construction: the new state is pinned in executor
+    storage (``localCheckpoint`` — frontier whole, url_seen/workshops
+    as base + per-round deltas mirroring the on-disk layout, deltas
+    collapsed at every ``compact_every`` boundary), the parquet writes
+    stream from those pinned blocks on a background thread, and the
+    next round starts immediately from the in-memory state instead of
+    re-reading the checkpoint.  Results and resume semantics are
+    IDENTICAL (the manifest still commits only after its round's
+    writes land, and round N+1's writes wait for round N's); what
+    changes is WHO waits — measured 1.45–1.59× on the bench_frontier
+    workload in a verified-quiet window (BENCH/BASELINE.md §2f;
+    interleaved A/B legs).  Cost: the pinned state lives in executor
+    memory/disk between rounds (MEMORY_AND_DISK semantics), which is
+    what a long-lived cluster crawl wants anyway.
 
     ``resume=True`` continues from the LATEST checkpoint in ckpt_dir —
     the reference's restart-from-state-files behavior, but exact.
@@ -462,6 +490,36 @@ def crawl(
             store_factory=bloom_store_factory,
         )
     rounds_done = 0
+    # async_checkpoint machinery: writes of round N run on this pool
+    # while the driver builds round N+1's plan; the futures are joined
+    # before round N+1's own writes launch (manifest/pointer chain) and
+    # before the crawl returns.
+    writer_pool = ThreadPoolExecutor(max_workers=4) if async_checkpoint else None
+    pending_writes: list = []
+    prev_out: RoundOutputs | None = None
+    mem_seen: DataFrame | None = None
+    mem_workshops: DataFrame | None = None
+    if async_checkpoint:
+        # one-time full pin of the resumed/initial append-only tables;
+        # per-round deltas stack on top (mirrors the on-disk layout)
+        mem_seen, mem_workshops = _pin_parallel(
+            [state.url_seen, state.workshops]
+        )
+        state = CrawlState(
+            state.frontier, mem_seen, mem_workshops, state.round_no
+        )
+
+    def _join_pending() -> None:
+        err: Exception | None = None
+        for fut in pending_writes:
+            try:
+                fut.result()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                err = err or e
+        pending_writes.clear()
+        if err is not None:
+            raise err
+
     while state.round_no < target:
         if rounds_done and rounds_done % HINT_REFRESH_ROUNDS == 0:
             n_domains_hint = max(
@@ -477,6 +535,90 @@ def crawl(
             track_edges=track_edges, global_budget=global_budget,
         )
         batch_count = out.materialize()
+        if async_checkpoint:
+            # Pin this round's new state in executor storage (flat
+            # lineage, computed from the round's caches): frontier
+            # whole — it's the mutating priority queue — plus the two
+            # append-only deltas; the in-memory tables become
+            # base ∪ deltas, collapsed at every compact boundary so
+            # the union tree stays ≤ compact_every deep, exactly like
+            # the on-disk layout save_state writes.
+            rno = state.round_no
+            frontier_pin, seen_delta, ws_delta = _pin_parallel(
+                [
+                    state.frontier,
+                    state.url_seen.filter(F.col("first_seen_round") == rno),
+                    state.workshops.filter(F.col("discovered_round") == rno),
+                ]
+            )
+            mem_seen = mem_seen.unionByName(seen_delta)
+            mem_workshops = mem_workshops.unionByName(ws_delta)
+            if compact_every and rno % compact_every == 0:
+                mem_seen, mem_workshops = _pin_parallel(
+                    [mem_seen, mem_workshops]
+                )
+            pinned_state = CrawlState(frontier_pin, mem_seen, mem_workshops, rno)
+            # round N-1's writes must land before round N's launch
+            # (manifest chain + bucket pointers); this is the only
+            # wait, and it normally completed during this round's
+            # compute.  Only after the join may N-1's caches go.
+            _join_pending()
+            if prev_out is not None and not collect_outputs:
+                prev_out.unpersist()
+            duration_ms = int((time.time() - t_round) * 1000)
+            writes = [
+                lambda: save_state(
+                    pinned_state,
+                    ckpt_dir,
+                    incremental=incremental_frontier,
+                    touched_domains=out.touched_domains,
+                    n_buckets=n_buckets,
+                    compact_every=compact_every,
+                )
+            ]
+            if track_edges and out.edges is not None:
+                writes.append(
+                    lambda out=out: out.edges.write.mode("overwrite").parquet(
+                        os.path.join(ckpt_dir, "edges", f"round={rno}")
+                    )
+                )
+            if use_bloom:
+                # The sidecar is READ by the next round's compute
+                # (anti_join_with_filter): a mid-flight update could
+                # hand that probe a filter missing this round's keys,
+                # whose "definitely unseen" answer would bypass the
+                # exact verify — so unlike the parquet writes, the
+                # sidecar update stays ON the critical path.  It is
+                # O(this round's new keys), not O(state).
+                _filt.update_shards(
+                    seen_delta.select("url_hash"),
+                    bloom_dir,
+                    store_factory=bloom_store_factory,
+                )
+
+            def _async_writes(
+                writes=writes,
+                metrics=out.metrics,
+                rno=rno,
+                duration_ms=duration_ms,
+            ):
+                _run_parallel(writes)
+                (
+                    metrics.withColumn("duration_ms", F.lit(duration_ms))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(ckpt_dir, "metrics", f"round={rno}"))
+                )
+
+            pending_writes.append(writer_pool.submit(_async_writes))
+            state = pinned_state
+            prev_out = out
+            fetched_per_round.append(batch_count)
+            if collect_outputs:
+                actions_per_round.append(out.actions.count())
+                outputs.append(out)
+            else:
+                actions_per_round.append(0)
+            continue
         # One parallel write window per round: the state checkpoint
         # (itself internally parallel), the link-graph delta, and the
         # seen-filter sidecar update are mutually independent jobs over
@@ -533,6 +675,11 @@ def crawl(
             fetched_per_round.append(batch_count)
             actions_per_round.append(0)
             out.unpersist()
+    if async_checkpoint:
+        _join_pending()
+        writer_pool.shutdown(wait=True)
+        if prev_out is not None and not collect_outputs:
+            prev_out.unpersist()
     pages_prepared.unpersist()
     if pages_fallback is not None:
         pages_fallback.unpersist()
