@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 64
@@ -131,3 +131,58 @@ def oracle_weight_array_sql(weights: list[int] | None = None) -> str:
     the registered oracle SQL self-contained."""
     w = weights if weights is not None else default_weights()
     return "[" + ", ".join(str(int(x)) for x in w) + "]"
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a
+    probabilistic quality classifier (Guo et al., "On Calibration of
+    Modern Neural Networks", ICML 2017 §2): equal-width score bins,
+    per-bin mean confidence vs empirical positive rate, and the
+    n-weighted |gap| sum (ECE) — the go/no-go number before a score
+    threshold is used to DROP corpus slices (an uncalibrated filter
+    silently shifts the kept distribution).
+
+    Input: one row per example with ``score_col`` in [0,1] and a
+    boolean ``label_col``.  Returns one row per NON-EMPTY bin:
+    (bin, n, confidence, accuracy, abs_gap, ece) — ece repeated on
+    every row (window over the <=n_bins-row aggregate, driver-scale).
+
+    Scale shape: one groupBy over n_bins keys (map-side combined) —
+    the corpus is touched once, everything after is arithmetic on
+    <=n_bins rows.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    per = (
+        scored.select(
+            b.alias("bin"),
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("s").alias("sum_s"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    total = Window.partitionBy()  # <=n_bins rows: driver-scale window
+    conf = F.col("sum_s") / F.col("n")
+    acc = F.col("n_pos").cast("double") / F.col("n")
+    gap = F.abs(conf - acc)
+    return per.select(
+        "bin",
+        "n",
+        F.round(conf, 6).alias("confidence"),
+        F.round(acc, 6).alias("accuracy"),
+        F.round(gap, 6).alias("abs_gap"),
+        F.round(
+            F.sum(F.col("n") * gap).over(total) / F.sum("n").over(total), 6
+        ).alias("ece"),
+    )

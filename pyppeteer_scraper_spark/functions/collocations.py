@@ -1,0 +1,98 @@
+"""Bigram collocation mining by pointwise mutual information — the
+classic corpus-statistics pass (Church & Hanks 1990) a training-data
+pipeline runs to build phrase vocabularies, spot scraped-spam keyword
+stuffing (unnaturally strong collocations), and sanity-check a crawl
+slice's language distribution.
+
+Reference analog: none (the reference extracts structured fields, not
+corpus statistics); this generalizes its keyword matching
+(/root/reference/scraper/keyword_monitor.py's per-keyword scans) from
+"find these fixed phrases" to "discover the phrases".
+
+Scale shape: two single-shuffle aggregates over one tokenized
+projection — unigram counts (groupBy token) and bigram counts
+(groupBy pair built with a zip of the token array against its own
+tail, NO positional self-join).  Corpus totals are two 8-byte driver
+scalars (same policy as the LM fit / bin packing — a one-row join
+would constant-fold into a nested-loop cross).  PMI arithmetic is a
+codegen projection over the bigram aggregate; top-k orders only
+bigrams above min_count (the aggregate, never the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tokens(text_col):
+    """Single-space split tokens — the engine-wide tokenizer semantics
+    (functions/text.py::ws_token_count), empty tokens removed so runs
+    of spaces don't mint '' unigrams."""
+    return F.filter(F.split(text_col, " ", -1), lambda t: t != "")
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-word bigrams by PMI with frequency floor
+    ``min_count``: (w1, w2, n_pair, n_w1, n_w2, pmi).
+
+    PMI = ln( (n_pair / N_pairs) / ((n_w1 / N_toks) * (n_w2 / N_toks)) )
+    with N_pairs = total bigram instances, N_toks = total token
+    instances — corpus-level probabilities, the Church-Hanks form.
+    Deterministic order: pmi DESC, then (w1, w2).
+    """
+    toks = docs.select(_tokens(F.col(text_col)).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    # pair tokens with their successors by zipping the array against
+    # its own tail (arrays_zip pads the short side with NULL → filter)
+    pairs = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.col("t").alias("w1"),
+                    F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1)))
+                    .alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    # two corpus totals: 8-byte scalars to the driver, not one-row joins
+    n_toks = uni.agg(F.sum("n_w")).collect()[0][0]
+    n_pairs = pairs.agg(F.sum("n_pair")).collect()[0][0]
+    scored = (
+        pairs.filter(F.col("n_pair") >= F.lit(int(min_count)))
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.lit(float(n_pairs)))
+                    / (
+                        (F.col("n_w1").cast("double") / F.lit(float(n_toks)))
+                        * (F.col("n_w2").cast("double") / F.lit(float(n_toks)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(int(top_k))

@@ -359,3 +359,79 @@ def anchor_text_topk(
             "n_inlinks",
         )
     )
+
+
+def opic(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003), the crawl-native importance estimator: unlike
+    PageRank it needs no damping parameter and its cash/history pair
+    updates INCREMENTALLY as pages are fetched, which is why frontier
+    schedulers (e.g. Nutch's default scoring) prefer it mid-crawl.
+
+    Synchronous batch form over ``iters`` rounds: every node starts
+    with cash 1/n and empty history; each round a node banks its cash
+    into history and distributes it equally over its out-links;
+    dangling cash is redistributed uniformly (the paper's virtual
+    page).  Total cash stays 1, so after k rounds total history+cash
+    is k+1 and ``importance = (history + cash) / (k + 1)`` sums to 1.
+
+    Returns (node, importance).  Scale shape mirrors ``pagerank``:
+    cached distinct-edge table, one contributions equi-join + groupBy
+    per iteration, an 8-byte dangling-cash scalar to the driver, and
+    ``localCheckpoint`` lineage truncation per round.  Fixed ``iters``
+    keeps it deterministic and lets the DuckDB oracle unroll the same
+    rounds as CTEs (plans/queries.py::rank_opic).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
+    state = nodes.select(
+        "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(
+                state.select(F.col("node").alias("src"), "cash"), "src"
+            )
+            .join(out_deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("cash") / F.col("out_deg")).alias("c"))
+        )
+        dangling = (
+            state.join(out_deg, state["node"] == out_deg["src"], "left_anti")
+            .agg(F.sum("cash"))
+            .collect()[0][0]
+            or 0.0
+        )
+        state = (
+            state.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n)
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint()
+        )
+    out = state.select(
+        "node",
+        ((F.col("hist") + F.col("cash")) / F.lit(float(iters + 1))).alias(
+            "importance"
+        ),
+    )
+    nodes.unpersist()
+    out_deg.unpersist()
+    e.unpersist()
+    return out

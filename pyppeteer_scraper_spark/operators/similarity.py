@@ -500,3 +500,83 @@ def kmeans_relational(
     )
     vecs.unpersist()
     return out
+
+
+def int8_quantize_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str | None = "label",
+) -> DataFrame:
+    """Per-dimension symmetric int8 quantization of an embedding
+    column and its reconstruction-error report — the memory/bandwidth
+    lever an ANN index pulls FIRST at 100 TB (4x smaller vectors,
+    int8 SIMD dot products; Johnson/Douze/Jegou, "Billion-scale
+    similarity search with GPUs", 2017 use the same scalar-quantizer
+    baseline; Guo et al., ScaNN 2020, table 1).
+
+    Scheme: per dimension d, scale_d = max(|x_d|)/127 over the corpus
+    (symmetric, zero-point-free, so dot products stay a pure integer
+    kernel); q = round(x/scale_d) in [-127,127]; dq = q*scale_d.
+
+    Returns per ``group_col`` (or one 'all' row): (group, n_vecs,
+    mse, max_abs_err, avg_cos_sim) where cos is between the original
+    and dequantized vector — the number that predicts recall impact.
+
+    Scale shape: one posexplode pass -> per-dim max (groupBy over
+    |dims| keys, map-side combined); the |dims|-row scale table
+    BROADCAST-joins back by dim; errors re-aggregate by (id) then
+    (group) — shuffles carry only scalars, never vectors.  No UDF:
+    the whole path is codegen arithmetic.
+    """
+    cols = [F.col(id_col).alias("vid")]
+    if group_col is not None:
+        cols.append(F.col(group_col).alias("grp"))
+    else:
+        cols.append(F.lit("all").alias("grp"))
+    flat = emb.select(
+        *cols, F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    scales = flat.groupBy("dim").agg(
+        (F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale")
+    )
+    dq = (
+        flat.join(F.broadcast(scales), "dim")
+        .withColumn(
+            "q",
+            F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.when(F.col("scale") > 0, F.round(F.col("x") / F.col("scale")))
+                    .otherwise(F.lit(0.0)),
+                ),
+            ),
+        )
+        .withColumn("dqx", F.col("q") * F.col("scale"))
+    )
+    per_vec = dq.groupBy("vid", "grp").agg(
+        F.sum((F.col("x") - F.col("dqx")) * (F.col("x") - F.col("dqx"))).alias("se"),
+        F.max(F.abs(F.col("x") - F.col("dqx"))).alias("mae"),
+        F.count("*").alias("nd"),
+        F.sum(F.col("x") * F.col("dqx")).alias("xy"),
+        F.sum(F.col("x") * F.col("x")).alias("xx"),
+        F.sum(F.col("dqx") * F.col("dqx")).alias("yy"),
+    )
+    return (
+        per_vec.groupBy(F.col("grp").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg(F.col("se") / F.col("nd")), 9).alias("mse"),
+            F.round(F.max("mae"), 6).alias("max_abs_err"),
+            F.round(
+                F.avg(
+                    F.col("xy")
+                    / F.greatest(
+                        F.sqrt(F.col("xx")) * F.sqrt(F.col("yy")), F.lit(1e-12)
+                    )
+                ),
+                6,
+            ).alias("avg_cos_sim"),
+        )
+    )

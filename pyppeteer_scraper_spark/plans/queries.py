@@ -1,4 +1,4 @@
-"""Query registry (134 entries, 122 DuckDB-oracled) — every
+"""Query registry (139 entries, 127 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -5652,6 +5652,276 @@ def text_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_segments(docs)
 
 
+# --- round-4 session-5 batch 5: boilerplate / collocations / int8 / ----
+# --- OPIC / calibration --------------------------------------------------
+
+
+@query(
+    "text_boilerplate_lines",
+    """
+    WITH chunked AS (
+      SELECT source AS host, doc_id,
+             ['cookie notice ' || source] ||
+             list_transform(range(1, len(string_split(text,' '))+1, 6),
+                s -> array_to_string(string_split(text,' ')[s:s+5], ' ')) AS lines
+      FROM documents
+    ), ln AS (
+      SELECT host, doc_id, md5(u.line) AS line_hash,
+             CAST(length(u.line) AS BIGINT) AS lc
+      FROM chunked, LATERAL (SELECT unnest(lines) AS line) u
+    ), st AS (
+      SELECT host, line_hash, count(DISTINCT doc_id) AS n_docs_line,
+             CAST(count(*) AS BIGINT) AS n_inst,
+             CAST(sum(lc) AS BIGINT) AS chars_inst
+      FROM ln GROUP BY host, line_hash
+    ), hd AS (
+      SELECT source AS host, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), tagged AS (
+      SELECT st.host, st.n_inst, st.chars_inst, hd.n_docs,
+             (st.n_docs_line >= 2
+              AND CAST(st.n_docs_line AS DOUBLE)
+                  >= 0.05 * CAST(hd.n_docs AS DOUBLE)) AS is_boiler
+      FROM st JOIN hd USING (host)
+    )
+    SELECT host, n_docs,
+           CAST(sum(n_inst) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_distinct_lines,
+           CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_lines,
+           CAST(sum(CASE WHEN is_boiler THEN n_inst ELSE 0 END) AS BIGINT)
+             AS n_boiler_instances,
+           round(sum(CASE WHEN is_boiler THEN chars_inst ELSE 0 END) * 1.0
+                 / greatest(sum(chars_inst), 1), 6) AS pct_chars_removed
+    FROM tagged GROUP BY host, n_docs
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped boilerplate-line detection (operators/
+    boilerplate.py): lines frequent across a host's own pages (nav/
+    cookie-banner chrome) are flagged and their char mass reported per
+    host — the WET/CCNet chrome-removal step the reference replaces
+    with hand-picked per-site selectors.  Each doc gets a synthetic
+    per-host banner line prepended (both engines) so the frequency
+    thresholds are genuinely exercised; the 6-word chunking is the
+    line model shared with dedup_lines_c4.  One explode pass, one
+    shuffle on (host, md5(line)) carrying 40-byte rows."""
+    from pyppeteer_scraper_spark.operators.boilerplate import (
+        boilerplate_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_WORDS)),
+        lambda s: F.concat_ws(" ", F.slice(toks, s, _CHUNK_WORDS)),
+    )
+    banner = F.concat(F.lit("cookie notice "), F.col("source"))
+    lines = docs.select(
+        F.col("source").alias("host"),
+        "doc_id",
+        F.explode(F.concat(F.array(banner), chunks)).alias("line"),
+    )
+    host_docs = docs.groupBy(F.col("source").alias("host")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return boilerplate_summary(
+        lines, host_docs, min_docs=2, min_frac=0.05
+    )
+
+
+@query(
+    "text_pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ), uni AS (
+      SELECT u.w, CAST(count(*) AS BIGINT) AS n_w
+      FROM toks, LATERAL (SELECT unnest(t) AS w) u GROUP BY u.w
+    ), bi AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+    ), pairs AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM bi GROUP BY w1, w2
+    ), nt AS (SELECT CAST(sum(n_w) AS DOUBLE) AS v FROM uni),
+    np AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM bi)
+    SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+           round(ln((p.n_pair / (SELECT v FROM np))
+                  / ((u1.n_w / (SELECT v FROM nt))
+                     * (u2.n_w / (SELECT v FROM nt)))), 6) AS pmi
+    FROM pairs p
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni u2 ON u2.w = p.w2
+    WHERE p.n_pair >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 40
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations by PMI (functions/collocations.py, Church &
+    Hanks 1990) — phrase-vocabulary mining / keyword-stuffing spam
+    signal over the corpus.  Two single-shuffle aggregates (unigrams,
+    bigrams-via-array-zip — no positional self-join); corpus totals
+    are driver scalars; top-k orders the >=min_count aggregate only.
+    The oracle replays tokenize -> zip -> counts -> PMI -> top-40 with
+    the same (pmi DESC, w1, w2) tie-break."""
+    from pyppeteer_scraper_spark.functions.collocations import pmi_bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, min_count=5, top_k=40)
+
+
+@query(
+    "sim_int8_quantize",
+    """
+    WITH flat AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), scales AS (
+      SELECT dim, max(abs(x)) / 127.0 AS scale FROM flat GROUP BY dim
+    ), dq AS (
+      SELECT f.vec_id, f.label, f.x,
+             CASE WHEN s.scale > 0
+                  THEN greatest(-127.0, least(127.0, round(f.x / s.scale, 0)))
+                  ELSE 0.0 END * s.scale AS dqx
+      FROM flat f JOIN scales s USING (dim)
+    ), pv AS (
+      SELECT vec_id, label,
+             sum((x - dqx) * (x - dqx)) AS se,
+             max(abs(x - dqx)) AS mae,
+             CAST(count(*) AS BIGINT) AS nd,
+             sum(x * dqx) AS xy, sum(x * x) AS xx, sum(dqx * dqx) AS yy
+      FROM dq GROUP BY vec_id, label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(se / nd), 9) AS mse,
+           round(max(mae), 6) AS max_abs_err,
+           round(avg(xy / greatest(sqrt(xx) * sqrt(yy), 1e-12)), 6)
+             AS avg_cos_sim
+    FROM pv GROUP BY label
+    """,
+)
+def sim_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 embedding quantization report
+    (operators/similarity.py::int8_quantize_stats) — the 4x memory /
+    int8-SIMD lever an ANN index pulls first at 10^9 vectors, with the
+    reconstruction-error and cosine-fidelity numbers that predict
+    recall impact.  Pure codegen arithmetic: posexplode -> per-dim max
+    (|dims| keys) -> broadcast scale join -> per-vector then per-label
+    rollup; shuffles carry scalars, never vectors."""
+    from pyppeteer_scraper_spark.operators.similarity import (
+        int8_quantize_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_quantize_stats(emb)
+
+
+def _opic_iter_sql(i: int) -> str:
+    prev = f"s{i - 1}"
+    return f"""c{i} AS (
+      SELECT e.dst AS node, sum(s.cash / o.od) AS c
+      FROM edges e JOIN {prev} s ON s.node = e.src JOIN outd o ON o.src = e.src
+      GROUP BY e.dst
+    ), d{i} AS (
+      SELECT coalesce(sum(s.cash), 0) AS dm FROM {prev} s
+      WHERE s.node NOT IN (SELECT src FROM outd)
+    ), s{i} AS (
+      SELECT n.node,
+             coalesce(c.c, 0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)
+               AS cash,
+             s.hist + s.cash AS hist
+      FROM nodes n
+      LEFT JOIN c{i} c ON c.node = n.node
+      JOIN {prev} s ON s.node = n.node
+    )"""
+
+
+@query(
+    "rank_opic",
+    f"""
+    WITH {_TRANS_EDGES_SQL},
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+    s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS cash, 0.0 AS hist
+           FROM nodes),
+    {_opic_iter_sql(1)},
+    {_opic_iter_sql(2)},
+    {_opic_iter_sql(3)}
+    SELECT node, round((hist + cash) / 4.0, 6) AS importance FROM s3
+    """,
+)
+def rank_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC frontier importance (operators/linkrank.py::opic;
+    Abiteboul/Preda/Cobena, WWW 2003) — the damping-free cash/history
+    estimator crawl schedulers (e.g. Nutch scoring) run incrementally
+    mid-crawl, here in its synchronous 3-round batch form over the
+    session transition graph.  Same scale shape as rank_pagerank
+    (cached edges, one equi-join + groupBy per round, 8-byte dangling
+    scalar, localCheckpoint); the oracle unrolls the identical rounds
+    as CTEs."""
+    from pyppeteer_scraper_spark.operators.linkrank import opic
+
+    ranks = opic(_transition_edges(spark, sf_dir), iters=3)
+    return ranks.select("node", F.round("importance", 6).alias("importance"))
+
+
+@query(
+    "quality_calibration_ece",
+    f"""
+    WITH {_model_scored_ctes(carry="doc_id, lang")},
+    sc AS (
+      SELECT CASE WHEN n_grams > 0
+                  THEN round(1.0 / (1.0 + exp(-(CAST(score_raw AS DOUBLE)
+                       / (CAST(n_grams AS DOUBLE) * 1000.0)))), 6)
+                  ELSE 0.5 END AS s,
+             (lang = 'en') AS y
+      FROM scored
+    ), b AS (
+      SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin, s,
+             CASE WHEN y THEN 1 ELSE 0 END AS yi
+      FROM sc
+    ), per AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(s) AS sum_s,
+             CAST(sum(yi) AS BIGINT) AS n_pos
+      FROM b GROUP BY bin
+    )
+    SELECT bin, n,
+           round(sum_s / n, 6) AS confidence,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS accuracy,
+           round(abs(sum_s / n - CAST(n_pos AS DOUBLE) / n), 6) AS abs_gap,
+           round(sum(n * abs(sum_s / n - CAST(n_pos AS DOUBLE) / n)) OVER ()
+                 / sum(n) OVER (), 6) AS ece
+    FROM per
+    """,
+)
+def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE for the quality classifier
+    (functions/classifier.py::calibration_bins, Guo et al. ICML 2017)
+    against the deterministic is-English gold label — the calibration
+    check run before a score threshold drops corpus slices.  One
+    groupBy over <=10 bin keys; everything downstream is arithmetic on
+    the driver-scale aggregate.  The oracle recomputes the integer
+    model scores, the shared-rounded-score binning, and the n-weighted
+    |confidence - accuracy| sum."""
+    from pyppeteer_scraper_spark.functions.classifier import (
+        calibration_bins,
+        quality_model_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_model_score(F.col("text"))
+    scored = docs.select(
+        cols["score"].alias("score"),
+        (F.col("lang") == F.lit("en")).alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", n_bins=10)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -5725,16 +5995,21 @@ _WINDOW_FIRST = [
     "d8_adaptive_crawl_delay",
     "dedup_keep_best",
     "text_lang_segments",
+    # round-4 session-5 additions
+    "text_boilerplate_lines",
+    "text_pmi_collocations",
+    "sim_int8_quantize",
+    "rank_opic",
+    "quality_calibration_ece",
     # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
     # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
     # displaced to _WINDOW_TAIL by the session-4 additions
+    # (split_neardup_contamination / text_idf_top_terms /
+    # a_sessionize_gaps / media_real_decode_features /
+    # a_sketch_aggregates: displaced to _WINDOW_TAIL by session 5 —
+    # idf/sessionize are r03-green; the other three are rows-only)
     # round-3 additions (new operators need a driver row immediately)
-    "split_neardup_contamination",
-    "text_idf_top_terms",
     "text_curation_funnel",
-    "a_sessionize_gaps",
-    "media_real_decode_features",
-    "a_sketch_aggregates",
     # (text_pii_counts / text_pii_redact / rank_indegree /
     # dedup_substring_coverage: r03-green, displaced to _WINDOW_TAIL by
     # the round-4 session-3 additions)
@@ -5745,6 +6020,14 @@ _WINDOW_FIRST = [
 ]
 
 _WINDOW_TAIL = [
+    # displaced by round-4 session-5 additions (idf/sessionize
+    # r03-green; neardup-contam/media/sketches rows-only,
+    # pytest-covered)
+    "split_neardup_contamination",
+    "text_idf_top_terms",
+    "a_sessionize_gaps",
+    "media_real_decode_features",
+    "a_sketch_aggregates",
     # r03-green queries displaced by round-4 session-4 additions
     "p9_url_construction",
     "s8_keyword_param_scan",
