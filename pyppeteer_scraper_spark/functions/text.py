@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -541,4 +541,56 @@ def lang_segments(
                 (-F.col("m.negn")) / F.col("n_segments") < dominant_frac
             ).alias("mixed"),
         )
+    )
+
+
+def filter_ablation(docs: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Per-rule ablation report for a quality-filter stack: how many
+    docs each rule kills, how many it UNIQUELY kills (no other rule
+    fires — the rule's marginal contribution), and the corpus pass
+    rates with and without it.  This is the analysis run before
+    shipping a filter recipe: a rule with high n_failed but near-zero
+    n_unique_failed is redundant; one with large unique kills deserves
+    threshold scrutiny (the Gopher paper's rule-by-rule table, Rae et
+    al. 2021 appendix A).
+
+    ``rules``: {name: boolean Column that is TRUE when the doc FAILS}.
+    Returns one row per rule: (rule, n_docs, n_failed, n_unique_failed,
+    n_pass_all, n_pass_without).
+
+    Shape at scale: rule flags are one codegen projection over the
+    corpus; the per-rule explode emits |rules| 30-byte rows per doc
+    into a groupBy over |rules| keys (map-side combined) — one shuffle
+    whose width is the rule count, not the corpus.
+    """
+    names = list(rules)
+    flags = docs.select(
+        *[rules[n].cast("long").alias(f"f_{i}") for i, n in enumerate(names)]
+    ).withColumn("n_fail", sum(F.col(f"f_{i}") for i in range(len(names))))
+    per_rule = flags.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("rule"),
+                        F.col(f"f_{i}").alias("failed"),
+                        ((F.col(f"f_{i}") == 1) & (F.col("n_fail") == 1))
+                        .cast("long")
+                        .alias("unique_failed"),
+                        (F.col("n_fail") - F.col(f"f_{i}") == 0)
+                        .cast("long")
+                        .alias("pass_without"),
+                        (F.col("n_fail") == 0).cast("long").alias("pass_all"),
+                    )
+                    for i, n in enumerate(names)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return per_rule.groupBy("rule").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("failed").cast("long").alias("n_failed"),
+        F.sum("unique_failed").cast("long").alias("n_unique_failed"),
+        F.sum("pass_all").cast("long").alias("n_pass_all"),
+        F.sum("pass_without").cast("long").alias("n_pass_without"),
     )

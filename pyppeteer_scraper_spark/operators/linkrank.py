@@ -435,3 +435,35 @@ def opic(
     out_deg.unpersist()
     e.unpersist()
     return out
+
+
+def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node reciprocal-link fraction — the classic link-farm signal
+    (reciprocal exchanges approach 1.0 in collusive spam neighborhoods;
+    organic web reciprocity is low; cf. Becchetti et al., "Link-Based
+    Characterization and Detection of Web Spam", AIRWeb 2006).  Feeds
+    the same only-downward priority demotion as trap/host-quality
+    signals.
+
+    Returns (node, n_out, n_reciprocal, reciprocity) over the DISTINCT
+    edge set.  One self-equi-join on the reversed pair — shuffle on
+    (src, dst) both sides, no all-pairs — then one groupBy(src).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    marked = e.join(rev, ["src", "dst"], "left_semi").groupBy("src").agg(
+        F.count("*").alias("n_reciprocal")
+    )
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").alias("n_out"))
+        .join(marked, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "n_out",
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias("n_reciprocal"),
+            F.round(
+                F.coalesce("n_reciprocal", F.lit(0)) * 1.0 / F.col("n_out"), 6
+            ).alias("reciprocity"),
+        )
+    )

@@ -110,3 +110,123 @@ def change_rate_schedule(
         .otherwise(F.round(revisit, 6))
         .alias("revisit_days"),
     )
+
+
+def conditional_get_stats(
+    fetches: DataFrame,
+    page_col: str = "page",
+    host_col: str = "host",
+    ts_col: str = "ts",
+    fingerprint_col: str = "fingerprint",
+    bytes_col: str = "n_bytes",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Conditional-GET (ETag / If-Modified-Since) bandwidth accounting
+    per host: a refetch whose content fingerprint equals the previous
+    fetch's would have been answered ``304 Not Modified`` — header-only,
+    body transfer saved (RFC 9110 §13.1; the revisit economics every
+    polite recrawler runs on).  The reference refetches full pages on
+    every cron tick; at 10^10 URLs the 304 ratio IS the bandwidth bill.
+
+    Input: one row per fetch with a deterministic content fingerprint
+    and the body size.  First fetch of a page is always a full 200.
+    Returns per host: (host, n_fetches, n_not_modified, n_modified,
+    bytes_full, bytes_transferred, savings_pct).
+
+    Shape at scale: one window over (page, ts) — a single shuffle by
+    page, the partitioning the snapshot store already has — then one
+    groupBy(host); all codegen, order-independent, exact-oracle-able.
+    """
+    order = [ts_col] if tiebreak_col is None else [ts_col, tiebreak_col]
+    w = Window.partitionBy(page_col).orderBy(*order)
+    tagged = fetches.withColumn(
+        "not_modified",
+        F.lag(F.col(fingerprint_col)).over(w) == F.col(fingerprint_col),
+    ).withColumn("not_modified", F.coalesce("not_modified", F.lit(False)))
+    saved = F.when(F.col("not_modified"), F.col(bytes_col)).otherwise(F.lit(0))
+    return (
+        tagged.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.sum(F.col("not_modified").cast("long"))
+            .cast("long")
+            .alias("n_not_modified"),
+            F.sum((~F.col("not_modified")).cast("long"))
+            .cast("long")
+            .alias("n_modified"),
+            F.sum(F.col(bytes_col)).cast("long").alias("bytes_full"),
+            (F.sum(F.col(bytes_col)) - F.sum(saved))
+            .cast("long")
+            .alias("bytes_transferred"),
+            F.round(
+                F.sum(saved) * 1.0 / F.greatest(F.sum(F.col(bytes_col)), F.lit(1)),
+                6,
+            ).alias("savings_pct"),
+        )
+    )
+
+
+def snapshot_churn(
+    prev: DataFrame,
+    curr: DataFrame,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Crawl-over-crawl corpus churn per group: docs added, removed,
+    changed (same key, different fingerprint), unchanged — the
+    snapshot-diff report that sizes incremental processing (how much
+    of the 100 TB actually needs re-dedup/re-scoring this round) and
+    feeds the adaptive-revisit estimator with per-host priors.
+
+    ``prev``/``curr``: (key, group, fingerprint) snapshots.  A full
+    outer join on key classifies each doc; one shuffle on the key both
+    snapshots are naturally stored by (bucketed checkpoint layouts
+    join Exchange-free).  churn_rate = (added+removed+changed)/n_curr,
+    with removed counted against the group it left.
+    """
+    p = prev.select(
+        F.col(key_col).alias("k"),
+        F.col(group_col).alias("pg"),
+        F.col(fingerprint_col).alias("pf"),
+    )
+    c = curr.select(
+        F.col(key_col).alias("k"),
+        F.col(group_col).alias("cg"),
+        F.col(fingerprint_col).alias("cf"),
+    )
+    j = p.join(c, "k", "full_outer").select(
+        F.coalesce("cg", "pg").alias("grp"),
+        F.col("pf").isNull().cast("long").alias("added"),
+        F.col("cf").isNull().cast("long").alias("removed"),
+        (
+            F.col("pf").isNotNull()
+            & F.col("cf").isNotNull()
+            & (F.col("pf") != F.col("cf"))
+        )
+        .cast("long")
+        .alias("changed"),
+        (
+            F.col("pf").isNotNull()
+            & F.col("cf").isNotNull()
+            & (F.col("pf") == F.col("cf"))
+        )
+        .cast("long")
+        .alias("unchanged"),
+        F.col("cf").isNotNull().cast("long").alias("in_curr"),
+    )
+    return (
+        j.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("added").cast("long").alias("n_added"),
+            F.sum("removed").cast("long").alias("n_removed"),
+            F.sum("changed").cast("long").alias("n_changed"),
+            F.sum("unchanged").cast("long").alias("n_unchanged"),
+            F.sum("in_curr").cast("long").alias("n_curr"),
+            F.round(
+                (F.sum("added") + F.sum("removed") + F.sum("changed")) * 1.0
+                / F.greatest(F.sum("in_curr"), F.lit(1)),
+                6,
+            ).alias("churn_rate"),
+        )
+    )

@@ -1,4 +1,4 @@
-"""Query registry (139 entries, 127 DuckDB-oracled) — every
+"""Query registry (143 entries, 131 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -5922,6 +5922,217 @@ def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(scored, "score", "label", n_bins=10)
 
 
+# --- round-4 session-5 batch 6: conditional-GET / reciprocity / ---------
+# --- corpus churn / filter ablation --------------------------------------
+
+
+@query(
+    "d9_conditional_get",
+    """
+    WITH fetches AS (
+      SELECT event_id % 150 AS page,
+             'h' || ((event_id % 150) % 15) AS host,
+             ts, event_id AS eid, event_type AS fp,
+             CAST(floor(100 + value * 10) AS BIGINT) AS n_bytes
+      FROM events
+    ), tagged AS (
+      SELECT host, n_bytes,
+             coalesce(lag(fp) OVER (PARTITION BY page ORDER BY ts, eid) = fp,
+                      false) AS not_modified
+      FROM fetches
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_fetches,
+           CAST(sum(CASE WHEN not_modified THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_not_modified,
+           CAST(sum(CASE WHEN not_modified THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_modified,
+           CAST(sum(n_bytes) AS BIGINT) AS bytes_full,
+           CAST(sum(n_bytes)
+                - sum(CASE WHEN not_modified THEN n_bytes ELSE 0 END)
+                AS BIGINT) AS bytes_transferred,
+           round(sum(CASE WHEN not_modified THEN n_bytes ELSE 0 END) * 1.0
+                 / greatest(sum(n_bytes), 1), 6) AS savings_pct
+    FROM tagged GROUP BY host
+    """,
+)
+def d9_conditional_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET / 304 bandwidth accounting per host
+    (operators/revisit.py::conditional_get_stats, RFC 9110 §13.1):
+    refetches whose content fingerprint matches the previous fetch
+    would be header-only 304s; the per-host savings ratio is the
+    recrawl bandwidth bill the adaptive-revisit scheduler optimizes.
+    One window shuffle by page (the snapshot store's partitioning),
+    one groupBy(host); the oracle replays the lag-compare and the
+    byte rollup."""
+    from pyppeteer_scraper_spark.operators.revisit import (
+        conditional_get_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    page = F.col("event_id") % 150
+    fetches = ev.select(
+        page.alias("page"),
+        F.concat(F.lit("h"), page % 15).alias("host"),
+        "ts",
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("fingerprint"),
+        F.floor(F.lit(100) + F.col("value") * 10).cast("long").alias("n_bytes"),
+    )
+    return conditional_get_stats(fetches, tiebreak_col="eid")
+
+
+@query(
+    "rank_reciprocity",
+    f"""
+    WITH {_TRANS_EDGES_SQL},
+    outc AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS n_out FROM edges GROUP BY src
+    ), rec AS (
+      SELECT e.src, CAST(count(*) AS BIGINT) AS n_reciprocal
+      FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+      GROUP BY e.src
+    )
+    SELECT o.src AS node, o.n_out,
+           CAST(coalesce(rec.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+           round(coalesce(rec.n_reciprocal, 0) * 1.0 / o.n_out, 6)
+             AS reciprocity
+    FROM outc o LEFT JOIN rec ON rec.src = o.src
+    """,
+)
+def rank_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link fraction per node (operators/linkrank.py::
+    reciprocity; Becchetti et al., AIRWeb 2006) — the link-farm spam
+    signal feeding the same only-downward frontier demotion as trap /
+    host-quality priors.  One reversed self-equi-join on (src, dst) +
+    groupBy — shuffle on the edge key, no all-pairs; the oracle joins
+    the edge set against its own reverse."""
+    from pyppeteer_scraper_spark.operators.linkrank import reciprocity
+
+    return reciprocity(_transition_edges(spark, sf_dir))
+
+
+@query(
+    "a_corpus_churn",
+    """
+    WITH prev AS (
+      SELECT doc_id AS k, source AS pg, md5(text) AS pf
+      FROM documents WHERE doc_id % 7 <> 0
+    ), curr AS (
+      SELECT doc_id AS k, source AS cg,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' upd' ELSE text END)
+               AS cf
+      FROM documents WHERE doc_id % 5 <> 0
+    ), j AS (
+      SELECT coalesce(c.cg, p.pg) AS grp,
+             CASE WHEN p.pf IS NULL THEN 1 ELSE 0 END AS added,
+             CASE WHEN c.cf IS NULL THEN 1 ELSE 0 END AS removed,
+             CASE WHEN p.pf IS NOT NULL AND c.cf IS NOT NULL
+                       AND p.pf <> c.cf THEN 1 ELSE 0 END AS changed,
+             CASE WHEN p.pf IS NOT NULL AND c.cf IS NOT NULL
+                       AND p.pf = c.cf THEN 1 ELSE 0 END AS unchanged,
+             CASE WHEN c.cf IS NOT NULL THEN 1 ELSE 0 END AS in_curr
+      FROM prev p FULL OUTER JOIN curr c ON p.k = c.k
+    )
+    SELECT grp AS source,
+           CAST(sum(added) AS BIGINT) AS n_added,
+           CAST(sum(removed) AS BIGINT) AS n_removed,
+           CAST(sum(changed) AS BIGINT) AS n_changed,
+           CAST(sum(unchanged) AS BIGINT) AS n_unchanged,
+           CAST(sum(in_curr) AS BIGINT) AS n_curr,
+           round((sum(added) + sum(removed) + sum(changed)) * 1.0
+                 / greatest(sum(in_curr), 1), 6) AS churn_rate
+    FROM j GROUP BY grp
+    """,
+)
+def a_corpus_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl corpus churn per source (operators/revisit.py::
+    snapshot_churn): added / removed / changed / unchanged via one
+    full-outer join on the doc key two snapshots are both stored by
+    (bucketed layouts join Exchange-free) — the report that sizes each
+    round's incremental re-processing.  Snapshots are synthesized
+    deterministically from `documents` (doc_id % 7 / % 5 membership,
+    % 3 content bump) identically in both engines."""
+    from pyppeteer_scraper_spark.operators.revisit import snapshot_churn
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "source", F.md5("text").alias("fingerprint")
+    )
+    curr = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" upd"))
+            ).otherwise(F.col("text"))
+        ).alias("fingerprint"),
+    )
+    return snapshot_churn(prev, curr)
+
+
+@query(
+    "text_filter_ablation",
+    """
+    WITH f AS (
+      SELECT (len(string_split(text, ' ')) < 20) AS f0,
+             (len(string_split(text, ' ')) > 80) AS f1,
+             (len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|to|a|in)\\b')) < 2) AS f2,
+             (lang <> 'en') AS f3
+      FROM documents
+    ), n AS (
+      SELECT f0, f1, f2, f3,
+             (CASE WHEN f0 THEN 1 ELSE 0 END + CASE WHEN f1 THEN 1 ELSE 0 END
+              + CASE WHEN f2 THEN 1 ELSE 0 END
+              + CASE WHEN f3 THEN 1 ELSE 0 END) AS n_fail
+      FROM f
+    ), per AS (
+      SELECT 'too_short' AS rule, f0 AS failed, n_fail FROM n
+      UNION ALL SELECT 'too_long', f1, n_fail FROM n
+      UNION ALL SELECT 'low_stopword', f2, n_fail FROM n
+      UNION ALL SELECT 'non_en', f3, n_fail FROM n
+    )
+    SELECT rule, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+           CAST(sum(CASE WHEN failed AND n_fail = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique_failed,
+           CAST(sum(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_all,
+           CAST(sum(CASE WHEN n_fail - (CASE WHEN failed THEN 1 ELSE 0 END) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_without
+    FROM per GROUP BY rule
+    """,
+)
+def text_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation table (functions/text.py::
+    filter_ablation, the Gopher appendix-A analysis): per rule, total
+    kills, UNIQUE kills (marginal contribution), and pass counts with/
+    without the rule — how a filter recipe is tuned before it drops
+    terabytes.  Four deterministic rules over the shared single-space
+    tokenizer; one codegen projection + a |rules|-wide explode into a
+    4-key groupBy."""
+    from pyppeteer_scraper_spark.functions.text import (
+        filter_ablation,
+        ws_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = ws_token_count(F.col("text"))
+    stop = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"\b(the|and|of|to|a|in)\b")
+    )
+    return filter_ablation(
+        docs,
+        {
+            "too_short": nt < 20,
+            "too_long": nt > 80,
+            "low_stopword": stop < 2,
+            "non_en": F.col("lang") != "en",
+        },
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -6001,6 +6212,10 @@ _WINDOW_FIRST = [
     "sim_int8_quantize",
     "rank_opic",
     "quality_calibration_ece",
+    "d9_conditional_get",
+    "rank_reciprocity",
+    "a_corpus_churn",
+    "text_filter_ablation",
     # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
     # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
     # displaced to _WINDOW_TAIL by the session-4 additions
@@ -6008,26 +6223,25 @@ _WINDOW_FIRST = [
     # a_sessionize_gaps / media_real_decode_features /
     # a_sketch_aggregates: displaced to _WINDOW_TAIL by session 5 —
     # idf/sessionize are r03-green; the other three are rows-only)
-    # round-3 additions (new operators need a driver row immediately)
-    "text_curation_funnel",
-    # (text_pii_counts / text_pii_redact / rank_indegree /
-    # dedup_substring_coverage: r03-green, displaced to _WINDOW_TAIL by
-    # the round-4 session-3 additions)
-    "rank_pagerank",
-    "dedup_semantic",
-    # round-3 session-3 additions
-    "text_curation_funnel_full",
+    # (text_curation_funnel / rank_pagerank / dedup_semantic /
+    # text_curation_funnel_full: displaced to _WINDOW_TAIL by batch 6 —
+    # all r03-green or rows-only; text_pii_counts / text_pii_redact /
+    # rank_indegree / dedup_substring_coverage displaced earlier)
 ]
 
 _WINDOW_TAIL = [
-    # displaced by round-4 session-5 additions (idf/sessionize
-    # r03-green; neardup-contam/media/sketches rows-only,
-    # pytest-covered)
+    # displaced by round-4 session-5 additions (idf/sessionize/funnels/
+    # pagerank r03-green; neardup-contam/media/sketches/semantic
+    # rows-only, pytest-covered)
     "split_neardup_contamination",
     "text_idf_top_terms",
     "a_sessionize_gaps",
     "media_real_decode_features",
     "a_sketch_aggregates",
+    "text_curation_funnel",
+    "rank_pagerank",
+    "dedup_semantic",
+    "text_curation_funnel_full",
     # r03-green queries displaced by round-4 session-4 additions
     "p9_url_construction",
     "s8_keyword_param_scan",
