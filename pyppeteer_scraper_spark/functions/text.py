@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -593,4 +593,59 @@ def filter_ablation(docs: DataFrame, rules: dict[str, Column]) -> DataFrame:
         F.sum("unique_failed").cast("long").alias("n_unique_failed"),
         F.sum("pass_all").cast("long").alias("n_pass_all"),
         F.sum("pass_without").cast("long").alias("n_pass_without"),
+    )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    ks: tuple = (5, 10, 20, 50),
+) -> DataFrame:
+    """Cumulative corpus-token coverage of the top-k vocabulary types
+    for each k in ``ks`` — the curve that sizes a tokenizer vocab
+    (how much of the corpus the head types already cover; BPE vocab
+    sizing runs exactly this before choosing merges).  Returns
+    (k, n_types, n_tokens_total, covered_tokens, coverage) for every
+    k that exists in the type table.
+
+    Ranking is (count DESC, token ASC) — fully deterministic.  The
+    running-sum window runs over the TYPE AGGREGATE, not the corpus;
+    at web scale the type table is still millions of rows, so the
+    single-partition window is the documented trade: this is a vocab
+    DESIGN query over a head that fits one node (ks are always ≪
+    |vocab|), not a corpus-shaped operator — a two-phase top-|max k|
+    pre-filter (operators/topk.py) bounds the window input if |vocab|
+    ever matters.
+    """
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != "")
+        ).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.col("w"))
+    ranked = counts.select(
+        "w",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    # two scalars, not one-row joins
+    totals = counts.agg(
+        F.count("*").alias("nt"), F.sum("n").alias("tot")
+    ).collect()[0]
+    n_types, n_tokens = int(totals["nt"]), int(totals["tot"])
+    return (
+        ranked.filter(F.col("rk").isin(*[int(k) for k in ks]))
+        .select(
+            F.col("rk").cast("long").alias("k"),
+            F.lit(n_types).cast("long").alias("n_types"),
+            F.lit(n_tokens).cast("long").alias("n_tokens_total"),
+            F.col("cum").cast("long").alias("covered_tokens"),
+            F.round(F.col("cum") * 1.0 / F.lit(float(n_tokens)), 6).alias(
+                "coverage"
+            ),
+        )
     )

@@ -228,3 +228,46 @@ def binpack_hosts(
         .cast("int")
         .alias("shard"),
     )
+
+
+def shard_checksum_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Order-independent per-shard content checksums — the manifest a
+    resumable verified export writes next to its shards so a re-run
+    (or a reader) can prove shard integrity WITHOUT re-reading in the
+    writer's order: (shard, n_docs, checksum).
+
+    checksum = bit_xor over docs of the first-60-bits of
+    md5(salt \\x1f id \\x1f content) — XOR is commutative/associative,
+    so any task/partition ordering yields the same value, and a single
+    flipped byte anywhere in the shard flips it.  Shard assignment is
+    the same md5-bucket rule as ``shard_plan`` (first 48 bits mod
+    n_shards), so the manifest matches the exported layout.
+
+    One groupBy over n_shards keys, map-side combined; the shuffle
+    carries (shard, 8-byte partial XOR) rows only.
+    """
+    key = F.md5(
+        F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"),
+                    F.col(content_col))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(
+            F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"))
+        ), 1, 12), 16, 10).cast("bigint"),
+        F.lit(int(n_shards)),
+    )
+    word = F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint")
+    return (
+        docs.select(shard.cast("int").alias("shard"), word.alias("w"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.bit_xor("w").alias("checksum"),
+        )
+    )

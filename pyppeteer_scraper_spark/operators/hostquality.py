@@ -18,7 +18,7 @@ cold-domain build side joins, only ``priority`` moves, and only UPWARD
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyppeteer_scraper_spark.functions.classifier import quality_model_score
@@ -141,4 +141,46 @@ def fetch_rate_anomalies(
             F.round(z, 4).alias("z"),
             F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("anomaly"),
         )
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str = "host",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Gini coefficient of per-group mass — THE crawl-skew scalar: how
+    concentrated URL/byte mass is across hosts (0 = perfectly even,
+    →1 = one mega-host owns the crawl).  This is the number that
+    decides whether the skew machinery (salted top-k, AQE skew join,
+    per-host caps) is load-bearing on a given corpus, and the one to
+    alert on when a trap inflates a single host.
+
+    Standard rank formula over ascending mass x_1 ≤ … ≤ x_n:
+    G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n.  Ties are rank-order-invariant
+    (equal x with consecutive i contribute the same Σ i·x_i under any
+    tie order), so the result is deterministic without a tiebreak.
+
+    One groupBy over hosts, then a window + final aggregate over the
+    HOST TABLE (≪ corpus; millions of rows fits one node — same
+    documented trade as the frontier's percentile promotion).
+    Returns a single row (n_groups, total, gini).
+    """
+    x = (
+        F.count("*").alias("x")
+        if weight_col is None
+        else F.sum(weight_col).alias("x")
+    )
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(x)
+    w = Window.orderBy(F.col("x"), F.col("g"))
+    ranked = counts.select("x", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("x").cast("long").alias("total"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+            / (F.count("*") * F.sum("x"))
+            - (F.count("*") + F.lit(1.0)) / F.count("*"),
+            6,
+        ).alias("gini"),
     )

@@ -1,4 +1,4 @@
-"""Query registry (143 entries, 131 DuckDB-oracled) — every
+"""Query registry (146 entries, 134 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -6133,6 +6133,116 @@ def text_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-4 session-5 batch 7: vocab coverage / gini / manifest ---------
+
+
+@query(
+    "tok_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT u.w
+      FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+            FROM documents) s,
+           LATERAL (SELECT unnest(t) AS w) u
+    ), counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w
+    ), ranked AS (
+      SELECT w, n,
+             row_number() OVER (ORDER BY n DESC, w) AS rk,
+             sum(n) OVER (ORDER BY n DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM counts
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nt, CAST(sum(n) AS BIGINT) AS tt
+      FROM counts
+    )
+    SELECT CAST(rk AS BIGINT) AS k,
+           (SELECT nt FROM tot) AS n_types,
+           (SELECT tt FROM tot) AS n_tokens_total,
+           CAST(cum AS BIGINT) AS covered_tokens,
+           round(cum * 1.0 / (SELECT tt FROM tot), 6) AS coverage
+    FROM ranked WHERE rk IN (5, 10, 20, 50)
+    """,
+)
+def tok_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage curve (functions/text.py::
+    vocab_coverage_curve) — the corpus-share-of-head-types numbers a
+    tokenizer vocab size is chosen from (run before tok_bpe_train
+    picks merges).  Deterministic (count DESC, token ASC) ranking;
+    the running-sum window spans the TYPE aggregate, not the corpus.
+    The oracle replays rank, running sum, and the k-slice."""
+    from pyppeteer_scraper_spark.functions.text import vocab_coverage_curve
+
+    return vocab_coverage_curve(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "a_gini_host_concentration",
+    """
+    WITH counts AS (
+      SELECT 'h' || (user_id % 50) AS g, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY g
+    ), ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, g) AS i FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(x) AS BIGINT) AS total,
+           round(2.0 * sum(i * x) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def a_gini_host_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-host fetch mass (operators/
+    hostquality.py::gini_concentration) — the crawl-skew scalar that
+    says whether the salting/AQE-skew machinery is load-bearing on
+    this corpus and alerts when a trap inflates one host.  Rank
+    formula over the ascending host aggregate; ties are rank-order-
+    invariant so no tiebreak is needed for determinism."""
+    from pyppeteer_scraper_spark.operators.hostquality import (
+        gini_concentration,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hosts = ev.select(
+        F.concat(F.lit("h"), F.col("user_id") % 50).alias("host")
+    )
+    return gini_concentration(hosts, group_col="host")
+
+
+@query(
+    "export_checksum_manifest",
+    """
+    WITH keyed AS (
+      SELECT CAST(('0x' || substr(md5('shard-v1' || chr(31)
+                     || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                  % 16 AS INT) AS shard,
+             ('0x' || substr(md5('shard-v1' || chr(31)
+                     || CAST(doc_id AS VARCHAR) || chr(31) || text),
+                     1, 15))::BIGINT AS w
+      FROM documents
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           bit_xor(w) AS checksum
+    FROM keyed GROUP BY shard
+    """,
+)
+def export_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-shard content checksums (operators/
+    export.py::shard_checksum_manifest): bit_xor over 60-bit md5 words
+    — commutative, so any partition/task ordering produces the same
+    manifest, and a flipped byte anywhere flips its shard's value.
+    Pairs with export_shard_plan for resumable VERIFIED exports.  One
+    n_shards-key groupBy shuffling 8-byte partial XORs."""
+    from pyppeteer_scraper_spark.operators.export import (
+        shard_checksum_manifest,
+    )
+
+    return shard_checksum_manifest(
+        load_table(spark, sf_dir, "documents"), n_shards=16
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -6168,7 +6278,9 @@ _WINDOW_FIRST = [
     "mix_source_weights",
     "budget_maxmin_fair",
     "split_ngram_overlap_contamination",
-    "media_phash_dedup",
+    # (media_phash_dedup / tok_bpe_train / tok_bpe_encode: rows-only —
+    # displaced to _WINDOW_TAIL by batch 7; the driver row for a
+    # rows-only query is a weak check, pytest is their real pin)
     # round-4 session-2 additions
     "select_token_budget",
     "text_ccnet_ppl_buckets",
@@ -6197,8 +6309,6 @@ _WINDOW_FIRST = [
     "src_cdx_parse",
     "rank_trustrank",
     "text_c4_line_filters",
-    "tok_bpe_train",
-    "tok_bpe_encode",
     "sim_kmeans_relational",
     "a_hll_registers",
     "rank_param_entropy",
@@ -6216,6 +6326,9 @@ _WINDOW_FIRST = [
     "rank_reciprocity",
     "a_corpus_churn",
     "text_filter_ablation",
+    "tok_vocab_coverage",
+    "a_gini_host_concentration",
+    "export_checksum_manifest",
     # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
     # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
     # displaced to _WINDOW_TAIL by the session-4 additions
@@ -6230,6 +6343,12 @@ _WINDOW_FIRST = [
 ]
 
 _WINDOW_TAIL = [
+    # rows-only r04 entries displaced by batch 7 (pytest-pinned;
+    # oracled stage twins tok_bpe_pair_counts / media_real_decode
+    # stay in window)
+    "media_phash_dedup",
+    "tok_bpe_train",
+    "tok_bpe_encode",
     # displaced by round-4 session-5 additions (idf/sessionize/funnels/
     # pagerank r03-green; neardup-contam/media/sketches/semantic
     # rows-only, pytest-covered)
