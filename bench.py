@@ -89,6 +89,19 @@ HEADLINE = [
     "d8_adaptive_crawl_delay",
     "dedup_keep_best",
     "text_lang_segments",
+    # round-4 session-5 additions (comparable from BENCH_r04 on)
+    "text_boilerplate_lines",
+    "text_pmi_collocations",
+    "sim_int8_quantize",
+    "rank_opic",
+    "quality_calibration_ece",
+    "d9_conditional_get",
+    "rank_reciprocity",
+    "a_corpus_churn",
+    "text_filter_ablation",
+    "tok_vocab_coverage",
+    "a_gini_host_concentration",
+    "export_checksum_manifest",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

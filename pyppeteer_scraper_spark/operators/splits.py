@@ -26,7 +26,7 @@ Design notes (scale-first):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_BUCKETS = 16**6
@@ -287,5 +287,78 @@ def split_neardup_contamination(
             .alias("eval_split"),
             F.when(a_is_eval, F.col("b")).otherwise(F.col("a")).alias("train_id"),
             F.col("jaccard"),
+        )
+    )
+
+
+def systematic_pps_sample(
+    docs: DataFrame,
+    n_samples: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling — the
+    deterministic, exactly-oracle-able way to draw a quality/size-
+    weighted corpus sample (Madow 1949; the fixed-skip PPS design
+    survey texts recommend when an order is available): lay all docs
+    on a weight line in ``id_col`` order, place ``n_samples`` points
+    at every ``step = total_weight div n_samples`` positions, and a
+    doc is drawn once per point inside its [start, start+w) span —
+    big docs can be drawn multiple times (replication counts, exactly
+    how weighted corpus sampling repeats high-value slices).
+
+    ALL integer arithmetic (ceil via (x + step - 1) div step), so two
+    engines agree bit-for-bit — no float RNG to diverge on.
+
+    Returns per ``group_col``: (group, n_docs, n_sampled, n_hits,
+    w_total, w_sampled).
+
+    Scale shape: the global prefix sum is the same two-pass bucketed
+    form as operators/packing.py::pack_token_stream (per-bucket totals
+    → tiny exclusive window over buckets → per-bucket parallel
+    window); total weight is one 8-byte driver scalar.
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(weight_col).cast("long").alias("w"),
+        F.expr(f"cast({id_col} as bigint) div {int(bucket_size)}").alias(
+            "__bucket"
+        ),
+    )
+    btotals = base.groupBy("__bucket").agg(F.sum("w").alias("__btotal"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boffsets = btotals.select(
+        "__bucket",
+        F.coalesce(F.sum("__btotal").over(wb), F.lit(0)).alias("__base"),
+    )
+    wd = Window.partitionBy("__bucket").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    placed = base.join(F.broadcast(boffsets), "__bucket").withColumn(
+        "start",
+        F.col("__base") + F.coalesce(F.sum("w").over(wd), F.lit(0)),
+    )
+    total = placed.agg(F.sum("w")).collect()[0][0] or 0
+    step = max(int(total) // int(n_samples), 1)
+    n_hits = F.expr(
+        f"((start + w + {step} - 1) div {step})"
+        f" - ((start + {step} - 1) div {step})"
+    )
+    return (
+        placed.withColumn("n_hits", n_hits)
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("long"))
+            .cast("long")
+            .alias("n_sampled"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+            F.sum("w").cast("long").alias("w_total"),
+            F.sum(F.when(F.col("n_hits") > 0, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("w_sampled"),
         )
     )

@@ -1,4 +1,4 @@
-"""Query registry (146 entries, 134 DuckDB-oracled) — every
+"""Query registry (148 entries, 136 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -6243,6 +6243,109 @@ def export_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-4 session-5 batch 8: bucketed range join / systematic PPS ----
+
+
+@query(
+    "j_range_join_bucketed",
+    """
+    WITH w AS (
+      SELECT CAST(r.range AS INT) AS win_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_days(CAST(r.range AS INT)) AS ws
+      FROM range(10) r
+    ), w2 AS (
+      SELECT win_id, ws, ws + INTERVAL 6 HOUR AS we FROM w
+    )
+    SELECT w2.win_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(sum(e.value), 2) AS total_value
+    FROM w2 JOIN events e ON e.ts >= w2.ws AND e.ts < w2.we
+    GROUP BY w2.win_id
+    """,
+)
+def j_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/rangejoin.py): points ⋈ covering
+    intervals via interval→bucket explode + EQUI-join + exact re-check
+    — the composition that keeps a range predicate out of
+    BroadcastNestedLoopJoin (the plan-quality gate proves the plan has
+    no nested loop; the ORACLE runs the naive range join and must
+    agree exactly).  Ten deterministic 6-hour maintenance windows over
+    the events stream; per-window event/user/value rollup."""
+    from pyppeteer_scraper_spark.operators.rangejoin import (
+        range_join_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wins = (
+        spark.range(10)
+        .select(
+            F.col("id").cast("int").alias("win_id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.expr("make_dt_interval(id, 0, 0, 0)")
+            ).alias("ws"),
+        )
+        .withColumn("we", F.col("ws") + F.expr("make_dt_interval(0, 6, 0, 0)"))
+    )
+    joined = range_join_bucketed(
+        ev.select("ts", "user_id", "value"), wins
+    )
+    return joined.groupBy("win_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "sample_systematic_pps",
+    """
+    WITH base AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w FROM documents
+    ), pre AS (
+      SELECT doc_id, source, w,
+             CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start
+      FROM base
+    ), tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM base),
+    params AS (SELECT greatest(tw // 100, 1) AS step FROM tot),
+    hits AS (
+      SELECT source, w,
+             ((start + w + (SELECT step FROM params) - 1)
+                // (SELECT step FROM params))
+             - ((start + (SELECT step FROM params) - 1)
+                // (SELECT step FROM params)) AS n_hits
+      FROM pre
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(sum(n_hits) AS BIGINT) AS n_hits,
+           CAST(sum(w) AS BIGINT) AS w_total,
+           CAST(sum(CASE WHEN n_hits > 0 THEN w ELSE 0 END) AS BIGINT)
+             AS w_sampled
+    FROM hits GROUP BY source
+    """,
+)
+def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS corpus sampling (operators/splits.py::
+    systematic_pps_sample): size-weighted sampling with replication
+    counts in ALL-INTEGER arithmetic (fixed-skip positions over the
+    doc weight line) — deterministic and bit-exact across engines,
+    unlike float-RNG weighted reservoirs.  Global prefix sum is the
+    packing module's two-pass bucketed form; total weight is one
+    driver scalar.  Per-source sample accounting."""
+    from pyppeteer_scraper_spark.operators.splits import (
+        systematic_pps_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return systematic_pps_sample(docs, n_samples=100)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -6296,7 +6399,6 @@ _WINDOW_FIRST = [
     "sample_neyman_allocation",
     "text_quality_signal_corr",
     "text_lang_confusion",
-    "sim_label_centroids",
     "pipeline_curate_pack_shard",
     # round-4 session-3 additions
     "url_surt_keys",
@@ -6310,7 +6412,6 @@ _WINDOW_FIRST = [
     "rank_trustrank",
     "text_c4_line_filters",
     "sim_kmeans_relational",
-    "a_hll_registers",
     "rank_param_entropy",
     "a_fetch_anomaly_zscore",
     "d8_adaptive_crawl_delay",
@@ -6329,6 +6430,8 @@ _WINDOW_FIRST = [
     "tok_vocab_coverage",
     "a_gini_host_concentration",
     "export_checksum_manifest",
+    "j_range_join_bucketed",
+    "sample_systematic_pps",
     # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
     # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
     # displaced to _WINDOW_TAIL by the session-4 additions
@@ -6343,6 +6446,11 @@ _WINDOW_FIRST = [
 ]
 
 _WINDOW_TAIL = [
+    # oracled r04 entries displaced by batch 8 (family siblings remain
+    # in window: sketches via a_sketch pytest + countmin, centroids via
+    # sim_kmeans_relational; both re-enter the window in round 5)
+    "a_hll_registers",
+    "sim_label_centroids",
     # rows-only r04 entries displaced by batch 7 (pytest-pinned;
     # oracled stage twins tok_bpe_pair_counts / media_real_decode
     # stay in window)

@@ -61,9 +61,21 @@ def main() -> int:
     queries = mod.queries()
     oracles = mod.oracle_sql()
     failures = []
-    for name, fn in queries.items():
-        if name_filter and name_filter not in name:
-            continue
+    # name_filter: comma-separated substrings (ANY match keeps the
+    # query).  A filter that matches nothing is an ERROR, not a green
+    # run — a typo'd filter once skipped everything and printed n/n OK.
+    pats = [p for p in name_filter.split(",") if p] if name_filter else []
+    selected = {
+        name: fn
+        for name, fn in queries.items()
+        if not pats or any(p in name for p in pats)
+    }
+    if not selected:
+        print(f"filter {name_filter!r} matched 0 of {len(queries)} queries")
+        return 2
+    if pats:
+        print(f"filter {name_filter!r}: {len(selected)}/{len(queries)} queries")
+    for name, fn in selected.items():
         try:
             got = normalize(fn(spark, sf_dir).toPandas())
         except Exception as e:
@@ -98,7 +110,7 @@ def main() -> int:
             continue
         print(f"OK   {name}: {len(got)} rows")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} OK")
+    print(f"\n{len(selected) - len(failures)}/{len(selected)} OK")
     return 1 if failures else 0
 
 
