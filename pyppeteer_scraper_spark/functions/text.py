@@ -649,3 +649,27 @@ def vocab_coverage_curve(
             ),
         )
     )
+
+
+def log2_histogram(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Power-law-friendly histogram: counts per (group, floor(log2(x)))
+    bucket — doc-length / host-size distributions span 5+ orders of
+    magnitude, so linear bins hide the tail that log2 buckets expose
+    (the first diagnostic plotted for any new crawl slice).  Zero/
+    negative values land in bucket -1.  One groupBy over
+    (|groups| × ~40) keys, map-side combined; exact-integer so any
+    SQL oracle agrees bit-for-bit."""
+    b = F.when(
+        F.col(value_col) > 0,
+        F.floor(F.log2(F.col(value_col).cast("double"))).cast("int"),
+    ).otherwise(F.lit(-1))
+    return (
+        df.select(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("grp").alias(group_col), "bucket", "n")
+    )

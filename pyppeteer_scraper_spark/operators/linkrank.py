@@ -467,3 +467,69 @@ def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
             ).alias("reciprocity"),
         )
     )
+
+
+def cocitation(
+    edges: DataFrame,
+    max_citers: int = 32,
+    top_k: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Co-citation similarity (Small 1973; the related-page signal
+    behind "similar sites"): two pages are related when many pages
+    link to BOTH.  Returns the ``top_k`` (a, b, n_common) pairs with
+    a < b, ordered (n_common DESC, a, b).
+
+    SKEW GUARD — the explicit bound SURVEY §4.2 requires: the pair
+    expansion is quadratic in each dst's citer count, so a mega-hub
+    would explode the self-join.  Each dst contributes only its FIRST
+    ``max_citers`` citers in deterministic src order (row_number per
+    dst) — bounded truncation, not wholesale hub dropping, so dense
+    graphs still produce signal and the worst case is
+    |dsts|·max_citers² pairs, linear in the graph for a fixed cap.
+    Truncation is REPORTED via ``cocitation_dropped`` (no silent
+    caps).  The self-join is equi on dst over the capped set.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    w = Window.partitionBy("dst").orderBy("src")
+    kept = (
+        e.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(max_citers))
+        .drop("__rk")
+    )
+    a = kept.select(F.col("dst").alias("d"), F.col("src").alias("a"))
+    b = kept.select(F.col("dst").alias("d"), F.col("src").alias("b"))
+    pairs = (
+        a.join(b, "d")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return pairs.orderBy(
+        F.col("n_common").desc(), F.col("a"), F.col("b")
+    ).limit(int(top_k))
+
+
+def cocitation_dropped(
+    edges: DataFrame,
+    max_citers: int = 32,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The truncation report for ``cocitation``: (n_dsts_total,
+    n_dsts_truncated, n_edges_dropped) — no silent caps."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("dst").agg(F.count("*").alias("d_in"))
+    cap = int(max_citers)
+    return deg.agg(
+        F.count("*").cast("long").alias("n_dsts_total"),
+        F.sum((F.col("d_in") > cap).cast("long"))
+        .cast("long")
+        .alias("n_dsts_truncated"),
+        F.sum(
+            F.when(F.col("d_in") > cap, F.col("d_in") - cap).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_edges_dropped"),
+    )

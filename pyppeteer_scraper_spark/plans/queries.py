@@ -1,4 +1,4 @@
-"""Query registry (148 entries, 136 DuckDB-oracled) — every
+"""Query registry (150 entries, 138 DuckDB-oracled) — every
 SQL-expressible operator from SURVEY.md §2,
 as (Spark DataFrame callable, DuckDB oracle SQL) twins.
 
@@ -6346,6 +6346,64 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return systematic_pps_sample(docs, n_samples=100)
 
 
+# --- round-4 session-5 batch 9: co-citation / log2 histogram ------------
+
+
+@query(
+    "rank_cocitation",
+    f"""
+    WITH {_TRANS_EDGES_SQL},
+    rk AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY dst ORDER BY src) AS r
+      FROM edges
+    ),
+    kept AS (SELECT src, dst FROM rk WHERE r <= 32),
+    pairs AS (
+      SELECT x.src AS a, y.src AS b, CAST(count(*) AS BIGINT) AS n_common
+      FROM kept x JOIN kept y ON x.dst = y.dst AND x.src < y.src
+      GROUP BY x.src, y.src
+    )
+    SELECT a, b, n_common FROM pairs
+    ORDER BY n_common DESC, a, b LIMIT 50
+    """,
+)
+def rank_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation related-page pairs (operators/linkrank.py::
+    cocitation, Small 1973): pages frequently cited TOGETHER, the
+    "similar sites" signal.  The quadratic-per-dst pair expansion is
+    bounded by keeping each dst's first 32 citers in deterministic src
+    order, with an explicit truncation report (cocitation_dropped — no
+    silent caps).  Equi self-join on dst over the capped set; worst
+    case |dsts|·cap² pairs, linear in the graph for the fixed cap."""
+    from pyppeteer_scraper_spark.operators.linkrank import cocitation
+
+    return cocitation(_transition_edges(spark, sf_dir), max_citers=32)
+
+
+@query(
+    "a_log2_length_histogram",
+    """
+    SELECT source,
+           CASE WHEN n_chars > 0
+                THEN CAST(floor(log2(CAST(n_chars AS DOUBLE))) AS INT)
+                ELSE -1 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY source, bucket
+    """,
+)
+def a_log2_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed doc-length histogram per source (functions/
+    text.py::log2_histogram) — the first diagnostic for any new crawl
+    slice; linear bins hide the power-law tail these distributions
+    live in.  One groupBy over (|sources| × ~40) keys, map-side
+    combined; bucket boundaries are exact powers of two so IEEE log2
+    agrees across engines."""
+    from pyppeteer_scraper_spark.functions.text import log2_histogram
+
+    return log2_histogram(load_table(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -6389,7 +6447,6 @@ _WINDOW_FIRST = [
     "text_ccnet_ppl_buckets",
     "tok_bpe_pair_counts",
     "text_zipf_heaps",
-    "select_dsir_resample",
     "export_warc_offsets",
     "export_zorder_layout",
     "rank_hits",
@@ -6397,7 +6454,6 @@ _WINDOW_FIRST = [
     "a_countmin_heavy_hitters",
     "a_event_funnel",
     "sample_neyman_allocation",
-    "text_quality_signal_corr",
     "text_lang_confusion",
     "pipeline_curate_pack_shard",
     # round-4 session-3 additions
@@ -6432,6 +6488,8 @@ _WINDOW_FIRST = [
     "export_checksum_manifest",
     "j_range_join_bucketed",
     "sample_systematic_pps",
+    "rank_cocitation",
+    "a_log2_length_histogram",
     # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
     # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
     # displaced to _WINDOW_TAIL by the session-4 additions
@@ -6446,6 +6504,11 @@ _WINDOW_FIRST = [
 ]
 
 _WINDOW_TAIL = [
+    # oracled r04 entries displaced by batch 9 (family siblings stay in
+    # window: quality corr via calibration/ablation, resample via
+    # text_dsir_weights; round-5 re-entry)
+    "text_quality_signal_corr",
+    "select_dsir_resample",
     # oracled r04 entries displaced by batch 8 (family siblings remain
     # in window: sketches via a_sketch pytest + countmin, centroids via
     # sim_kmeans_relational; both re-enter the window in round 5)
