@@ -675,3 +675,68 @@ def keep_best(
             "n_members",
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    df_cap: int = 50,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs — |A∩B| / |A| over distinct
+    k-shingle sets (Broder's containment coefficient).
+
+    Jaccard misses the commonest web duplication mode: one page
+    *containing* another (aggregators quoting articles, boilerplate
+    wrappers around syndicated bodies, paginated supersets).  A short
+    doc fully embedded in a long one has Jaccard |A|/|B| ≈ 0 but
+    containment(A in B) = 1.  The reference has no corpus-level notion
+    of this at all; CC-scale curation pipelines dedup on containment
+    to drop the embedded copy and keep the superset.
+
+    Scale shape: posting-list equi-join on shared shingles — NEVER an
+    all-pairs crossJoin.  A document-frequency cap (``df_cap``) drops
+    boilerplate shingles whose posting lists would otherwise explode
+    the self-join quadratically (the classic hot-key skew of "© 2026"
+    grams); the cap bounds every join group at ``df_cap`` rows, so the
+    worst-case intersection work is O(n_shingles · df_cap), linear in
+    corpus size.  Numerator AND denominators are computed over the
+    same df-capped shingle universe, so the coefficient stays a true
+    ratio of the retained sets (self-consistent, oracle-mirrorable)
+    rather than a mixed estimate.
+
+    Output: (a, b, n_common, n_a, n_b, containment_a, containment_b)
+    for a < b where max(containment) ≥ threshold.
+    """
+    grams = word_shingles(df, text_col, id_col, k)  # already distinct
+    rare = grams.join(
+        grams.groupBy("shingle")
+        .agg(F.count("*").alias("__gdf"))
+        .filter(F.col("__gdf") <= df_cap)
+        .select("shingle"),
+        "shingle",
+    )
+    sizes = rare.groupBy(id_col).agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        rare.select(F.col(id_col).alias("a"), "shingle")
+        .join(rare.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment_b"),
+        )
+        .filter(F.greatest("containment_a", "containment_b") >= threshold)
+    )

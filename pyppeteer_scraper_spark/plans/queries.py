@@ -6404,6 +6404,143 @@ def a_log2_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log2_histogram(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "url_registrable_domain",
+    """
+    WITH hosts AS (
+      SELECT c_custkey AS id,
+        CASE c_custkey % 8
+          WHEN 0 THEN 'w' || c_custkey || '.shop.example.com'
+          WHEN 1 THEN 'c' || (c_custkey % 50) || '.acme.co.uk'
+          WHEN 2 THEN 'p' || (c_custkey % 9) || '.pages.github.io'
+          WHEN 3 THEN 'www.ck'
+          WHEN 4 THEN 's' || (c_custkey % 3) || '.www.ck'
+          WHEN 5 THEN 'z' || (c_custkey % 7) || '.wild' || (c_custkey % 4) || '.ck'
+          WHEN 6 THEN 'co.uk'
+          ELSE 'n' || (c_custkey % 11) || '.unknowntld' END AS host
+      FROM customer
+    ),
+    rules(rule_key, n_labels, is_exception) AS (VALUES
+      ('com',1,false),('org',1,false),('net',1,false),('io',1,false),
+      ('uk',1,false),('co.uk',2,false),('gov.uk',2,false),
+      ('github.io',2,false),('jp',1,false),('*.ck',2,false),
+      ('www.ck',2,true),('*.kawasaki.jp',3,false),
+      ('city.kawasaki.jp',3,true),('example',1,false)
+    ),
+    lab AS (
+      SELECT id, host, string_split(host, '.') AS ls,
+             len(string_split(host, '.')) AS nl
+      FROM hosts
+    ),
+    cand AS (
+      SELECT id, host, nl, t.k,
+             array_to_string(ls[nl - t.k + 1 : nl], '.') AS lit,
+             CASE WHEN t.k >= 2
+                  THEN '*.' || array_to_string(ls[nl - t.k + 2 : nl], '.')
+             END AS wild
+      FROM lab, unnest([1,2,3,4,5]) AS t(k)
+      WHERE t.k <= nl
+    ),
+    m AS (
+      SELECT c.id, c.host, c.nl,
+             max(CASE WHEN r.is_exception THEN r.n_labels - 1 END) AS exc_len,
+             max(CASE WHEN NOT r.is_exception THEN r.n_labels END) AS match_len
+      FROM cand c
+      LEFT JOIN rules r
+        ON r.n_labels = c.k AND (r.rule_key = c.lit OR r.rule_key = c.wild)
+      GROUP BY 1, 2, 3
+    ),
+    s AS (SELECT *, coalesce(exc_len, match_len, 1) AS sl FROM m)
+    SELECT id, host,
+           array_to_string((string_split(host,'.'))[nl - sl + 1 : nl], '.')
+             AS public_suffix,
+           CASE WHEN nl > sl
+                THEN array_to_string((string_split(host,'.'))[nl - sl : nl], '.')
+           END AS registrable
+    FROM s
+    """,
+)
+def url_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 registrable-domain extraction under publicsuffix.org
+    semantics (functions/psl.py) — normal, multi-label, wildcard
+    (``*.ck``) and exception (``!www.ck``) rules all exercised by a
+    deterministic host universe derived from customer keys.  Every
+    host-keyed subsystem (politeness, host-quality priors, SURT
+    clustering) is only correct at CC scale if "host" means THIS —
+    the reference's fixed-site crawler never needs it.  One broadcast
+    join against the (tiny) rules dim + one groupBy; the oracle
+    re-derives the full PSL algorithm in DuckDB's list dialect."""
+    from pyppeteer_scraper_spark.functions.psl import registrable_domain
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    m = F.pmod(k, F.lit(8))
+    s = lambda col: col.cast("string")  # noqa: E731
+    host = (
+        F.when(m == 0, F.concat(F.lit("w"), s(k), F.lit(".shop.example.com")))
+        .when(m == 1, F.concat(F.lit("c"), s(F.pmod(k, F.lit(50))), F.lit(".acme.co.uk")))
+        .when(m == 2, F.concat(F.lit("p"), s(F.pmod(k, F.lit(9))), F.lit(".pages.github.io")))
+        .when(m == 3, F.lit("www.ck"))
+        .when(m == 4, F.concat(F.lit("s"), s(F.pmod(k, F.lit(3))), F.lit(".www.ck")))
+        .when(
+            m == 5,
+            F.concat(
+                F.lit("z"), s(F.pmod(k, F.lit(7))),
+                F.lit(".wild"), s(F.pmod(k, F.lit(4))), F.lit(".ck"),
+            ),
+        )
+        .when(m == 6, F.lit("co.uk"))
+        .otherwise(F.concat(F.lit("n"), s(F.pmod(k, F.lit(11))), F.lit(".unknowntld")))
+    )
+    return registrable_domain(
+        c.select(k.alias("id"), host.alias("host")), "host"
+    )
+
+
+@query(
+    "dedup_ngram_containment",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ts[t.i : t.i + 2], ' ') AS shingle
+      FROM tok, unnest(range(1, greatest(len(ts) - 2, 1) + 1)) AS t(i)
+    ),
+    shf AS (SELECT * FROM sh WHERE shingle <> ''),
+    rare AS (
+      SELECT doc_id, shingle FROM shf
+      WHERE shingle IN (
+        SELECT shingle FROM shf GROUP BY shingle HAVING count(*) <= 50)
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rare GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_common
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.a, i.b, i.n_common, sa.n AS n_a, sb.n AS n_b,
+           round(i.n_common * 1.0 / sa.n, 6) AS containment_a,
+           round(i.n_common * 1.0 / sb.n, 6) AS containment_b
+    FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+    WHERE greatest(round(i.n_common * 1.0 / sa.n, 6),
+                   round(i.n_common * 1.0 / sb.n, 6)) >= 0.5
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (operators/dedup.py::
+    ngram_containment_pairs) — catches the embedded-copy duplication
+    Jaccard misses (aggregator quotes, boilerplate-wrapped syndication).
+    Posting-list equi-join with a df-cap skew guard, never a crossJoin;
+    the oracle re-derives shingling + capped intersection in SQL."""
+    from pyppeteer_scraper_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, df_cap=50, threshold=0.5
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -6490,6 +6627,11 @@ _WINDOW_FIRST = [
     "sample_systematic_pps",
     "rank_cocitation",
     "a_log2_length_histogram",
+    # round-4 session-6 additions (url_registrable_domain,
+    # dedup_ngram_containment) are NOT window-first: the 50 slots are
+    # fully claimed by earlier never-checked entries, so they sit in the
+    # middle at positions 51-52 and lead the r05 rotation
+    # (oracle-checked locally via tools/check_correctness.py already).
     # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
     # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
     # displaced to _WINDOW_TAIL by the session-4 additions

@@ -64,6 +64,15 @@ def parse_warc(
     exploded = df.select(
         *[F.col(c) for c in id_cols], F.explode(recs).alias("rec")
     ).filter(F.col("rec").startswith("WARC/1."))
+    return _parse_record_rows(exploded, id_cols)
+
+
+def _parse_record_rows(exploded: DataFrame, id_cols: tuple) -> DataFrame:
+    """Per-record field extraction over an already-record-framed ``rec``
+    column — shared by the text-mode splitter (:func:`parse_warc`) and
+    the gzip-member path (:func:`parse_warc_gz`), where each member IS
+    one record and must not be re-split (bodies may legitimately
+    contain line-initial ``WARC/1.x``)."""
     # WARC head = up to the first blank line; block = the rest.
     head = F.regexp_extract(F.col("rec"), r"(?s)^(.*?)\r?\n\r?\n", 1)
     block = F.regexp_replace(F.col("rec"), r"(?s)^.*?\r?\n\r?\n", "")
@@ -161,3 +170,84 @@ def serialize_warc(
         F.lit(crlf + crlf),
     )
     return pages.withColumn("warc_record", record)
+
+
+def split_gzip_members(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_cols: tuple = ("path",),
+) -> DataFrame:
+    """Split per-record-gzipped WARC files (``.warc.gz``) into one text
+    row per gzip member — Common Crawl's ACTUAL wire format.
+
+    Common Crawl compresses each WARC record as its own gzip MEMBER and
+    concatenates the members, so consumers can seek to a (offset,
+    length) from the CDX index and inflate one record without touching
+    the rest of the ~1 GB file (cf. operators/export.py's
+    ``export_warc_offsets``, which produces exactly those offsets on
+    the emit side).  Sequential member-walking is the indexless path:
+    ``zlib.decompressobj(wbits=31)`` inflates one member, its
+    ``unused_data`` is the byte-exact start of the next — stdlib-only,
+    no PIL/warcio needed.
+
+    Scale shape: Arrow-batched ``mapInPandas`` over ``binaryFile`` rows
+    — parallelism is per-FILE (a 100 TB archive is ~10^5 segment files,
+    far more than any cluster's cores), each task streams one file's
+    members and never materializes more than one inflated record plus
+    the remaining compressed tail.  For sub-file parallelism, read the
+    CDX index instead and range-request (offset, length) per record —
+    the parser here is the same either way.
+
+    Output: ``(*id_cols, member_idx, text)`` — ``member_idx`` is the
+    0-based member ordinal within its file; ``text`` the inflated
+    member decoded UTF-8 (errors→U+FFFD, matching how Common Crawl WET
+    consumers treat stray bytes).  Feed straight into
+    :func:`parse_warc` (one member = one record).
+    """
+    import zlib
+
+    out_schema = ", ".join(
+        [f"{c} string" for c in id_cols] + ["member_idx long", "text string"]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[bin_col])
+                idx = 0
+                while data:
+                    d = zlib.decompressobj(31)
+                    try:
+                        raw = d.decompress(data)
+                    except zlib.error:
+                        break  # trailing garbage / truncated member
+                    rows.append(
+                        tuple(str(r[c]) for c in id_cols)
+                        + (idx, raw.decode("utf-8", errors="replace"))
+                    )
+                    idx += 1
+                    data = d.unused_data
+            yield pd.DataFrame(
+                rows, columns=[*id_cols, "member_idx", "text"]
+            )
+
+    return df.mapInPandas(walk, out_schema)
+
+
+def parse_warc_gz(
+    df: DataFrame, bin_col: str = "content", id_cols: tuple = ("path",)
+) -> DataFrame:
+    """``binaryFile`` rows of ``.warc.gz`` content → parsed records:
+    member split (Python, unavoidable for gzip) then :func:`parse_warc`
+    per member (pure codegen).  ``member_idx`` rides along so callers
+    can join back to CDX offsets."""
+    members = split_gzip_members(df, bin_col=bin_col, id_cols=id_cols)
+    return _parse_record_rows(
+        members.withColumnRenamed("text", "rec").filter(
+            F.col("rec").startswith("WARC/1.")
+        ),
+        id_cols=(*id_cols, "member_idx"),
+    )
