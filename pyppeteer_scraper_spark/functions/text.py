@@ -673,3 +673,98 @@ def log2_histogram(
         .agg(F.count("*").cast("long").alias("n"))
         .select(F.col("grp").alias(group_col), "bucket", "n")
     )
+
+
+# Unicode script classes for script_profile — each a character class
+# over a contiguous block family; together with ASCII letters/digits
+# and whitespace they cover the scripts a web crawl actually sees in
+# volume.  Both Java regex (Spark) and RE2 (DuckDB oracle) accept the
+# \x{hhhh} escapes, so the exact same classes run on both engines.
+SCRIPT_CLASSES = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "digit": r"[0-9]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "cjk": r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]",
+    "space": r"\s",
+}
+
+
+def script_profile(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Per-document Unicode-script histogram + dominant script — the
+    cheap first-pass language/garbage router a crawl runs BEFORE any
+    model-based language ID (mojibake, binary-in-text, and
+    wrong-charset decodes all show up as script-class anomalies long
+    before an n-gram LM sees them).
+
+    One codegen projection: ``regexp_count`` per class, fractions over
+    total chars, and a priority-ordered argmax over the non-space
+    classes as a first-match CASE chain (ties go to the earlier class
+    in SCRIPT_CLASSES order) — first-match CASE is the one argmax
+    idiom that reads identically in Spark and the DuckDB oracle.
+    Zero shuffles.
+    """
+    n = F.length(F.col(text_col))
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(cls))
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+    other = n - sum(counts.values(), F.lit(0))
+    counts["other"] = other
+    cols = [F.col(c) for c in docs.columns]
+    cnt_cols = [counts[k].cast("long").alias(f"n_{k}") for k in counts]
+    out = docs.select(*cols, n.alias("__n"), *cnt_cols)
+    nonspace = [k for k in counts if k != "space"]
+    dominant = F.when(F.col("__n") == 0, F.lit("empty")).when(
+        F.greatest(*[F.col(f"n_{k}") for k in nonspace]) == 0, F.lit("none")
+    )
+    for k in nonspace:
+        cond = F.lit(True)
+        for j in nonspace:
+            if j != k:
+                cond = cond & (F.col(f"n_{k}") >= F.col(f"n_{j}"))
+        dominant = dominant.when(cond, F.lit(k))
+    return out.select(
+        *[c for c in out.columns if c != "__n"],
+        F.when(F.col("__n") > 0, F.round(F.col("n_latin") / F.col("__n"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("frac_latin"),
+        F.when(F.col("__n") > 0, F.round(F.col("n_other") / F.col("__n"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("frac_other"),
+        dominant.alias("dominant_script"),
+    )
+
+
+def compression_ratio(col, level: int = 6):
+    """zlib compressed-size / raw-size per document — the classic
+    entropy-proxy quality signal (low ratio = pathologically repetitive
+    spam/keyword-stuffing; ratio near 1 on short-window text = random
+    garbage).  Gopher-era pipelines filter on exactly this.
+
+    DEFLATE isn't expressible in SQL, so this is a declared rows-only
+    operator (README §rows-only): an Arrow-batched pandas UDF (never
+    row-at-a-time Python), pinned by analytic pytest bounds instead of
+    a DuckDB oracle.  At 100 TB this is one embarrassingly parallel
+    pass — zlib level 6 compresses ~50-100 MB/s/core, so it prices at
+    roughly one extra read of the corpus.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    return _ratio(col)

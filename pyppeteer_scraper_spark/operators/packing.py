@@ -110,3 +110,57 @@ def pack_token_stream(
         .cast("long")
         .alias("n_seqs"),
     )
+
+
+def passage_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window passage chunking — cut each document into
+    ``size``-token windows every ``stride`` tokens (overlap =
+    ``size - stride`` when ``stride < size``), the standard unit for
+    retrieval indexing and context-window-bounded training examples.
+
+    Unlike :func:`pack_token_stream` (which concatenates ACROSS
+    documents to fill fixed sequences), chunking stays WITHIN a
+    document, so it needs no global prefix sum: chunk starts are a
+    per-row ``sequence(0, n-1, stride)`` explode, the slice/join is
+    per-row too, and the whole operator is one codegen projection with
+    ZERO shuffles — embarrassingly parallel at any corpus size.  Fan-out
+    is bounded at ~n_tokens/stride rows per doc; chunk text duplicates
+    at most size/stride × corpus bytes (the caller's overlap choice).
+
+    Tokens are single-space-split positions (ws_token_count semantics —
+    the engine-wide tokenizer, see functions/text.py).  Output:
+    ``(id, chunk_idx, start_tok, n_chunk_tokens, passage)``; empty
+    passages (from empty/whitespace-only docs) are dropped.
+    """
+    toks = F.split(F.col(text_col), " ", -1)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.slice(F.col("__toks"), F.col("start_tok").cast("int") + 1, size).alias(
+                "__chunk"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "start_tok",
+            F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("__chunk")).alias("passage"),
+        )
+        .filter(F.length("passage") > 0)
+    )

@@ -6541,6 +6541,189 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_passage_chunks",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    st AS (
+      SELECT doc_id, ts, t.s AS start_tok
+      FROM tok, unnest(range(0, greatest(len(ts), 1), 96)) AS t(s)
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(start_tok // 96 AS BIGINT) AS chunk_idx,
+             CAST(start_tok AS BIGINT) AS start_tok,
+             ts[start_tok + 1 : start_tok + 128] AS chunk
+      FROM st
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(chunk, ' ') AS passage
+    FROM c
+    WHERE len(array_to_string(chunk, ' ')) > 0
+    """,
+)
+def text_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking (operators/packing.py::
+    passage_chunks), size 128 / stride 96 — the retrieval-indexing and
+    training-example unit.  Within-document windows need no global
+    prefix sum (contrast pack_sequences): one explode projection, zero
+    shuffles; the oracle re-derives the windows with range(0, n,
+    stride) + list slicing."""
+    from pyppeteer_scraper_spark.operators.packing import passage_chunks
+
+    return passage_chunks(
+        load_table(spark, sf_dir, "documents"), size=128, stride=96
+    )
+
+
+@query(
+    "text_script_profile",
+    r"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS n,
+        length(text) - length(regexp_replace(text,
+          '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS n_latin,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        length(text) - length(regexp_replace(text,
+          '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+        length(text) - length(regexp_replace(text,
+          '[\x{0370}-\x{03FF}]', '', 'g')) AS n_greek,
+        length(text) - length(regexp_replace(text,
+          '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+        length(text) - length(regexp_replace(text,
+          '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]', '', 'g')) AS n_cjk,
+        length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space
+      FROM documents
+    ),
+    w AS (
+      SELECT *, n - n_latin - n_digit - n_cyrillic - n_greek - n_arabic
+                - n_cjk - n_space AS n_other
+      FROM base
+    )
+    SELECT doc_id,
+      CAST(n_latin AS BIGINT) AS n_latin, CAST(n_digit AS BIGINT) AS n_digit,
+      CAST(n_cyrillic AS BIGINT) AS n_cyrillic, CAST(n_greek AS BIGINT) AS n_greek,
+      CAST(n_arabic AS BIGINT) AS n_arabic, CAST(n_cjk AS BIGINT) AS n_cjk,
+      CAST(n_space AS BIGINT) AS n_space, CAST(n_other AS BIGINT) AS n_other,
+      CASE WHEN n > 0 THEN round(n_latin * 1.0 / n, 6) ELSE 0.0 END AS frac_latin,
+      CASE WHEN n > 0 THEN round(n_other * 1.0 / n, 6) ELSE 0.0 END AS frac_other,
+      CASE WHEN n = 0 THEN 'empty'
+           WHEN greatest(n_latin, n_digit, n_cyrillic, n_greek, n_arabic,
+                         n_cjk, n_other) = 0 THEN 'none'
+           WHEN n_latin >= n_digit AND n_latin >= n_cyrillic
+                AND n_latin >= n_greek AND n_latin >= n_arabic
+                AND n_latin >= n_cjk AND n_latin >= n_other THEN 'latin'
+           WHEN n_digit >= n_latin AND n_digit >= n_cyrillic
+                AND n_digit >= n_greek AND n_digit >= n_arabic
+                AND n_digit >= n_cjk AND n_digit >= n_other THEN 'digit'
+           WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_digit
+                AND n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+                AND n_cyrillic >= n_cjk AND n_cyrillic >= n_other THEN 'cyrillic'
+           WHEN n_greek >= n_latin AND n_greek >= n_digit
+                AND n_greek >= n_cyrillic AND n_greek >= n_arabic
+                AND n_greek >= n_cjk AND n_greek >= n_other THEN 'greek'
+           WHEN n_arabic >= n_latin AND n_arabic >= n_digit
+                AND n_arabic >= n_cyrillic AND n_arabic >= n_greek
+                AND n_arabic >= n_cjk AND n_arabic >= n_other THEN 'arabic'
+           WHEN n_cjk >= n_latin AND n_cjk >= n_digit
+                AND n_cjk >= n_cyrillic AND n_cjk >= n_greek
+                AND n_cjk >= n_arabic AND n_cjk >= n_other THEN 'cjk'
+           ELSE 'other' END AS dominant_script
+    FROM w
+    """,
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script histogram + priority-ordered dominant
+    script (functions/text.py::script_profile) — the pre-language-ID
+    garbage/mojibake router.  Identical \\x{hhhh} character classes run
+    on both engines (Java regex and RE2); the argmax is a first-match
+    CASE chain mirrored verbatim in the oracle."""
+    from pyppeteer_scraper_spark.functions.text import script_profile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return script_profile(docs).drop("text")
+
+
+@query(
+    "src_charset_sniff",
+    """
+    WITH pages AS (
+      SELECT c_custkey AS id,
+        CASE c_custkey % 5
+          WHEN 0 THEN '<html><head><meta charset="UTF-8"></head><body>x</body></html>'
+          WHEN 1 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=latin1"></head></html>'
+          WHEN 2 THEN '<html><head><meta charset=''Shift_JIS''></head></html>'
+          WHEN 3 THEN '<html><head><meta name="viewport" content="width=1"></head></html>'
+          ELSE '<HTML><HEAD><META CHARSET=GB2312></HEAD></HTML>' END AS html
+      FROM customer
+    ),
+    x AS (
+      SELECT id,
+        nullif(regexp_extract(html,
+          '(?i)<meta[^>]*charset\\s*=\\s*["'']?\\s*([A-Za-z0-9_\\-]+)', 1),
+          '') AS raw
+      FROM pages
+    ),
+    n AS (
+      SELECT id, CASE lower(raw)
+        WHEN 'utf8' THEN 'utf-8' WHEN 'latin1' THEN 'iso-8859-1'
+        WHEN 'latin-1' THEN 'iso-8859-1' WHEN 'iso8859-1' THEN 'iso-8859-1'
+        WHEN 'cp1252' THEN 'windows-1252' WHEN 'us-ascii' THEN 'ascii'
+        WHEN 'sjis' THEN 'shift_jis' WHEN 'shift-jis' THEN 'shift_jis'
+        WHEN 'gb2312' THEN 'gbk'
+        ELSE lower(raw) END AS declared
+      FROM x
+    )
+    SELECT id, declared, coalesce(declared, 'utf-8') AS resolved FROM n
+    """,
+)
+def src_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG-order charset sniffing (functions/charset.py) over a
+    deterministic page universe covering the declaration forms a crawl
+    sees: <meta charset>, http-equiv Content-Type, quoted/unquoted,
+    case-mangled, and absent (→ default).  The BOM leg needs binary
+    input and is pinned by pytest instead (tests).  Pure codegen
+    regexp_extract + alias CASE; the oracle re-derives both."""
+    from pyppeteer_scraper_spark.functions.charset import (
+        meta_charset,
+        sniff_charset,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    m = F.pmod(k, F.lit(5))
+    html = (
+        F.when(m == 0, F.lit('<html><head><meta charset="UTF-8"></head><body>x</body></html>'))
+        .when(m == 1, F.lit('<html><head><meta http-equiv="Content-Type" content="text/html; charset=latin1"></head></html>'))
+        .when(m == 2, F.lit("<html><head><meta charset='Shift_JIS'></head></html>"))
+        .when(m == 3, F.lit('<html><head><meta name="viewport" content="width=1"></head></html>'))
+        .otherwise(F.lit("<HTML><HEAD><META CHARSET=GB2312></HEAD></HTML>"))
+    )
+    pages = c.select(k.alias("id"), html.alias("html"))
+    return pages.select(
+        "id",
+        meta_charset(F.col("html")).alias("declared"),
+        sniff_charset(F.col("html")).alias("resolved"),
+    )
+
+
+@query("quality_compression_ratio")
+def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (functions/text.py::
+    compression_ratio) — rows-only BY DESIGN: DEFLATE isn't
+    SQL-expressible, so the driver records a rows/schema check and
+    pytest pins the analytic properties (repetitive text ≪ prose ≪
+    random; bounds; determinism).  Arrow-batched pandas UDF, one
+    embarrassingly parallel pass."""
+    from pyppeteer_scraper_spark.functions.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", compression_ratio(F.col("text")).alias("zlib_ratio")
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
