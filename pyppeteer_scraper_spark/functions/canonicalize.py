@@ -189,3 +189,107 @@ def surt_key(col) -> "F.Column":
         F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
     ).otherwise(F.lit(""))
     return F.concat(rev, portpart, F.lit(")"), path, qpart)
+
+
+def _remove_dot_segments(path: "F.Column") -> "F.Column":
+    """RFC 3986 §5.2.4 over an absolute path, as a pure Catalyst fold —
+    ``aggregate`` over the segment array plays the spec's output-stack
+    algorithm exactly ('..' pops, '.' and empty segments drop), so the
+    depth is unbounded (no fixed-iteration regex approximation in the
+    LIBRARY; the driver oracle uses a bounded-iteration mirror valid
+    for its synthetic universe).  Empty-segment collapse ('a//b' →
+    'a/b') is a deliberate canonicalization choice on top of the RFC
+    (the DUST-style normalizers in this package already collapse
+    duplicate slashes).
+
+    Trailing-'/' semantics follow the spec: a path ending in '/', '/.'
+    or '/..' resolves to a directory (output keeps the trailing '/').
+    """
+    segs = F.filter(
+        F.split(path, "/"), lambda s: (s != "") & (s != ".")
+    )
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (s == "..") & (F.size(acc) > 0),
+            F.slice(acc, 1, F.size(acc) - 1),
+        )
+        .when(s == "..", acc)
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    joined = F.concat(F.lit("/"), F.array_join(folded, "/"))
+    is_dir = path.rlike(r"(/|/\.|/\.\.)$")
+    return F.when(
+        is_dir & (joined != "/"), F.concat(joined, F.lit("/"))
+    ).otherwise(joined)
+
+
+def resolve_reference(base: "F.Column", ref: "F.Column") -> "F.Column":
+    """RFC 3986 §5 reference resolution — the primitive every outlink
+    the crawler discovers passes through (href values are relative far
+    more often than absolute; the reference's browser resolved them
+    invisibly via document.baseURI, a Spark pipeline must do it
+    itself).  Handles the crawl-relevant reference forms: absolute URL,
+    network-path ('//host/x'), absolute-path ('/x'), relative path
+    ('a/b', './a', '../a'), query-only ('?q'), and empty; fragments are
+    stripped (a crawler never fetches them).  Bases are assumed
+    absolute hierarchical URLs with an authority (http/https), which is
+    what a frontier contains by construction.
+
+    Pure codegen: regexp component split + CASE + the aggregate-fold
+    dot-segment removal — zero shuffles, O(bytes).
+    """
+    b = F.regexp_replace(base, "#.*$", "")
+    r = F.regexp_replace(ref, "#.*$", "")
+
+    b_scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+    b_auth = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)", 1)
+    b_rest = F.regexp_replace(b, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*", "")
+    b_path = F.regexp_extract(b_rest, r"^([^?]*)", 1)
+
+    r_has_scheme = r.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    r_query = F.regexp_extract(r, r"(\?.*)$", 1)
+    r_nofrag_path = F.regexp_extract(r, r"^([^?]*)", 1)
+
+    # absolute ref: normalize its own path in place
+    abs_scheme = F.regexp_extract(r, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+    abs_auth = F.regexp_extract(r, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)", 1)
+    abs_rest = F.regexp_replace(r, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*", "")
+    abs_path = F.regexp_extract(abs_rest, r"^([^?]*)", 1)
+    abs_norm = F.when(abs_path == "", F.lit("/")).otherwise(
+        _remove_dot_segments(abs_path)
+    )
+
+    # network-path ref ('//host/x'): adopt the base scheme
+    np_auth = F.regexp_extract(r, r"^//([^/?]*)", 1)
+    np_rest = F.regexp_replace(r, r"^//[^/?]*", "")
+    np_path = F.regexp_extract(np_rest, r"^([^?]*)", 1)
+    np_norm = F.when(np_path == "", F.lit("/")).otherwise(
+        _remove_dot_segments(np_path)
+    )
+
+    base_dir = F.when(b_path == "", F.lit("/")).otherwise(
+        F.regexp_replace(b_path, r"[^/]*$", "")
+    )
+    merged = F.when(
+        r_nofrag_path.startswith("/"), r_nofrag_path
+    ).otherwise(F.concat(base_dir, r_nofrag_path))
+
+    prefix = F.concat(b_scheme, F.lit("://"), b_auth)
+    return (
+        F.when(
+            r_has_scheme,
+            F.concat(abs_scheme, F.lit("://"), abs_auth, abs_norm, r_query),
+        )
+        .when(
+            r.startswith("//"),
+            F.concat(b_scheme, F.lit(":"), F.lit("//"), np_auth, np_norm, r_query),
+        )
+        .when(r == "", b)
+        .when(
+            r.startswith("?"),
+            F.concat(prefix, F.when(b_path == "", F.lit("/")).otherwise(b_path), r),
+        )
+        .otherwise(F.concat(prefix, _remove_dot_segments(merged), r_query))
+    )

@@ -768,3 +768,33 @@ def compression_ratio(col, level: int = 6):
         return s.map(one)
 
     return _ratio(col)
+
+
+def dedup_lines_within(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """WITHIN-document duplicate-line removal, first occurrence wins —
+    the intra-document half of repetition removal (Rae et al. 2021
+    run it beside the Gopher rules; dedup.py::line_dedup is the
+    CROSS-corpus half, where first-occurrence is decided globally).
+    Nav menus, cookie banners and footer blocks repeat inside a single
+    page render; dropping repeats shrinks the doc before any
+    cross-corpus pass sees it.
+
+    Zero shuffles: ``filter(lines, (l, i) -> array_position(lines, l)
+    == i+1)`` keeps a line only at its first position — a pure
+    per-row codegen projection.  Cost is O(L²) comparisons on a doc's
+    OWN line count L (fine at the ~10³ lines of real web pages; a doc
+    with 10⁶ lines should be split upstream — Gopher's length rules
+    drop such pages anyway).
+
+    Output adds: ``n_lines``, ``n_kept``, ``deduped_text``.
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    kept = F.filter(
+        lines, lambda l, i: F.array_position(lines, l) == (i + F.lit(1)).cast("long")
+    )
+    return docs.select(
+        *[F.col(c) for c in docs.columns],
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("deduped_text"),
+    )

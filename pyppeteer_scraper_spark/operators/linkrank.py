@@ -533,3 +533,49 @@ def cocitation_dropped(
         .cast("long")
         .alias("n_edges_dropped"),
     )
+
+
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distance from the seed set — "crawl depth".
+
+    Depth-from-seed is the classic frontier prioritization signal
+    (breadth-first crawls reach high-PageRank pages early; pages many
+    hops from any seed are disproportionately traps/spam — cf.
+    operators/traps.py), and a bounded ``max_hops`` IS the crawl's
+    depth budget, so an exact fixed-iteration BFS is the semantics, not
+    an approximation of it.
+
+    Per hop: one equi-join frontier expansion + a min-aggregate that
+    keeps the distance table at ≤|nodes| rows, ``localCheckpoint`` to
+    truncate lineage (same discipline as :func:`pagerank`).  All
+    shuffles key on node id; no driver-side collects.
+
+    Output: ``(node, dist)`` for every node in the edge universe,
+    ``dist = -1`` when unreached within ``max_hops``.
+    """
+    dist = seeds.select(F.col("node"), F.lit(0).cast("long").alias("dist"))
+    for _ in range(max_hops):
+        nxt = (
+            edges.join(dist, edges[src] == dist["node"])
+            .select(F.col(dst).alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return nodes.join(dist, "node", "left").select(
+        "node", F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist")
+    )

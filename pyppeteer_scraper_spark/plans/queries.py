@@ -6724,6 +6724,219 @@ def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "url_resolve_relative",
+    r"""
+    WITH u AS (
+      SELECT c_custkey AS id,
+        'https://h' || (c_custkey % 20) || '.example.com/a/b/c/page'
+          || c_custkey AS base,
+        CASE c_custkey % 8
+          WHEN 0 THEN '../x' || c_custkey
+          WHEN 1 THEN './y' || (c_custkey % 6)
+          WHEN 2 THEN 'z/w' || (c_custkey % 4)
+          WHEN 3 THEN '/root/r' || (c_custkey % 5)
+          WHEN 4 THEN '//cdn.example.org/lib' || (c_custkey % 3) || '.js'
+          WHEN 5 THEN 'http://other.example/abs' || (c_custkey % 9)
+          WHEN 6 THEN '?q=' || (c_custkey % 7)
+          ELSE '../../up/../deep' END AS ref
+      FROM customer
+    ),
+    parts AS (
+      SELECT id, base, ref,
+        regexp_extract(base, '^(https?)://', 1) AS b_scheme,
+        regexp_extract(base, '^https?://([^/?]*)', 1) AS b_auth,
+        regexp_extract(regexp_replace(base, '^https?://[^/?]*', ''),
+                       '^([^?]*)', 1) AS b_path
+      FROM u
+    ),
+    mg AS (
+      SELECT *, CASE
+        WHEN ref LIKE '/%' AND ref NOT LIKE '//%' THEN ref
+        ELSE regexp_replace(b_path, '[^/]*$', '') || ref END AS merged
+      FROM parts
+    ),
+    -- bounded-iteration dot-segment removal: valid for this universe's
+    -- max nesting depth (the Spark side's aggregate-fold is unbounded)
+    dots AS (
+      SELECT *, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          replace(replace(replace(merged, '/./', '/'), '/./', '/'), '/./', '/'),
+          '/[^/]+/\.\./', '/', 'g'), '/[^/]+/\.\./', '/', 'g'),
+          '/[^/]+/\.\./', '/', 'g'), '/[^/]+/\.\./', '/', 'g') AS collapsed
+      FROM mg
+    ),
+    fin AS (
+      SELECT *, regexp_replace(regexp_replace(collapsed,
+          '^/\.\./', '/'), '^/\.\./', '/') AS rpath
+      FROM dots
+    )
+    SELECT id, base, ref,
+      CASE
+        WHEN ref LIKE 'http://%' OR ref LIKE 'https://%' THEN ref
+        WHEN ref LIKE '//%' THEN b_scheme || ':' || ref
+        WHEN ref LIKE '?%' THEN b_scheme || '://' || b_auth || b_path || ref
+        ELSE b_scheme || '://' || b_auth || rpath END AS resolved
+    FROM fin
+    """,
+)
+def url_resolve_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 reference resolution (functions/canonicalize.py::
+    resolve_reference) over a deterministic (base, ref) universe
+    covering every crawl-relevant reference form: dot-relative,
+    sibling-relative, absolute-path, network-path, absolute URL,
+    query-only, and multi-step ../ chains.  Every discovered href
+    passes through this before canonicalization — the reference's
+    browser did it invisibly via document.baseURI.  Pure codegen
+    (regex component split + aggregate-fold dot removal); the oracle
+    re-derives resolution with bounded-iteration regex collapse."""
+    from pyppeteer_scraper_spark.functions.canonicalize import (
+        resolve_reference,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    m = F.pmod(k, F.lit(8))
+    s = lambda col: col.cast("string")  # noqa: E731
+    base = F.concat(
+        F.lit("https://h"), s(F.pmod(k, F.lit(20))),
+        F.lit(".example.com/a/b/c/page"), s(k),
+    )
+    ref = (
+        F.when(m == 0, F.concat(F.lit("../x"), s(k)))
+        .when(m == 1, F.concat(F.lit("./y"), s(F.pmod(k, F.lit(6)))))
+        .when(m == 2, F.concat(F.lit("z/w"), s(F.pmod(k, F.lit(4)))))
+        .when(m == 3, F.concat(F.lit("/root/r"), s(F.pmod(k, F.lit(5)))))
+        .when(m == 4, F.concat(F.lit("//cdn.example.org/lib"), s(F.pmod(k, F.lit(3))), F.lit(".js")))
+        .when(m == 5, F.concat(F.lit("http://other.example/abs"), s(F.pmod(k, F.lit(9)))))
+        .when(m == 6, F.concat(F.lit("?q="), s(F.pmod(k, F.lit(7)))))
+        .otherwise(F.lit("../../up/../deep"))
+    )
+    return c.select(
+        k.alias("id"), base.alias("base"), ref.alias("ref")
+    ).withColumn("resolved", resolve_reference(F.col("base"), F.col("ref")))
+
+
+@query(
+    "text_dedup_lines_within",
+    """
+    WITH planted AS (
+      -- datagen text has no repeated lines, so plant them: append the
+      -- doc's own first line plus a doubled footer (same construction
+      -- on the Spark side) so the dedup logic is actually exercised
+      SELECT doc_id,
+             text || chr(10) || string_split(text, chr(10))[1]
+                  || chr(10) || 'footer' || chr(10) || 'footer' AS text
+      FROM documents
+    ),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted)
+    SELECT doc_id,
+      CAST(len(ls) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(ls, (x, i) -> list_position(ls, x) = i))
+           AS BIGINT) AS n_kept,
+      array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i),
+                      chr(10)) AS deduped_text
+    FROM l
+    """,
+)
+def text_dedup_lines_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line removal, first occurrence wins
+    (functions/text.py::dedup_lines_within) — the intra-doc half of
+    repetition removal (nav menus / cookie banners / footers repeating
+    inside one render; dedup_lines_c4 is the cross-corpus half).  Zero
+    shuffles (per-row higher-order filter); both sides plant the same
+    deterministic repeats because datagen text has none."""
+    from pyppeteer_scraper_spark.functions.text import dedup_lines_within
+
+    docs = load_table(spark, sf_dir, "documents")
+    first_line = F.element_at(F.split("text", "\n", -1), 1)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"), first_line, F.lit("\nfooter\nfooter")
+        ).alias("text"),
+    )
+    return dedup_lines_within(planted).drop("text")
+
+
+@query(
+    "search_bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+                     (SELECT avg(dl) FROM dl) AS avgdl),
+    qt AS (SELECT term FROM (SELECT term, count(*) AS ctf FROM tok GROUP BY term
+           ORDER BY ctf DESC, term LIMIT 5)),
+    tf AS (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok t JOIN qt USING(term) GROUP BY t.doc_id, t.term),
+    dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+        round(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+      FROM tf JOIN dfx USING(term) JOIN dl USING(doc_id), stats s
+    )
+    SELECT term, doc_id, tf, dl, score,
+           CAST(row_number() OVER (PARTITION BY term
+                ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+    FROM sc QUALIFY rnk <= 10
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query term (operators/search.py::bm25_topk),
+    query terms = the 5 most frequent corpus tokens (deterministic in
+    both engines).  Posting-list-sized score join (term-frequency rows
+    pruned by the broadcast query-term list BEFORE any stats join);
+    the oracle re-derives Lucene-variant BM25 end to end, bit-matching
+    the double arithmetic by writing identical expression shapes."""
+    from pyppeteer_scraper_spark.operators.search import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+def _seed_hop_sql(i: int) -> str:
+    p = f"d{i - 1}"
+    return f"""e{i} AS (SELECT e.dst AS node, min(d.dist) + 1 AS dist
+      FROM edges e JOIN {p} d ON d.node = e.src GROUP BY e.dst),
+    d{i} AS (SELECT node, min(dist) AS dist FROM
+      (SELECT * FROM {p} UNION ALL SELECT * FROM e{i}) GROUP BY node)"""
+
+
+@query(
+    "rank_seed_distance",
+    f"""
+    WITH {_TRANS_EDGES_SQL},
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seeds AS (SELECT node FROM nodes WHERE node % 37 = 0),
+    d0 AS (SELECT node, 0 AS dist FROM seeds),
+    {_seed_hop_sql(1)}, {_seed_hop_sql(2)}, {_seed_hop_sql(3)},
+    {_seed_hop_sql(4)}, {_seed_hop_sql(5)}, {_seed_hop_sql(6)}
+    SELECT n.node, CAST(coalesce(d.dist, -1) AS BIGINT) AS dist
+    FROM nodes n LEFT JOIN d6 d ON d.node = n.node
+    """,
+)
+def rank_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS crawl depth from a deterministic seed set
+    (operators/linkrank.py::seed_distance, max_hops=6) over the shared
+    transition-edge universe — the classic frontier-prioritization
+    signal (deep pages are disproportionately traps/spam).  One
+    frontier join + min-aggregate per hop with localCheckpoint lineage
+    truncation; the oracle unrolls the same six relaxation steps."""
+    from pyppeteer_scraper_spark.operators.linkrank import seed_distance
+
+    edges = _transition_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 37 == 0)
+    return seed_distance(edges, seeds, max_hops=6)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
