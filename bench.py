@@ -102,6 +102,15 @@ HEADLINE = [
     "tok_vocab_coverage",
     "a_gini_host_concentration",
     "export_checksum_manifest",
+    # round-4 session-6 additions (comparable from BENCH_r04 on)
+    "url_registrable_domain",
+    "dedup_ngram_containment",
+    "text_passage_chunks",
+    "text_script_profile",
+    "quality_compression_ratio",
+    "search_bm25_topk",
+    "rank_seed_distance",
+    "url_resolve_relative",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -6937,6 +6937,273 @@ def rank_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seed_distance(edges, seeds, max_hops=6)
 
 
+def _dot_collapse_sql(col: str) -> str:
+    """Bounded-iteration dot-segment removal (oracle mirror of the
+    Spark side's unbounded aggregate-fold; valid for synthetic
+    universes with ≤4 levels of '..' nesting)."""
+    return f"""regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        replace(replace(replace({col}, '/./', '/'), '/./', '/'), '/./', '/'),
+        '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\./', '/', 'g'),
+        '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\./', '/', 'g'),
+      '^/\\.\\./', '/'), '^/\\.\\./', '/')"""
+
+
+_HREF_RE = """(?i)<a[^>]*href\\s*=\\s*["']?([^"'> ]+)"""
+_HREF_RE_SQL = _HREF_RE.replace("'", "''")  # SQL string-literal escaping
+
+
+@query(
+    "url_outlink_resolve",
+    f"""
+    WITH pages AS (
+      SELECT doc_id,
+        'https://s' || (doc_id % 15) || '.example.org/dir' || (doc_id % 4)
+          || '/sub/page' || doc_id || '.html' AS url,
+        '<a href="../up' || (doc_id % 6) || '">a</a>'
+          || '<A HREF=''/abs/p' || (doc_id % 5) || '''>b</A>'
+          || '<a href="rel/r' || (doc_id % 3) || '?k=1">c</a>'
+          || '<a href="#frag">d</a>'
+          || '<a href=//cdn.example.net/x' || (doc_id % 2) || '.js>e</a>' AS html
+      FROM documents
+    ),
+    links AS (
+      SELECT doc_id, url AS base, u.link_idx, u.href
+      FROM pages, LATERAL (
+        SELECT unnest(regexp_extract_all(html, '{_HREF_RE_SQL}', 1)) AS href,
+               unnest(range(0, len(regexp_extract_all(html, '{_HREF_RE_SQL}', 1))))
+                 AS link_idx) u
+    ),
+    parts AS (
+      SELECT doc_id, link_idx, base, href,
+        regexp_extract(base, '^(https?)://', 1) AS b_scheme,
+        regexp_extract(base, '^https?://([^/?]*)', 1) AS b_auth,
+        regexp_extract(regexp_replace(base, '^https?://[^/?]*', ''),
+                       '^([^?]*)', 1) AS b_path,
+        regexp_replace(href, '#.*$', '') AS r
+      FROM links
+    ),
+    mg AS (
+      SELECT *,
+        regexp_extract(r, '^([^?]*)', 1) AS r_path,
+        regexp_extract(r, '(\\?.*)$', 1) AS r_query,
+        CASE WHEN r LIKE '/%' AND r NOT LIKE '//%'
+             THEN regexp_extract(r, '^([^?]*)', 1)
+             ELSE regexp_replace(b_path, '[^/]*$', '')
+                  || regexp_extract(r, '^([^?]*)', 1) END AS merged
+      FROM parts
+    ),
+    fin AS (SELECT *, {_dot_collapse_sql('merged')} AS rpath FROM mg)
+    SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href,
+      CASE
+        WHEN r = '' THEN base
+        WHEN r LIKE '//%' THEN b_scheme || ':' || r
+        WHEN r LIKE '?%' THEN b_scheme || '://' || b_auth || b_path || r
+        ELSE b_scheme || '://' || b_auth || rpath || r_query END AS resolved
+    FROM fin
+    """,
+)
+def url_outlink_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full discovery path a fetched page takes: href extraction
+    (regexp_extract_all over HTML — single-quoted, double-quoted,
+    unquoted and case-mangled attributes), RFC 3986 resolution against
+    the page URL (functions/canonicalize.py::resolve_reference), one
+    row per outlink with its in-page index.  This is the exact plumbing
+    that feeds D1 discovery; the reference's browser produced absolute
+    hrefs invisibly.  Zero shuffles end-to-end (explode + codegen
+    projections); the oracle replays extraction and resolution in RE2
+    with the bounded dot-collapse mirror."""
+    from pyppeteer_scraper_spark.functions.canonicalize import (
+        resolve_reference,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    s = lambda col: col.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://s"), s(F.pmod(k, F.lit(15))), F.lit(".example.org/dir"),
+        s(F.pmod(k, F.lit(4))), F.lit("/sub/page"), s(k), F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="../up'), s(F.pmod(k, F.lit(6))), F.lit('">a</a>'),
+        F.lit("<A HREF='/abs/p"), s(F.pmod(k, F.lit(5))), F.lit("'>b</A>"),
+        F.lit('<a href="rel/r'), s(F.pmod(k, F.lit(3))), F.lit('?k=1">c</a>'),
+        F.lit('<a href="#frag">d</a>'),
+        F.lit("<a href=//cdn.example.net/x"), s(F.pmod(k, F.lit(2))), F.lit(".js>e</a>"),
+    )
+    pages = d.select(k.alias("doc_id"), url.alias("base"), html.alias("html"))
+    links = pages.select(
+        "doc_id",
+        "base",
+        F.posexplode(
+            F.regexp_extract_all(F.col("html"), F.lit(_HREF_RE), 1)
+        ).alias("link_idx", "href"),
+    )
+    return links.select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        "href",
+        resolve_reference(F.col("base"), F.col("href")).alias("resolved"),
+    )
+
+
+@query(
+    "pipeline_robots_sitemap_discovery",
+    """
+    WITH doms AS (
+      SELECT n_nationkey AS k, 'd' || n_nationkey || '.example' AS domain
+      FROM nation
+    ),
+    rb AS (
+      SELECT k, domain,
+        'User-agent: *' || chr(10)
+        || 'Disallow: /private' || (k % 3) || '/' || chr(10)
+        || 'Allow: /private' || (k % 3) || '/ok/' || chr(10)
+        || 'Sitemap: https://d' || k || '.example/sm' || (k % 2) || '.xml'
+        || chr(10) AS robots
+      FROM doms
+    ),
+    lines AS (
+      SELECT domain, k, unnest(string_split(robots, chr(10))) AS line FROM rb
+    ),
+    sm_decl AS (
+      SELECT domain, trim(regexp_extract(line, '(?i)^sitemap:(.*)$', 1))
+               AS sitemap_url
+      FROM lines WHERE lower(line) LIKE 'sitemap:%'
+    ),
+    rules AS (
+      SELECT domain,
+             trim(regexp_extract(line, '(?i)^(?:dis)?allow:(.*)$', 1)) AS rpath,
+             lower(line) LIKE 'allow:%' AS allow
+      FROM lines
+      WHERE lower(line) LIKE 'disallow:%' OR lower(line) LIKE 'allow:%'
+    ),
+    smaps AS (
+      SELECT d.domain, d.k, t.j,
+        'https://d' || d.k || '.example/sm' || t.j || '.xml' AS sitemap_url,
+        '<?xml version="1.0"?><urlset>'
+        || '<url><loc>https://d' || d.k || '.example/sm' || t.j || '/page0</loc></url>'
+        || '<url><loc>https://d' || d.k || '.example/sm' || t.j || '/page1</loc></url>'
+        || '<url><loc>https://d' || d.k || '.example/private' || (d.k % 3) || '/x' || t.j || '</loc></url>'
+        || '<url><loc>https://d' || d.k || '.example/private' || (d.k % 3) || '/ok/y' || t.j || '</loc></url>'
+        || '</urlset>' AS xml
+      FROM doms d, unnest([0, 1]) AS t(j)
+    ),
+    declared AS (
+      SELECT s.* FROM smaps s
+      JOIN sm_decl m ON m.domain = s.domain AND m.sitemap_url = s.sitemap_url
+    ),
+    locs AS (
+      SELECT domain, k,
+             unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc
+      FROM declared
+    ),
+    urls AS (
+      SELECT domain, loc,
+             regexp_replace(loc, '^https://[^/]*', '') AS path
+      FROM locs
+    ),
+    j AS (
+      SELECT u.domain, u.loc, u.path, r.rpath, r.allow
+      FROM urls u
+      LEFT JOIN rules r ON r.domain = u.domain AND starts_with(u.path, r.rpath)
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY domain, loc
+        ORDER BY (rpath IS NOT NULL) DESC, length(rpath) DESC,
+                 allow DESC, rpath) AS rn
+      FROM j
+    )
+    SELECT domain, loc AS url, path,
+           CASE WHEN rpath IS NULL THEN true ELSE allow END AS allowed,
+           rpath AS matched_pattern
+    FROM rk WHERE rn = 1
+    """,
+)
+def pipeline_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end seed-wave discovery chain: robots.txt → declared
+    sitemap (only the DECLARED one of each domain's two candidate
+    sitemaps is parsed — the join IS the chain) → page URLs → RFC 9309
+    allow/disallow verdicts via the real matcher
+    (functions/robotstxt.py::match_robots, longest-match precedence,
+    Allow wins ties).  Rule regexes are built engine-side as
+    '^' || path because this universe is wildcard-free (the wildcard
+    compiler robots_pattern_regex is driver-side and separately
+    oracled in robots_match_urls).  The oracle replays every stage:
+    line scan, XML loc extraction, prefix-precedence window."""
+    from pyppeteer_scraper_spark.functions.robotstxt import (
+        match_robots,
+        parse_robots_rules,
+        robots_sitemaps,
+    )
+    from pyppeteer_scraper_spark.sources.sitemaps import parse_sitemaps
+
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    s = lambda col: col.cast("string")  # noqa: E731
+    dom = F.concat(F.lit("d"), s(k), F.lit(".example"))
+    m3 = s(F.pmod(k, F.lit(3)))
+    robots_txt = F.concat(
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /private"), m3, F.lit("/\n"),
+        F.lit("Allow: /private"), m3, F.lit("/ok/\n"),
+        F.lit("Sitemap: https://d"), s(k), F.lit(".example/sm"),
+        s(F.pmod(k, F.lit(2))), F.lit(".xml\n"),
+    )
+    robots = n.select(dom.alias("domain"), robots_txt.alias("robots_txt"), k.alias("k"))
+
+    rules = parse_robots_rules(robots).select(
+        "domain",
+        F.col("path").alias("pattern"),
+        F.concat(F.lit("^"), F.col("path")).alias("regex"),  # wildcard-free universe
+        "allow",
+    )
+    declared_urls = robots_sitemaps(robots)
+
+    xml = lambda j: F.concat(  # noqa: E731
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc>https://d"), s(k), F.lit(".example/sm"), j, F.lit("/page0</loc></url>"),
+        F.lit("<url><loc>https://d"), s(k), F.lit(".example/sm"), j, F.lit("/page1</loc></url>"),
+        F.lit("<url><loc>https://d"), s(k), F.lit(".example/private"), m3, F.lit("/x"), j, F.lit("</loc></url>"),
+        F.lit("<url><loc>https://d"), s(k), F.lit(".example/private"), m3, F.lit("/ok/y"), j, F.lit("</loc></url>"),
+        F.lit("</urlset>"),
+    )
+    smaps = n.select(
+        dom.alias("domain"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.concat(
+                            F.lit("https://d"), s(k), F.lit(".example/sm"),
+                            F.lit(str(jj)), F.lit(".xml"),
+                        ).alias("sitemap_url"),
+                        xml(F.lit(str(jj))).alias("sitemap_xml"),
+                    )
+                    for jj in (0, 1)
+                ]
+            )
+        ).alias("sm"),
+    ).select("domain", "sm.sitemap_url", "sm.sitemap_xml")
+
+    declared = smaps.join(declared_urls, ["domain", "sitemap_url"])
+    parsed = parse_sitemaps(declared)
+    urls = parsed.filter(F.col("kind") == "url").select(
+        "domain",
+        F.col("loc"),
+        F.regexp_replace("loc", "^https://[^/]*", "").alias("path"),
+    )
+    verdicts = match_robots(urls.select("domain", "path"), rules)
+    return urls.join(verdicts, ["domain", "path"]).select(
+        "domain",
+        F.col("loc").alias("url"),
+        "path",
+        "allowed",
+        "matched_pattern",
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
