@@ -111,6 +111,10 @@ HEADLINE = [
     "search_bm25_topk",
     "rank_seed_distance",
     "url_resolve_relative",
+    "url_outlink_resolve",
+    "pipeline_robots_sitemap_discovery",
+    "shard_rendezvous_assign",
+    "text_token_entropy",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

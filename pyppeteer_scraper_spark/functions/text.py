@@ -798,3 +798,33 @@ def dedup_lines_within(docs: "DataFrame", text_col: str = "text") -> "DataFrame"
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, "\n").alias("deduped_text"),
     )
+
+
+def token_entropy(docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id") -> "DataFrame":
+    """Per-document Shannon entropy of the unigram distribution (nats)
+    — the information-theoretic repetition signal: keyword-stuffed and
+    template pages sit far below prose of the same length, and unlike
+    ``dup_word_frac`` it degrades smoothly (a doc that is 90% one token
+    scores near 0 whether it has 10 tokens or 10^5).  Complements the
+    zlib ratio (compression_ratio) with an exactly-SQL-expressible
+    twin, so THIS one carries the DuckDB oracle.
+
+    One explode + two aggregates, both keyed on the doc id (map-side
+    combinable; no skew — per-doc group sizes are doc lengths).
+
+    Output: (id, n_tokens, n_distinct, token_entropy).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ", -1)).alias("term")
+    )
+    tc = tok.groupBy(id_col, "term").agg(F.count("*").alias("c"))
+    tot = tc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    p = F.col("c") / F.col("n_tokens")
+    return (
+        tc.join(tot, id_col)
+        .groupBy(id_col, "n_tokens", "n_distinct")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"))
+    )

@@ -271,3 +271,42 @@ def shard_checksum_manifest(
             F.bit_xor("w").alias("checksum"),
         )
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str = "domain",
+    nodes: list[str] | None = None,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: assign each key to
+    the node with the max hash(key, node) — the fleet-assignment
+    scheme a distributed crawler wants for per-host politeness
+    ownership, because it is MINIMALLY DISRUPTIVE: adding or removing
+    one node moves only ~1/n of the keys (mod-N hashing reshuffles
+    almost everything), and every coordinator computes the same answer
+    with no shared state (Thaler & Ravishankar 1998).
+
+    Engine shape: keys × nodes is a bounded explode (|nodes| rows per
+    key, nodes lists are O(10³) at most), argmax per key via one
+    window over the key — the same skew-free two-phase shape as
+    operators/topk.py.  The weight is md5(key || '|' || node), chosen
+    over xxhash64 because the hex form compares identically in every
+    engine an oracle might run on.
+
+    Output: df + ``assigned_node``.
+    """
+    if nodes is None:
+        nodes = [f"node{i}" for i in range(8)]
+    cand = df.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(n) for n in nodes])).alias("node"),
+    ).withColumn(
+        "w", F.md5(F.concat(F.col(key_col), F.lit("|"), F.col("node")))
+    )
+    w = Window.partitionBy(key_col).orderBy(F.desc("w"), "node")
+    best = (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col(key_col), F.col("node").alias("assigned_node"))
+    )
+    return df.join(best, key_col)

@@ -7204,6 +7204,72 @@ def pipeline_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@query(
+    "shard_rendezvous_assign",
+    """
+    WITH keys AS (
+      SELECT DISTINCT 'h' || (c_custkey % 500) || '.example' AS domain
+      FROM customer
+    ),
+    cand AS (
+      SELECT domain, t.node, md5(domain || '|' || t.node) AS w
+      FROM keys, unnest(['node0','node1','node2','node3',
+                         'node4','node5','node6','node7']) AS t(node)
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY domain ORDER BY w DESC, node) AS rn
+      FROM cand
+    )
+    SELECT domain, node AS assigned_node FROM rk WHERE rn = 1
+    """,
+)
+def shard_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW hashing fleet assignment (operators/export.py::
+    rendezvous_assign) — which crawler node owns each domain's
+    politeness budget.  Minimal-disruption property (one node change
+    moves ~1/n of domains) is pytest-pinned; balance and determinism
+    are oracle-checked here.  Bounded |nodes|-way explode + one
+    per-key window; md5 weights compare identically across engines."""
+    from pyppeteer_scraper_spark.operators.export import rendezvous_assign
+
+    c = load_table(spark, sf_dir, "customer")
+    doms = c.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("c_custkey"), F.lit(500)).cast("string"),
+            F.lit(".example"),
+        ).alias("domain")
+    ).distinct()
+    return rendezvous_assign(doms, "domain")
+
+
+@query(
+    "text_token_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct
+            FROM tc GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens, t.n_distinct,
+      round(-sum((c * 1.0 / t.n_tokens) * ln(c * 1.0 / t.n_tokens)), 6)
+        AS token_entropy
+    FROM tc JOIN tot t USING(doc_id)
+    GROUP BY t.doc_id, t.n_tokens, t.n_distinct
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (functions/text.py::
+    token_entropy) — the smooth information-theoretic repetition
+    signal beside the hard Gopher cutoffs; the SQL-expressible twin of
+    the zlib compression ratio (which is rows-only)."""
+    from pyppeteer_scraper_spark.functions.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
