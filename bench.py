@@ -115,6 +115,8 @@ HEADLINE = [
     "pipeline_robots_sitemap_discovery",
     "shard_rendezvous_assign",
     "text_token_entropy",
+    "warc_revisit_records",
+    "sample_weighted_ares",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

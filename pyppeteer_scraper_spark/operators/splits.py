@@ -362,3 +362,43 @@ def systematic_pps_sample(
             .alias("w_sampled"),
         )
     )
+
+
+def weighted_sample_ares(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ares",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, the A-ES scheme): draw u ~ U(0,1]
+    per row from a salted hash, rank by key = -ln(u)/w, keep the k
+    smallest.  Inclusion probability is proportional to weight, the
+    whole draw is one deterministic pass (re-runs and engines agree
+    bit-for-bit because u comes from md5, not an RNG), and unlike
+    sequential weighted draws it needs NO global state — the
+    canonical distributed form of "sample 10M docs weighted by
+    quality" at corpus scale.
+
+    Spark executes the top-k as TakeOrderedAndProject (per-partition
+    partial top-k, then a k-row merge — never a full global sort).
+
+    Output: (id, weight, ares_key, rnk), smallest key first.
+    """
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+        16, 10,
+    ).cast("double")
+    u = (v + 1) / F.lit(float(16**8 + 1))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.round(key, 10).alias("ares_key"),
+    )
+    w = Window.orderBy("ares_key", id_col)
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

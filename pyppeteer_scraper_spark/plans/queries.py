@@ -7270,6 +7270,88 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "warc_revisit_records",
+    """
+    WITH fetches AS (
+      SELECT event_id, ts,
+        'https://h' || (user_id % 50) || '.example/p' || user_id AS url,
+        md5('https://h' || (user_id % 50) || '.example/p' || user_id
+            || '|' || CAST(floor(value / 100) AS BIGINT)) AS digest
+      FROM events
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY url, digest
+                 ORDER BY ts, event_id) AS rn,
+             first_value(ts) OVER (PARTITION BY url, digest
+                 ORDER BY ts, event_id) AS first_ts
+      FROM fetches
+    )
+    SELECT event_id, url, ts, digest,
+      CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+      CASE WHEN rn > 1 THEN first_ts END AS refers_to_ts
+    FROM rk
+    """,
+)
+def warc_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ``revisit`` record classification (sources/warc.py::
+    revisit_records, WARC 1.1 §6.7.2): recrawls whose payload digest
+    matches a prior capture become skeletal revisit records pointing at
+    the original — the storage dedup that keeps a perpetual archive
+    sub-linear in fetch count.  Event stream as fetch history (digest
+    buckets by value/100, so small drifts keep the digest).  One
+    (url, digest)-keyed window; the oracle replays it."""
+    from pyppeteer_scraper_spark.sources.warc import revisit_records
+
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://h"), F.pmod(F.col("user_id"), F.lit(50)).cast("string"),
+        F.lit(".example/p"), F.col("user_id").cast("string"),
+    )
+    fetches = ev.select(
+        "event_id",
+        "ts",
+        url.alias("url"),
+        F.md5(
+            F.concat(
+                url, F.lit("|"),
+                F.floor(F.col("value") / 100).cast("string"),
+            )
+        ).alias("digest"),
+    )
+    return revisit_records(fetches, tiebreak_col="event_id")
+
+
+@query(
+    "sample_weighted_ares",
+    """
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        round(-ln((('0x' || substr(md5(doc_id || 'ares'), 1, 8))::BIGINT + 1)
+                  / (4294967296 + 1.0))
+              / n_chars, 10) AS ares_key
+      FROM documents
+    )
+    SELECT doc_id, weight, ares_key,
+      CAST(row_number() OVER (ORDER BY ares_key, doc_id) AS BIGINT) AS rnk
+    FROM keyed QUALIFY rnk <= 50
+    """,
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via exponential keys
+    (operators/splits.py::weighted_sample_ares, Efraimidis & Spirakis
+    2006) — k=50 docs with inclusion ∝ length.  Deterministic (u from
+    salted md5, not an RNG) so the oracle replays the draw exactly;
+    Spark executes the top-k as TakeOrderedAndProject, never a global
+    sort.  Complements the PPS/Neyman/stratified samplers with the
+    without-replacement scheme they can't express."""
+    from pyppeteer_scraper_spark.operators.splits import weighted_sample_ares
+
+    return weighted_sample_ares(
+        load_table(spark, sf_dir, "documents"), "n_chars", k=50
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #

@@ -29,7 +29,7 @@ front it with the multimodal ``mapInPandas`` seam
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BOUNDARY = r"(?m)^(?=WARC/1\.[01]\r?\n)"
@@ -250,4 +250,42 @@ def parse_warc_gz(
             F.col("rec").startswith("WARC/1.")
         ),
         id_cols=(*id_cols, "member_idx"),
+    )
+
+
+def revisit_records(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Classify each fetch as a WARC ``response`` or ``revisit`` record
+    (ISO 28500 / WARC 1.1 §6.7.2): when a recrawl's payload digest
+    matches a PRIOR capture of the same URL, archives write a skeletal
+    ``revisit`` record pointing at the original capture instead of
+    storing the bytes again — the storage-side dedup that keeps a
+    perpetual crawl archive sub-linear in fetch count (Common Crawl
+    and the Wayback Machine both do exactly this; unchanged pages
+    dominate recrawl traffic, cf. operators/revisit.py's change-rate
+    estimates).
+
+    One window over (url, digest) ordered by fetch time: the first
+    capture of each distinct payload is the stored ``response``; every
+    later identical capture becomes ``revisit`` with ``refers_to_ts``
+    = the original's timestamp.  Single shuffle keyed on (url, digest)
+    — partition sizes are per-page capture counts, never corpus-wide.
+
+    Output: input + (record_type, refers_to_ts).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(url_col, digest_col).orderBy(*order)
+    rn = F.row_number().over(w)
+    first_ts = F.first(F.col(ts_col)).over(w)
+    return fetches.select(
+        *[F.col(c) for c in fetches.columns],
+        F.when(rn == 1, F.lit("response")).otherwise(F.lit("revisit")).alias(
+            "record_type"
+        ),
+        F.when(rn > 1, first_ts).alias("refers_to_ts"),
     )
