@@ -46,9 +46,16 @@ def bm25_topk(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ", -1)).alias("term")
     )
     dl = tok.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
-    stats = docs.agg(
-        F.count("*").cast("double").alias("n_docs")
-    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    # every doc has ≥1 token row (split of "" is ['']), so dl covers all
+    # docs and ONE aggregate yields both corpus stats.  They attach via
+    # an explicit broadcast crossJoin: the build side is exactly one
+    # row, so the BroadcastNestedLoopJoin this plans is a scalar
+    # attach, not an all-pairs join — declared as such in the registry
+    # plan sweep's allowlist (tests/test_plan_quality.py).
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
 
     if query_terms is None:
         qt = (

@@ -211,6 +211,11 @@ def test_registry_has_no_undeclared_cartesian_products(spark, sf_med):
         "dedup_ngram_jaccard",
         "sim_similar_pairs_exact",
         "sim_bruteforce_topk",
+        # NOT all-pairs: a broadcast crossJoin whose build side is the
+        # 1-row corpus-stats aggregate (n_docs, avgdl) — a scalar
+        # attach (operators/search.py::bm25_topk).  Catalyst folds any
+        # literal-key equi-join on a 1-row side back to BNLJ anyway.
+        "search_bm25_topk",
     }
     offenders = []
     for name, fn in QUERIES.items():
