@@ -3948,7 +3948,7 @@ _ROBOTS_MATCH_PATHS = ['/page', '/pagex', '/p', '/fish.php', '/fish/salmon.htm',
 
 @query(
     "robots_match_urls",
-    """
+    r"""
     WITH doms AS (
       SELECT lower(replace(n_name, ' ', '-')) || '.example' AS domain
       FROM nation
