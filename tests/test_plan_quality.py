@@ -216,6 +216,11 @@ def test_registry_has_no_undeclared_cartesian_products(spark, sf_med):
         # attach (operators/search.py::bm25_topk).  Catalyst folds any
         # literal-key equi-join on a 1-row side back to BNLJ anyway.
         "search_bm25_topk",
+        # same 1-row scalar attach (n_docs for the df cap) in
+        # operators/search.py::lexical_cosine_topk; the candidate join
+        # itself is the posting-list equi-join on term, pinned
+        # CartesianProduct-free by tests/test_lexical_cosine.py.
+        "search_lexical_cosine",
     }
     offenders = []
     for name, fn in QUERIES.items():
