@@ -7411,6 +7411,81 @@ def search_lexical_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Expected RFC 5890 A-labels for the 25 deterministic IDN hosts below,
+# computed with the stdlib `punycode` codec (an independent RFC 3492
+# implementation) — the oracle pins these as literals, so the driver
+# hash-checks our from-scratch encoder against CPython's, not against
+# itself.  Regenerate with:
+#   label = lower(n_name) + chr(224 + key % 8) + chr(0x4E00 + key)
+#   'xn--' + label.encode('punycode').decode()
+_IDN_EXPECTED = [
+    (0, "xn--nation_0-6ya4558q"), (1, "xn--nation_1-gza4558q"),
+    (2, "xn--nation_2-pza4558q"), (3, "xn--nation_3-yza4558q"),
+    (4, "xn--nation_4-7za4558q"), (5, "xn--nation_5-h0a4558q"),
+    (6, "xn--nation_6-q0a4558q"), (7, "xn--nation_7-z0a4558q"),
+    (8, "xn--nation_8-6ya4368q"), (9, "xn--nation_9-gza4368q"),
+    (10, "xn--nation_10-j2a6838s"), (11, "xn--nation_11-t2a6838s"),
+    (12, "xn--nation_12-32a6838s"), (13, "xn--nation_13-e3a6838s"),
+    (14, "xn--nation_14-o3a6838s"), (15, "xn--nation_15-y3a6838s"),
+    (16, "xn--nation_16-y1a4748s"), (17, "xn--nation_17-81a4748s"),
+    (18, "xn--nation_18-j2a4748s"), (19, "xn--nation_19-t2a4748s"),
+    (20, "xn--nation_20-32a4748s"), (21, "xn--nation_21-e3a4748s"),
+    (22, "xn--nation_22-o3a4748s"), (23, "xn--nation_23-y3a4748s"),
+    (24, "xn--nation_24-y1a2658s"),
+]
+
+
+@query(
+    "url_idn_hosts",
+    """
+    WITH hosts AS (
+      SELECT n_nationkey,
+             lower(n_name) || chr(224 + n_nationkey % 8)
+                           || chr(19968 + n_nationkey) || '.example' AS host
+      FROM nation
+    ),
+    expected(n_nationkey, ace_label) AS (VALUES
+      {values}
+    )
+    SELECT h.n_nationkey, h.host,
+           e.ace_label || '.example' AS ascii_host
+    FROM hosts h JOIN expected e USING (n_nationkey)
+    """.format(
+        values=",\n      ".join(f"({k}, '{v}')" for k, v in _IDN_EXPECTED)
+    ),
+)
+def url_idn_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN hostname → RFC 5890 A-label form via the from-scratch
+    RFC 3492 Punycode encoder (functions/idn.py) over 25 deterministic
+    Unicode hosts built from the nation table (a Latin-1 accent + a CJK
+    char per key, exercising two non-ASCII ranges and two different
+    insertion deltas).  The oracle does NOT re-implement Punycode: it
+    pins the stdlib-codec-computed A-labels as literals, so the hash
+    check is our encoder vs CPython's RFC 3492 implementation.
+    Scale shape: one Arrow-batched pandas UDF on the host column with
+    an ASCII short-circuit mask — no shuffle at all."""
+    from pyppeteer_scraper_spark.functions.idn import idn_ascii_udf
+
+    n = load_table(spark, sf_dir, "nation")
+    # Spark's chr() is mod-256 ASCII, not a Unicode codepoint ctor, so
+    # the 25 suffixes are built driver-side (nation is a fixed 25-row
+    # dimension) and broadcast-joined — same literals the oracle's
+    # DuckDB chr() produces.
+    sfx = spark.createDataFrame(
+        [(k, chr(224 + k % 8) + chr(19968 + k)) for k in range(25)],
+        "n_nationkey int, sfx string",
+    )
+    host = F.concat(F.lower("n_name"), F.col("sfx"), F.lit(".example"))
+    return (
+        n.join(F.broadcast(sfx), "n_nationkey")
+        .select(
+            "n_nationkey",
+            host.alias("host"),
+            idn_ascii_udf(host).alias("ascii_host"),
+        )
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
