@@ -117,6 +117,9 @@ HEADLINE = [
     "text_token_entropy",
     "warc_revisit_records",
     "sample_weighted_ares",
+    # round-4 session-7 additions (comparable from BENCH_r04 on)
+    "search_lexical_cosine",
+    "url_idn_hosts",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
