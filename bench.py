@@ -118,7 +118,12 @@ HEADLINE = [
     "warc_revisit_records",
     "sample_weighted_ares",
     # round-4 session-7 additions (comparable from BENCH_r04 on)
-    "search_lexical_cosine",
+    # (search_lexical_cosine is registry-only: at its registered
+    # max_df_frac=0.85 on the synthetic ~31-term vocabulary the exact
+    # posting-list self-join is deliberately unpruned — ~231 s at
+    # sf0.1 — the same "exact verifier, not the scale path" status as
+    # the demoted crossJoin twins; production df caps are pinned by
+    # tests/test_lexical_cosine.py)
     "url_idn_hosts",
 ]
 

@@ -7486,6 +7486,154 @@ def url_idn_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Meta-robots fixture: 8 deterministic tag variants exercising case,
+# quoting, attribute order, bare values, a missing tag, and a
+# name="description" decoy that must NOT count.
+_META_VARIANTS = [
+    '<meta name="robots" content="index,follow">',
+    '<meta name="robots" content="noindex">',
+    '<META NAME=ROBOTS CONTENT="NOFOLLOW">',
+    '<meta content="noindex, nofollow" name="robots">',
+    "<meta name='robots' content='all'>",
+    '<meta name="robots" content=none>',
+    "",
+    '<meta name="description" content="noindex">',
+]
+
+
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+_META_TAG_RE_SQL = _sqlq(r"""(?i)<meta[^>]*name\s*=\s*["']?robots\b[^>]*>""")
+_CONTENT_Q_RE_SQL = _sqlq(r"""(?i)content\s*=\s*["']([^"']*)["']""")
+_CONTENT_B_RE_SQL = _sqlq(r"""(?i)content\s*=\s*([^"'\s>]+)""")
+_ANCHOR_RE_SQL = _sqlq(r"(?i)<a(?:\s[^>]*)?>")
+_NOFOLLOW_RE_SQL = _sqlq(r"""(?i)rel\s*=\s*["']?[^"'>]*nofollow""")
+
+
+@query(
+    "url_meta_robots_gate",
+    f"""
+    WITH pages AS (
+      SELECT doc_id,
+        '<html><head>'
+        || ['{"','".join(_sqlq(v) for v in _META_VARIANTS)}']
+             [CAST(doc_id % 8 AS INT) + 1]
+        || '</head><body>'
+        || '<a href="/p' || (doc_id % 7) || '">x</a>'
+        || '<a rel="nofollow" href="/q' || (doc_id % 5) || '">y</a>'
+        || CASE WHEN doc_id % 2 = 0
+             THEN '<a href="/r' || (doc_id % 3)
+                  || '" rel="external nofollow">z</a>'
+             ELSE '<a href="/r' || (doc_id % 3) || '">z</a>' END
+        || '</body></html>' AS html
+      FROM documents),
+    parsed AS (
+      SELECT doc_id,
+        lower(CASE WHEN regexp_extract(
+                     regexp_extract(html, '{_META_TAG_RE_SQL}', 0),
+                     '{_CONTENT_Q_RE_SQL}', 1) <> ''
+              THEN regexp_extract(
+                     regexp_extract(html, '{_META_TAG_RE_SQL}', 0),
+                     '{_CONTENT_Q_RE_SQL}', 1)
+              ELSE regexp_extract(
+                     regexp_extract(html, '{_META_TAG_RE_SQL}', 0),
+                     '{_CONTENT_B_RE_SQL}', 1) END) AS content,
+        regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 0) AS tags
+      FROM pages),
+    flags AS (
+      SELECT doc_id,
+        regexp_matches(',' || content || ',',
+                       '[,\\s](noindex|none)[,\\s]') AS noindex,
+        regexp_matches(',' || content || ',',
+                       '[,\\s](nofollow|none)[,\\s]') AS nofollow,
+        len(tags) AS n_links,
+        len(list_filter(tags,
+            t -> NOT regexp_matches(t, '{_NOFOLLOW_RE_SQL}'))) AS n_raw
+      FROM parsed)
+    SELECT noindex, nofollow,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(n_links) AS BIGINT) AS n_links,
+           CAST(sum(CASE WHEN nofollow THEN 0 ELSE n_raw END) AS BIGINT)
+             AS n_follow_links,
+           CAST(sum(CASE WHEN noindex THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_exported,
+           min(doc_id) AS min_doc
+    FROM flags GROUP BY noindex, nofollow
+    """,
+)
+def url_meta_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots *meta* directives and per-anchor rel=nofollow
+    honoring (functions/metarobots.py) — the discovery/export gate an
+    open-web crawl applies AFTER fetch: noindex pages are dropped from
+    corpus export, page-level nofollow zeroes a page's contribution to
+    the frontier, and individual rel=nofollow anchors are skipped.
+    The 8-variant fixture exercises case-mangled tags, swapped
+    attribute order, bare/quoted values, ``none``/``all`` shorthands,
+    a missing tag, and a name=description decoy.  All parsing is
+    codegen regexp over the html column — zero shuffles before the
+    4-group aggregate; the oracle replays the identical RE2 parse.
+    The reference fetched fixed seed URLs and never honored meta
+    robots (scraper/base.py); at open-web scale this gate is
+    mandatory policy."""
+    from pyppeteer_scraper_spark.functions.metarobots import (
+        anchor_tags,
+        meta_robots_flags,
+        tag_is_nofollow,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    meta = F.element_at(
+        F.array(*[F.lit(v) for v in _META_VARIANTS]),
+        F.pmod(k, F.lit(8)).cast("int") + 1,
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        F.lit('<a href="/p'), s(F.pmod(k, F.lit(7))), F.lit('">x</a>'),
+        F.lit('<a rel="nofollow" href="/q'), s(F.pmod(k, F.lit(5))),
+        F.lit('">y</a>'),
+        F.when(
+            F.pmod(k, F.lit(2)) == 0,
+            F.concat(
+                F.lit('<a href="/r'), s(F.pmod(k, F.lit(3))),
+                F.lit('" rel="external nofollow">z</a>'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<a href="/r'), s(F.pmod(k, F.lit(3))),
+                F.lit('">z</a>'),
+            )
+        ),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(k.alias("doc_id"), html.alias("html"))
+    fl = meta_robots_flags(F.col("html"))
+    tags = anchor_tags(F.col("html"))
+    rows = pages.select(
+        "doc_id",
+        fl["noindex"].alias("noindex"),
+        fl["nofollow"].alias("nofollow"),
+        F.size(tags).cast("long").alias("n_links"),
+        F.size(F.filter(tags, lambda t: ~tag_is_nofollow(t)))
+        .cast("long")
+        .alias("n_raw"),
+    )
+    return rows.groupBy("noindex", "nofollow").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("n_links").cast("long").alias("n_links"),
+        F.sum(F.when(F.col("nofollow"), 0).otherwise(F.col("n_raw")))
+        .cast("long")
+        .alias("n_follow_links"),
+        F.sum(F.when(F.col("noindex"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_exported"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
