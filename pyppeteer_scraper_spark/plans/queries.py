@@ -7634,6 +7634,98 @@ def url_meta_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d10_priority_aging",
+    """
+    WITH pend AS (
+      SELECT 'd' || (c_custkey % 6) AS domain,
+             'https://d' || (c_custkey % 6) || '.example/p' || c_custkey
+               AS url,
+             c_custkey % 50 AS priority,
+             c_custkey % 16 AS discovered_round
+      FROM customer),
+    aged AS (
+      SELECT *,
+             CAST(priority - (16 - discovered_round) // 2 AS BIGINT)
+               AS aged_priority,
+             16 - discovered_round AS age
+      FROM pend),
+    ra AS (SELECT *, row_number() OVER (
+             PARTITION BY domain ORDER BY aged_priority, url) AS rk
+           FROM aged),
+    rp AS (SELECT domain, url, row_number() OVER (
+             PARTITION BY domain ORDER BY priority, url) AS rk
+           FROM pend),
+    sel AS (SELECT * FROM ra WHERE rk <= 4),
+    selp AS (SELECT url FROM rp WHERE rk <= 4)
+    SELECT s.domain,
+           CAST(max(np.n_pending) AS BIGINT) AS n_pending,
+           CAST(sum(s.aged_priority) AS BIGINT) AS sum_aged_priority,
+           CAST(max(s.age) AS BIGINT) AS max_age_selected,
+           CAST(sum(CASE WHEN sp.url IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rescued
+    FROM sel s
+    LEFT JOIN selp sp USING (url)
+    JOIN (SELECT domain, count(*) AS n_pending FROM pend GROUP BY domain)
+      np USING (domain)
+    GROUP BY s.domain
+    """,
+)
+def d10_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-starvation priority aging (operators/aging.py): a pending
+    URL's effective priority improves one level per ``boost_every``
+    rounds waited, so the politeness top-k is guaranteed to schedule
+    every URL in bounded rounds — the fairness property the static
+    ORDER_COLS order (plans/round.py) deliberately lacks (crawl parity
+    pins the static order; aging is the opt-in).  The fixture ages a
+    6-domain frontier to round 16 and diffs the aged selection against
+    the static one: ``n_rescued`` counts URLs only aging schedules.
+    Same skew-safe two-phase top-k as the politeness cap; the aged
+    priority is a codegen projection — zero added shuffles."""
+    from pyppeteer_scraper_spark.operators.aging import select_batch_aged
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = lambda col: col.cast("string")  # noqa: E731
+    pend = c.select(
+        F.concat(F.lit("d"), s(F.pmod(k, F.lit(6)))).alias("domain"),
+        F.concat(
+            F.lit("https://d"), s(F.pmod(k, F.lit(6))),
+            F.lit(".example/p"), s(k),
+        ).alias("url"),
+        F.pmod(k, F.lit(50)).alias("priority"),
+        F.pmod(k, F.lit(16)).alias("discovered_round"),
+    )
+    sel = select_batch_aged(pend, cap=4, round_no=16, boost_every=2)
+    sel = sel.withColumn(
+        "age", (F.lit(16) - F.col("discovered_round")).cast("long")
+    )
+    from pyppeteer_scraper_spark.operators.topk import topk_per_group
+
+    sel_static = topk_per_group(
+        pend, ["domain"], [F.col("priority"), F.col("url")], 4, salt_on="url"
+    ).select("url", F.lit(1).alias("__static"))
+    n_pending = pend.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_pending")
+    )
+    return (
+        sel.join(sel_static, "url", "left")
+        .groupBy("domain")
+        .agg(
+            F.sum("aged_priority").cast("long").alias("sum_aged_priority"),
+            F.max("age").cast("long").alias("max_age_selected"),
+            F.sum(F.when(F.col("__static").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rescued"),
+        )
+        .join(F.broadcast(n_pending), "domain")
+        .select(
+            "domain", "n_pending", "sum_aged_priority",
+            "max_age_selected", "n_rescued",
+        )
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
