@@ -125,6 +125,10 @@ HEADLINE = [
     # the demoted crossJoin twins; production df caps are pinned by
     # tests/test_lexical_cosine.py)
     "url_idn_hosts",
+    # round-4 session-8 additions (comparable from BENCH_r04 on)
+    "d10_priority_aging",
+    "quality_model_auc",
+    "export_stride_interleave",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -133,6 +133,94 @@ def oracle_weight_array_sql(weights: list[int] | None = None) -> str:
     return "[" + ", ".join(str(int(x)) for x in w) + "]"
 
 
+def roc_auc_exact(
+    scored: DataFrame,
+    score_col: str = "score_raw",
+    label_col: str = "label",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Exact ROC AUC via the tie-corrected Mann-Whitney rank statistic
+    — the discrimination check run alongside calibration_bins before a
+    classifier threshold drops corpus slices (Hanley & McNeil 1982:
+    AUC = P(score_pos > score_neg) + ½·P(tie)).
+
+    Input: one row per example with an INTEGER ``score_col`` (e.g.
+    quality_model_score's exact ``score_raw``) and a boolean
+    ``label_col``.  Integer scores keep the whole statistic in exact
+    arithmetic: with avgrank_g = cum_before_g + (n_g+1)/2 over
+    ascending score groups,
+
+        AUC = (Σ_g np_g·(2·cum_before_g + n_g + 1) − n_pos·(n_pos+1))
+              / (2·n_pos·n_neg)
+
+    — every term an int64 until the single final division, so any
+    ANSI-SQL oracle agrees bit-for-bit.
+
+    Returns ONE row: (n_pos, n_neg, n_scores, auc, gini) with
+    gini = 2·AUC − 1; auc/gini NULL when a class is empty.
+
+    SCALE SHAPE: the naive rank formulation is a global ordered window
+    (one task over the corpus).  Here the corpus collapses to one row
+    per DISTINCT score first (one map-side-combined groupBy), and the
+    prefix count over score groups uses the same two-pass bucketed
+    prefix sum as operators/packing.py — per-bucket totals (tiny) →
+    bucket base offsets (window over the bucket table only) →
+    per-bucket ordered prefix (partitionBy bucket, parallel).  No
+    stage ever sees more than one bucket's distinct scores per task.
+    """
+    per = (
+        scored.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("np"),
+        )
+        .withColumn(
+            # exact long division (truncating): any monotone map of s
+            # works as a bucket key, and integer `div` avoids the IEEE
+            # boundary-rounding trap packing.py documents
+            "__bucket",
+            F.expr(f"s div {int(bucket_width)}"),
+        )
+    )
+    btot = per.groupBy("__bucket").agg(F.sum("n").alias("__bn"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__base"),
+    )
+    wd = Window.partitionBy("__bucket").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per.join(F.broadcast(boff), "__bucket").withColumn(
+        "__cumb", F.col("__base") + F.coalesce(F.sum("n").over(wd), F.lit(0))
+    )
+    tot = ranked.agg(
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("__cumb") + F.col("n") + F.lit(1))
+        ).alias("r2"),
+        F.sum("np").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("n_scores"),
+    )
+    npos, nneg = F.col("n_pos"), F.col("n_neg")
+    num = (F.col("r2") - npos * (npos + F.lit(1))).cast("double")
+    auc = F.when(
+        (npos > 0) & (nneg > 0),
+        F.round(num / (F.lit(2.0) * npos * nneg), 6),
+    )
+    gini = F.when(
+        (npos > 0) & (nneg > 0),
+        F.round(num / (F.lit(1.0) * npos * nneg) - F.lit(1.0), 6),
+    )
+    return tot.select(
+        "n_pos", "n_neg", "n_scores", auc.alias("auc"), gini.alias("gini")
+    )
+
+
 def calibration_bins(
     scored: DataFrame,
     score_col: str = "score",

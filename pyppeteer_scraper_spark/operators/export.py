@@ -310,3 +310,84 @@ def rendezvous_assign(
         .select(F.col(key_col), F.col("node").alias("assigned_node"))
     )
     return df.join(best, key_col)
+
+
+def stride_interleave(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    k: int | None = None,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Deterministic proportional interleave of multiple source streams
+    — the data-loader ordering step after mixture weights are chosen:
+    emit documents so that at every prefix of the output each source
+    has contributed ~its share, with no randomness (stride scheduling /
+    weighted-fair-queueing virtual time; Waldspurger & Weihl, OSDI 94).
+
+    Item ``rn`` of source ``s`` (1-based, in ``id_col`` order) gets
+    virtual time ``vt = rn / n_s``; the global output order is
+    (vt, source, rn).  With weights = source sizes every source
+    finishes exactly at vt = 1.0, and a prefix of the stream is a
+    proportional sample of every source — the property epoch-spanning
+    training loaders want (contrast export shards, which give a global
+    SHUFFLE; this gives a global SCHEDULE).
+
+    ``vt`` is a single IEEE division of two int64s — bit-identical in
+    every engine, so the full ordering is exactly oracle-checkable.
+
+    SCALE SHAPE: per-source ranks use the packing.py two-pass bucketed
+    prefix (per-(source, bucket) counts → per-source base offsets over
+    the tiny bucket table → per-(source, bucket) ordered row_number) so
+    a mega-source never lands in one task; the global order is
+    materialized only for the top-``k`` head (TakeOrdered — no global
+    sort) when ``k`` is given, else returned as an unordered column set
+    ((vt, source, rn) IS the order; writers sort per output shard).
+
+    Returns (pos, source, id_col, rn, vt) when ``k`` is set, else
+    (source, id_col, rn, vt).
+    """
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.expr(f"cast({id_col} as bigint) div {int(bucket_size)}").alias(
+            "__bucket"
+        ),
+    )
+    sb = base.groupBy("source", "__bucket").agg(
+        F.count("*").alias("__bn")
+    )
+    ns = sb.groupBy("source").agg(F.sum("__bn").cast("long").alias("__ns"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = sb.select(
+        "source",
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__base"),
+    )
+    wd = Window.partitionBy("source", "__bucket").orderBy(id_col)
+    placed = (
+        base.join(F.broadcast(boff), ["source", "__bucket"])
+        .withColumn(
+            "rn", (F.col("__base") + F.row_number().over(wd)).cast("long")
+        )
+        .join(F.broadcast(ns), "source")
+        .withColumn(
+            "vt", F.col("rn").cast("double") / F.col("__ns").cast("double")
+        )
+    )
+    out = placed.select("source", id_col, "rn", "vt")
+    if k is None:
+        return out
+    head = out.orderBy("vt", "source", "rn").limit(int(k))
+    wpos = Window.orderBy("vt", "source", "rn")  # <=k rows: driver-scale
+    return head.select(
+        F.row_number().over(wpos).cast("long").alias("pos"),
+        "source",
+        id_col,
+        "rn",
+        F.round("vt", 6).alias("vt"),
+    )

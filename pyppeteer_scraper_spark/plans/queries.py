@@ -7726,6 +7726,112 @@ def d10_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_model_auc",
+    f"""
+    WITH {_model_scored_ctes(carry="doc_id, lang")},
+    sc AS (
+      SELECT score_raw AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored
+    ),
+    per AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np
+      FROM sc GROUP BY s
+    ),
+    r AS (
+      SELECT *,
+             CAST(COALESCE(SUM(n) OVER (
+               ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumb
+      FROM per
+    ),
+    t AS (
+      SELECT CAST(sum(np * (2 * cumb + n + 1)) AS BIGINT) AS r2,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+             CAST(count(*) AS BIGINT) AS n_scores
+      FROM r
+    )
+    SELECT n_pos, n_neg, n_scores,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round((r2 - n_pos * (n_pos + 1))
+                   / (2.0 * n_pos * n_neg), 6) END AS auc,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round((r2 - n_pos * (n_pos + 1))
+                   / (1.0 * n_pos * n_neg) - 1.0, 6) END AS gini
+    FROM t
+    """,
+)
+def quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the quality classifier against the is-English
+    gold label (functions/classifier.py::roc_auc_exact) — the
+    discrimination twin of quality_calibration_ece: ECE says whether
+    the scores mean what they claim, AUC says whether they separate the
+    classes at all, and both gate a threshold that drops corpus slices.
+    Tie-corrected Mann-Whitney over the exact INTEGER score_raw, so
+    every term is int64 until one final division and the oracle (which
+    refits the model and rederives the rank statistic from scratch)
+    matches bit-for-bit.  Scale shape: corpus → one row per distinct
+    score (map-side combine), then the packing.py two-pass bucketed
+    prefix — no global single-task window."""
+    from pyppeteer_scraper_spark.functions.classifier import (
+        quality_model_score,
+        roc_auc_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_model_score(F.col("text"))
+    scored = docs.select(
+        cols["score_raw"].alias("score_raw"),
+        (F.col("lang") == F.lit("en")).alias("label"),
+    )
+    return roc_auc_exact(scored, "score_raw", "label")
+
+
+@query(
+    "export_stride_interleave",
+    """
+    WITH src AS (SELECT doc_id, source FROM documents),
+    cnt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS ns FROM src GROUP BY source
+    ),
+    rn AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+      FROM src
+    ),
+    vt AS (
+      SELECT r.source, r.doc_id, r.rn,
+             CAST(r.rn AS DOUBLE) / CAST(c.ns AS DOUBLE) AS vt
+      FROM rn r JOIN cnt c USING (source)
+    ),
+    head AS (SELECT * FROM vt ORDER BY vt, source, rn LIMIT 60)
+    SELECT CAST(row_number() OVER (ORDER BY vt, source, rn) AS BIGINT)
+             AS pos,
+           source, doc_id, rn, round(vt, 6) AS vt
+    FROM head
+    """,
+)
+def export_stride_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional interleave of the corpus's source
+    streams (operators/export.py::stride_interleave — stride
+    scheduling / WFQ virtual time): item rn of source s is emitted at
+    vt = rn/n_s, so every prefix of the output carries each source in
+    proportion — the data-loader SCHEDULE complement to the export
+    shards' global SHUFFLE.  vt is one IEEE int64/int64 division
+    (bit-identical across engines), making the full ordering exactly
+    oracle-checkable; the fixture pins the first 60 positions.  Scale:
+    per-source ranks via the two-pass bucketed prefix (no mega-source
+    single task), head via TakeOrdered (no global sort)."""
+    from pyppeteer_scraper_spark.operators.export import stride_interleave
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stride_interleave(docs, "source", "doc_id", k=60)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -7813,11 +7919,12 @@ _WINDOW_FIRST = [
     "rank_cocitation",
     "a_log2_length_histogram",
     # round-4 session-6+ additions (url_registrable_domain,
-    # dedup_ngram_containment, ..., search_lexical_cosine) are NOT
-    # window-first: the 50 slots are fully claimed by earlier
-    # never-checked entries, so they sit in the middle from position 51
-    # and lead the r05 rotation (oracle-checked locally via
-    # tools/check_correctness.py already).
+    # dedup_ngram_containment, ..., search_lexical_cosine, url_idn_hosts,
+    # url_meta_robots_gate, d10_priority_aging, quality_model_auc,
+    # export_stride_interleave, ...) are NOT window-first: the 50 slots
+    # are fully claimed by earlier never-checked entries, so they sit in
+    # the middle from position 51 and lead the r05 rotation
+    # (oracle-checked locally via tools/check_correctness.py already).
     # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
     # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
     # displaced to _WINDOW_TAIL by the session-4 additions
