@@ -129,6 +129,8 @@ HEADLINE = [
     "d10_priority_aging",
     "quality_model_auc",
     "export_stride_interleave",
+    "src_cache_policy",
+    "text_mojibake_signals",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -828,3 +828,54 @@ def token_entropy(docs: "DataFrame", text_col: str = "text", id_col: str = "doc_
         .groupBy(id_col, "n_tokens", "n_distinct")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"))
     )
+
+
+# --- encoding-damage (mojibake) detection -----------------------------------
+# The ftfy-class signals (Speer, "fixes text for you"): UTF-8 bytes
+# mis-decoded as Latin-1/CP1252 leave fingerprints no clean text has.
+# Patterns are built from literal codepoints (not \u escapes) so the
+# exact same string compiles identically under Java regex (Spark) and
+# RE2 (DuckDB oracle).
+
+# CP1252 0x80-0x9F as Unicode sees them after a Latin-1 *or* CP1252
+# mis-decode: the C1 control block plus the CP1252 remappings.
+_CP1252_TAIL = (
+    "".join(chr(c) for c in range(0x80, 0xA0))
+    + "€‚ƒ„…†‡ˆ‰Š"
+    + "‹ŒŽ‘’“”•–—"
+    + "˜™š›œžŸ"
+)
+# Latin-1 continuation range 0xA0-0xBF (valid UTF-8 continuation bytes
+# land here when the lead byte is misread).
+_LATIN1_CONT = "".join(chr(c) for c in range(0xA0, 0xC0))
+
+# Lead bytes of 2-byte UTF-8 sequences for Latin scripts (0xC2-0xC5
+# -> Â Ã Ä Å) followed by a misread continuation byte: the classic
+# 'cafÃ©' signature.
+MOJIBAKE_DOUBLE_RE = "[ÂÃÄÅâ][" + _CP1252_TAIL + _LATIN1_CONT + "]"
+# Bare C1 controls: never legitimate in web text.
+MOJIBAKE_C1_RE = "[" + "".join(chr(c) for c in range(0x80, 0xA0)) + "]"
+# U+FFFD: a decoder already gave up.
+MOJIBAKE_REPL_RE = "�"
+
+
+def mojibake_signals(col) -> dict[str, Column]:
+    """Encoding-damage counters for a text column — the corpus-hygiene
+    gate before training-data export (mis-decoded documents poison
+    tokenizers with phantom vocabulary like 'Ã©').
+
+    Returns {n_double_utf8, n_c1_controls, n_replacement, is_mojibake}:
+    counts of UTF-8-misread-as-CP1252/Latin-1 two-char signatures, bare
+    C1 control characters, and U+FFFD replacement characters; flagged
+    when any counter is positive.  Pure codegen ``regexp_count``
+    projections — one corpus pass, no UDF, no shuffle.
+    """
+    n_double = F.regexp_count(col, F.lit(MOJIBAKE_DOUBLE_RE)).cast("long")
+    n_c1 = F.regexp_count(col, F.lit(MOJIBAKE_C1_RE)).cast("long")
+    n_repl = F.regexp_count(col, F.lit(MOJIBAKE_REPL_RE)).cast("long")
+    return {
+        "n_double_utf8": n_double,
+        "n_c1_controls": n_c1,
+        "n_replacement": n_repl,
+        "is_mojibake": (n_double + n_c1 + n_repl) > 0,
+    }

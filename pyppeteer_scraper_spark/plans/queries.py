@@ -7832,6 +7832,218 @@ def export_stride_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stride_interleave(docs, "source", "doc_id", k=60)
 
 
+@query(
+    "src_cache_policy",
+    r"""
+    WITH hdrs AS (
+      SELECT 'h' || (o_orderkey % 20) AS host,
+             'HTTP/1.1 200 OK' || chr(13) || chr(10)
+             || 'Content-Type: text/html' || chr(13) || chr(10)
+             || CASE o_orderkey % 5
+                WHEN 0 THEN 'Cache-Control: public, max-age='
+                            || (o_orderkey % 86400) || chr(13) || chr(10)
+                            || 'ETag: "e' || (o_orderkey % 997) || '"'
+                            || chr(13) || chr(10)
+                WHEN 1 THEN 'Cache-Control: no-store' || chr(13) || chr(10)
+                WHEN 2 THEN 'Cache-Control: no-cache' || chr(13) || chr(10)
+                            || 'Last-Modified: Mon, 01 Jan 2024 00:00:00 GMT'
+                            || chr(13) || chr(10)
+                WHEN 3 THEN 'Expires: Thu, 01 Jan 2026 00:00:00 GMT'
+                            || chr(13) || chr(10)
+                ELSE '' END AS hdr
+      FROM orders
+    ),
+    pol AS (
+      SELECT host,
+             regexp_extract(regexp_extract(hdr,
+               '(?im)^cache-control:[ \t]*([^\r\n]*)', 1),
+               '(?i)(?:^|[,\s])max-age[ \t]*=[ \t]*([0-9]+)', 1) AS ma,
+             regexp_matches(regexp_extract(hdr,
+               '(?im)^cache-control:[ \t]*([^\r\n]*)', 1),
+               '(?i)(?:^|[,\s])no-store(?:$|[,\s])') AS no_store,
+             regexp_matches(regexp_extract(hdr,
+               '(?im)^cache-control:[ \t]*([^\r\n]*)', 1),
+               '(?i)(?:^|[,\s])no-cache(?:$|[,\s])') AS no_cache,
+             regexp_matches(hdr, '(?im)^etag:') AS has_etag,
+             regexp_matches(hdr, '(?im)^last-modified:') AS has_lm,
+             regexp_matches(hdr, '(?im)^expires:') AS has_expires
+      FROM hdrs
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(CASE WHEN no_store THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_store,
+           CAST(sum(CASE WHEN no_cache THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_cache,
+           CAST(sum(CASE WHEN ma <> '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_explicit_fresh,
+           CAST(sum(CASE WHEN has_expires AND ma = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_expires_only,
+           CAST(sum(CASE WHEN has_etag OR has_lm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_revalidatable,
+           CAST(sum(CASE WHEN no_store OR no_cache THEN 0
+                    WHEN ma <> '' THEN CAST(ma AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sum_ttl_s
+    FROM pol GROUP BY host
+    """,
+)
+def src_cache_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 cache-policy extraction (functions/httpcache.py) over a
+    deterministic 5-variant header fixture, aggregated per host: which
+    hosts declare explicit freshness (max-age), which are
+    conditional-GET friendly (validators — pair with
+    d9_conditional_get's 304 bandwidth accounting), which forbid
+    storage.  The reference crawls with caching disabled
+    (/root/reference/scraper/browser.py); a polite crawler must honor
+    these headers instead.  One codegen projection + one groupBy on
+    host; the oracle re-derives the fixture AND the regex parse."""
+    from pyppeteer_scraper_spark.functions.httpcache import cache_policy
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s = lambda col: col.cast("string")  # noqa: E731
+    crlf = F.lit("\r\n")
+    base = F.concat(
+        F.lit("HTTP/1.1 200 OK"), crlf, F.lit("Content-Type: text/html"), crlf
+    )
+    v = F.pmod(k, F.lit(5))
+    hdr = F.concat(
+        base,
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("Cache-Control: public, max-age="),
+                s(F.pmod(k, F.lit(86400))), crlf,
+                F.lit('ETag: "e'), s(F.pmod(k, F.lit(997))), F.lit('"'), crlf,
+            ),
+        )
+        .when(v == 1, F.concat(F.lit("Cache-Control: no-store"), crlf))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("Cache-Control: no-cache"), crlf,
+                F.lit("Last-Modified: Mon, 01 Jan 2024 00:00:00 GMT"), crlf,
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(F.lit("Expires: Thu, 01 Jan 2026 00:00:00 GMT"), crlf),
+        )
+        .otherwise(F.lit("")),
+    )
+    pol = cache_policy(hdr)
+    rows = o.select(
+        F.concat(F.lit("h"), s(F.pmod(k, F.lit(20)))).alias("host"),
+        pol["max_age"].alias("max_age"),
+        pol["no_store"].alias("no_store"),
+        pol["no_cache"].alias("no_cache"),
+        pol["has_expires"].alias("has_expires"),
+        pol["revalidatable"].alias("revalidatable"),
+        pol["fresh_ttl_s"].alias("fresh_ttl_s"),
+    )
+    i = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return rows.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(i(F.col("no_store"))).cast("long").alias("n_no_store"),
+        F.sum(i(F.col("no_cache"))).cast("long").alias("n_no_cache"),
+        F.sum(i(F.col("max_age").isNotNull()))
+        .cast("long")
+        .alias("n_explicit_fresh"),
+        F.sum(i(F.col("has_expires") & F.col("max_age").isNull()))
+        .cast("long")
+        .alias("n_expires_only"),
+        F.sum(i(F.col("revalidatable"))).cast("long").alias("n_revalidatable"),
+        F.sum("fresh_ttl_s").cast("long").alias("sum_ttl_s"),
+    )
+
+
+def _mojibake_oracle_sql() -> str:
+    from pyppeteer_scraper_spark.functions.text import (
+        MOJIBAKE_C1_RE,
+        MOJIBAKE_DOUBLE_RE,
+        MOJIBAKE_REPL_RE,
+    )
+
+    return f"""
+    WITH inj AS (
+      SELECT source,
+             CASE doc_id % 13
+             WHEN 0 THEN text || ' cafÃ© dÃ©jÃ  vu'
+             WHEN 5 THEN text || ' â€œquotedâ€' || chr(157) || ' â€” dash'
+             WHEN 9 THEN text || ' broken ' || chr(65533) || chr(65533)
+             ELSE text END AS t
+      FROM documents
+    ),
+    sig AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(t, '{MOJIBAKE_DOUBLE_RE}'))
+                  AS BIGINT) AS nd,
+             CAST(len(regexp_extract_all(t, '{MOJIBAKE_C1_RE}'))
+                  AS BIGINT) AS nc,
+             CAST(len(regexp_extract_all(t, '{MOJIBAKE_REPL_RE}'))
+                  AS BIGINT) AS nr
+      FROM inj
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN nd + nc + nr > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(nd) AS BIGINT) AS n_double_utf8,
+           CAST(sum(nc) AS BIGINT) AS n_c1_controls,
+           CAST(sum(nr) AS BIGINT) AS n_replacement
+    FROM sig GROUP BY source
+    """
+
+
+@query("text_mojibake_signals", _mojibake_oracle_sql())
+def text_mojibake_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage (mojibake) detection
+    (functions/text.py::mojibake_signals — the ftfy signal classes):
+    UTF-8-misread-as-CP1252 two-char signatures, bare C1 controls, and
+    U+FFFD replacement chars, aggregated per source — the corpus-hygiene
+    gate before export (mis-decoded docs poison tokenizers with phantom
+    'Ã©'-vocabulary).  The fixture plants all three damage classes into
+    deterministic doc_id slots (the driver corpus is clean, so without
+    planting the detector would be vacuously green).  Pure codegen
+    regexp_count; the oracle interpolates the IDENTICAL pattern strings
+    from the module constants."""
+    from pyppeteer_scraper_spark.functions.text import mojibake_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(13))
+    inj = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" cafÃ© dÃ©jÃ  vu")))
+        .when(
+            m == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" â€œquotedâ€" + chr(0x9D) + " â€” dash"),
+            ),
+        )
+        .when(
+            m == 9,
+            F.concat(F.col("text"), F.lit(" broken " + chr(0xFFFD) * 2)),
+        )
+        .otherwise(F.col("text"))
+    )
+    sig = mojibake_signals(inj)
+    i = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    rows = docs.select(
+        "source",
+        sig["n_double_utf8"].alias("nd"),
+        sig["n_c1_controls"].alias("nc"),
+        sig["n_replacement"].alias("nr"),
+        sig["is_mojibake"].alias("flagged"),
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(i(F.col("flagged"))).cast("long").alias("n_flagged"),
+        F.sum("nd").cast("long").alias("n_double_utf8"),
+        F.sum("nc").cast("long").alias("n_c1_controls"),
+        F.sum("nr").cast("long").alias("n_replacement"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -7921,7 +8133,8 @@ _WINDOW_FIRST = [
     # round-4 session-6+ additions (url_registrable_domain,
     # dedup_ngram_containment, ..., search_lexical_cosine, url_idn_hosts,
     # url_meta_robots_gate, d10_priority_aging, quality_model_auc,
-    # export_stride_interleave, ...) are NOT window-first: the 50 slots
+    # export_stride_interleave, src_cache_policy,
+    # text_mojibake_signals, ...) are NOT window-first: the 50 slots
     # are fully claimed by earlier never-checked entries, so they sit in
     # the middle from position 51 and lead the r05 rotation
     # (oracle-checked locally via tools/check_correctness.py already).
