@@ -3,11 +3,13 @@ columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` stages.
 
 Decode is REAL for every format expressible without external libs:
-binary netpbm (PPM/PGM), uncompressed 24-bit BMP, PCM WAV, and — from
+binary netpbm (PPM/PGM), uncompressed 24-bit BMP, PCM WAV, — from
 stdlib ``zlib`` — 8-bit PNG (gray / truecolor / palette / alpha, all
-five scanline filters, CRC-verified chunks) are decoded with numpy +
-stdlib (``real_decode``), including a real block-average resize
-(``thumbnail_gray``) and image/audio feature extraction.  Only formats
+five scanline filters, CRC-verified chunks), and GIF87a/89a (from-
+scratch variable-width LZW, interlace, transparency, multi-frame
+animation) are decoded with numpy + stdlib (``real_decode``),
+including a real block-average resize (``thumbnail_gray``) and
+image/audio feature extraction.  Only formats
 whose codecs are genuinely out of reach here (JPEG's DCT/Huffman,
 MP4/H.264) remain a NotImplementedError seam (``real_decode_stub``) —
 PIL/ffmpeg are not in this container.  Everything Spark-side is real and tested: schemas,
@@ -481,14 +483,17 @@ def dhash64(img: np.ndarray) -> int:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniff + decode an IMAGE payload to a pixel array (PPM/PGM/BMP/
-    PNG — the real codecs above); NotImplementedError on the
-    compressed-format seam, ValueError on non-image payloads."""
+    PNG/GIF — the real codecs in this module; GIF yields its first
+    frame); NotImplementedError on the compressed-format seam,
+    ValueError on non-image payloads."""
     if payload.startswith((b"P6", b"P5")):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return decode_gif(payload)[0][0]
     if payload[:4] in (b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1"):
         raise NotImplementedError(
             "JPEG decode needs PIL — absent in this container"
@@ -510,7 +515,263 @@ def real_decode(payload: bytes, dim: int = 0) -> np.ndarray:
         return audio_features(*decode_wav(payload))
     if payload.startswith(_PNG_SIG):
         return image_features(decode_png(payload))
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return image_features(decode_gif(payload)[0][0])
     raise NotImplementedError(
         "JPEG/MP4 decode needs PIL/ffmpeg — absent in this container; "
-        "PPM/PGM/BMP/WAV/PNG decode is real"
+        "PPM/PGM/BMP/WAV/PNG/GIF decode is real"
     )
+
+
+# --- GIF codec (pure stdlib + numpy) -----------------------------------------
+# GIF needs only variable-width LZW (spec Appendix F) — implementable
+# from scratch, unlike JPEG/MP4.  Covers GIF87a/89a: global/local color
+# tables, interlace, Graphic Control Extensions (per-frame delay,
+# transparency, disposal 0-2), multi-frame animations.
+# Spec: https://www.w3.org/Graphics/GIF/spec-gif89a.txt
+
+_GIF_MAX_CODE = 4096  # 12-bit code space
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """GIF variable-width LZW decode (LSB-first bit packing).
+
+    Width grows when next_code reaches 1<<width (the code that CAN
+    appear next is next_code itself — the cScSc special case — so the
+    reader must widen as soon as that value needs the extra bit);
+    at 4096 the table freezes until a clear code (deferred clear)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[int, list[int]] = {}
+    next_code = end + 1
+    prev: list[int] | None = None
+    out: list[int] = []
+    bitpos, total = 0, len(data) * 8
+    while bitpos + width <= total:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte : byte + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            width, next_code, prev = mcs + 1, end + 1, None
+            continue
+        if code == end:
+            break
+        if not table:
+            raise ValueError("LZW data before first clear code")
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            if next_code < _GIF_MAX_CODE:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices, mcs: int) -> bytes:
+    """GIF variable-width LZW encode — exact lockstep with
+    _lzw_decode: the encoder widens one assignment EARLIER (when
+    next_code == (1<<width)+1, i.e. the just-assigned code value hit
+    1<<width) because its very next emitted code may be that value."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    bits: list[int] = []  # (little-endian bit accumulation)
+    acc = [0, 0]  # value, nbits
+
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        acc[0] |= code << acc[1]
+        acc[1] += width
+        while acc[1] >= 8:
+            out.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    emit(clear)
+    buf: tuple = ()
+    for px in map(int, indices):
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code < _GIF_MAX_CODE:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: clear and restart (decoder resets in sync)
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            width, next_code = mcs + 1, end + 1
+        buf = (px,)
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if acc[1]:
+        out.append(acc[0] & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> list[int]:
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Wrap raw bytes into GIF 255-byte size-prefixed sub-blocks."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    frames,
+    palette: np.ndarray,
+    delays_ms: list[int] | None = None,
+    transparent: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Palette-index frames (each (h, w) uint8) + (n, 3) palette →
+    GIF89a bytes.  Multi-frame inputs get a Graphic Control Extension
+    per frame (delay in 10 ms units, optional transparent index)."""
+    import struct
+
+    if isinstance(frames, np.ndarray) and frames.ndim == 2:
+        frames = [frames]
+    h, w = frames[0].shape
+    n_colors = len(palette)
+    gct_bits = max(1, (int(n_colors) - 1).bit_length())
+    gct_size = 1 << gct_bits
+    mcs = max(2, gct_bits)  # LZW min code size >= 2 per spec
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    pal = np.zeros((gct_size, 3), np.uint8)
+    pal[:n_colors] = palette
+    out += pal.tobytes()
+    for i, frame in enumerate(frames):
+        assert frame.shape == (h, w) and frame.max(initial=0) < n_colors
+        if len(frames) > 1 or transparent is not None:
+            delay = (delays_ms[i] if delays_ms else 100) // 10
+            packed = (1 << 2) | (1 if transparent is not None else 0)
+            out += struct.pack(
+                "<BBBBHBB", 0x21, 0xF9, 4, packed, delay,
+                transparent if transparent is not None else 0, 0,
+            )
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+        )
+        px = frame[_interlace_order(h), :] if interlace else frame
+        out.append(mcs)
+        out += _sub_blocks(_lzw_encode(px.ravel(), mcs))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, list[int]]:
+    """GIF87a/89a → ((n_frames, h, w, 3) uint8 RGB, per-frame delays
+    in ms).  Handles global+local color tables, interlace, transparency
+    and disposal methods 0-2 (3 'restore previous' raises)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent: int | None = None
+    disposal = 0
+    delay_ms = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            subs = []
+            while payload[pos]:
+                ln = payload[pos]
+                subs.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs:
+                gce = subs[0]
+                disposal = (gce[0] >> 2) & 0x07
+                delay_ms = struct.unpack_from("<H", gce, 1)[0] * 10
+                transparent = gce[3] if gce[0] & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        lct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if lct is None:
+            raise ValueError("GIF image without any color table")
+        mcs = payload[pos]
+        pos += 1
+        raw = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            raw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(_lzw_decode(bytes(raw), mcs), np.int32)
+        if len(idx) < fw * fh:
+            raise ValueError("truncated GIF frame")
+        idx = idx[: fw * fh].reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced: rows arrived pass-reordered
+            deinter = np.empty_like(idx)
+            deinter[_interlace_order(fh), :] = idx
+            idx = deinter
+        if disposal == 3:
+            raise NotImplementedError("disposal 3 (restore previous)")
+        region = canvas[top : top + fh, left : left + fw]
+        rgb = lct[np.clip(idx, 0, len(lct) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[...] = np.where(mask, rgb, region)
+        else:
+            region[...] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay_ms)
+        if disposal == 2:  # restore to background (transparent black)
+            canvas[top : top + fh, left : left + fw] = 0
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return np.stack(frames), delays

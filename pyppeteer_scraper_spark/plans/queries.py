@@ -2931,6 +2931,7 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(batches):
         from pyppeteer_scraper_spark.operators.multimodal import (
+            encode_gif,
             encode_png,
             encode_ppm,
             encode_wav,
@@ -2952,6 +2953,21 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (d, "image",
                              encode_png(img, filter_type=(d // 4) % 5),
                              (16, 12, None, None, "image/png"))
+                        )
+                        continue
+                    if d % 8 == 2:
+                        # gray-palette GIF through the from-scratch LZW
+                        # path (palette lookup = exact pixels)
+                        idx = (
+                            (d + np.arange(16)[None, :]
+                             + 3 * np.arange(12)[:, None]) % 256
+                        ).astype(np.uint8)
+                        pal = np.stack([np.arange(256)] * 3, axis=1).astype(
+                            np.uint8
+                        )
+                        rows.append(
+                            (d, "image", encode_gif(idx, pal),
+                             (16, 12, None, None, "image/gif"))
                         )
                         continue
                     rows.append(

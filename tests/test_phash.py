@@ -44,11 +44,19 @@ def test_area_resize_handles_tiny_inputs():
 
 
 def test_dhash_container_invariant():
-    img = _img(7)
+    # palette-constrained pixels so the SAME image is losslessly
+    # expressible in all four containers, including indexed GIF
+    from pyppeteer_scraper_spark.operators.multimodal import encode_gif
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8).astype(np.uint8)
+    idx = rng.integers(0, 256, size=(24, 32), dtype=np.uint8).astype(np.uint8)
+    img = pal[idx]
     hashes = {
         dhash64(decode_image(encode_ppm(img))),
         dhash64(decode_image(encode_bmp(img))),
         dhash64(decode_image(encode_png(img, filter_type=4))),
+        dhash64(decode_image(encode_gif(idx, pal))),
     }
     assert len(hashes) == 1, "same pixels, different container → same hash"
 
