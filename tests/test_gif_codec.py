@@ -90,6 +90,24 @@ def test_real_world_1x1_tracking_pixel():
     assert len(delays) == 1
 
 
+# CPython's idlelib/Icons/tk.gif (PSF license) — a real-world GIF from
+# a real encoder, 14x11, 2 colors, with actual LZW dictionary growth;
+# pins the decoder against an artifact we did not produce.
+_TK_ICON_B64 = (
+    "R0lGODlhDgALAPABAP8AAMDAwCH5BAUAAAEALAAAAAAOAAsAAAIfDI4Qu+naEmvRTGq"
+    "gZVqd+1keyI1TKGlb9nVdxV1XAQA7"
+)
+
+
+def test_real_world_idlelib_icon():
+    frames, _ = decode_gif(base64.b64decode(_TK_ICON_B64))
+    assert frames.shape == (1, 11, 14, 3)
+    colors = {tuple(c) for c in frames[0].reshape(-1, 3)}
+    # tk-logo red; the gray (192,192,192) palette slot is declared
+    # TRANSPARENT by the GCE, so it composes to the black canvas
+    assert colors == {(255, 0, 0), (0, 0, 0)}
+
+
 def _checker(h, w, n_colors):
     y, x = np.mgrid[0:h, 0:w]
     return ((x + y) % n_colors).astype(np.uint8)
