@@ -5,13 +5,15 @@ columns with typed metadata, processed through Arrow-batched
 Decode is REAL for every format expressible without external libs:
 binary netpbm (PPM/PGM), uncompressed 24-bit BMP, PCM WAV, — from
 stdlib ``zlib`` — 8-bit PNG (gray / truecolor / palette / alpha, all
-five scanline filters, CRC-verified chunks), and GIF87a/89a (from-
-scratch variable-width LZW, interlace, transparency, multi-frame
-animation) are decoded with numpy + stdlib (``real_decode``),
-including a real block-average resize (``thumbnail_gray``) and
-image/audio feature extraction.  Only formats
-whose codecs are genuinely out of reach here (JPEG's DCT/Huffman,
-MP4/H.264) remain a NotImplementedError seam (``real_decode_stub``) —
+five scanline filters, CRC-verified chunks), GIF87a/89a (from-scratch
+variable-width LZW, interlace, transparency, multi-frame animation),
+and baseline JPEG (from-scratch Huffman + DCT, operators/jpeg.py —
+both codecs validated against real-world encoder artifacts, see
+tests/test_gif_codec.py and tests/test_jpeg_codec.py) are decoded with
+numpy + stdlib (``real_decode``), including a real block-average
+resize (``thumbnail_gray``) and image/audio feature extraction.  Only
+formats whose codecs are genuinely out of reach here (MP4/H.264,
+progressive JPEG) remain a NotImplementedError seam (``real_decode_stub``) —
 PIL/ffmpeg are not in this container.  Everything Spark-side is real and tested: schemas,
 batch shapes, partitioning, and the UDF signatures.  Reference analog:
 the screenshot binary sink (/root/reference/scraper/costco.py:123-128)
@@ -494,10 +496,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if payload.startswith((b"GIF87a", b"GIF89a")):
         return decode_gif(payload)[0][0]
-    if payload[:4] in (b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1"):
-        raise NotImplementedError(
-            "JPEG decode needs PIL — absent in this container"
-        )
+    if payload[:2] == b"\xff\xd8":
+        from pyppeteer_scraper_spark.operators.jpeg import decode_jpeg
+
+        # baseline SOF0/SOF1 decodes for real (operators/jpeg.py,
+        # validated against real-encoder artifacts); progressive SOF2
+        # raises NotImplementedError from inside the codec
+        return decode_jpeg(payload)
     raise ValueError("not a recognized image payload")
 
 
@@ -517,9 +522,14 @@ def real_decode(payload: bytes, dim: int = 0) -> np.ndarray:
         return image_features(decode_png(payload))
     if payload.startswith((b"GIF87a", b"GIF89a")):
         return image_features(decode_gif(payload)[0][0])
+    if payload[:2] == b"\xff\xd8":
+        from pyppeteer_scraper_spark.operators.jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(payload))
     raise NotImplementedError(
-        "JPEG/MP4 decode needs PIL/ffmpeg — absent in this container; "
-        "PPM/PGM/BMP/WAV/PNG/GIF decode is real"
+        "MP4/H.264 and progressive-JPEG decode need ffmpeg/libjpeg — "
+        "absent in this container; PPM/PGM/BMP/WAV/PNG/GIF/baseline-"
+        "JPEG decode is real"
     )
 
 

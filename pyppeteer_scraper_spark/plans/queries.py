@@ -2970,6 +2970,19 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                              (16, 12, None, None, "image/gif"))
                         )
                         continue
+                    if d % 16 == 6:
+                        # same pixels through the from-scratch baseline
+                        # JPEG path (lossy: features shift within
+                        # quantization error — pytest pins PSNR floors)
+                        from pyppeteer_scraper_spark.operators.jpeg import (
+                            encode_jpeg,
+                        )
+
+                        rows.append(
+                            (d, "image", encode_jpeg(img, quality=95),
+                             (16, 12, None, None, "image/jpeg"))
+                        )
+                        continue
                     rows.append(
                         (d, "image", encode_ppm(img),
                          (16, 12, None, None, "image/x-portable-pixmap"))

@@ -532,9 +532,19 @@ def test_real_decode_stub_contract_for_compressed(spark):
 
     from pyppeteer_scraper_spark.operators.multimodal import real_decode
 
-    # JPEG/MP4 stay the documented external-codec seam...
+    # MP4/H.264 stays the documented external-codec seam...
     with _pytest.raises(NotImplementedError):
+        real_decode(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
+    # ...JPEG is REAL now (operators/jpeg.py): a signature with garbage
+    # after it must fail PARSING (ValueError from the actual decoder),
+    # and progressive SOF2 hits the documented NotImplementedError seam
+    # from inside the codec.
+    with _pytest.raises(ValueError):
         real_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    sof2 = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01"
+            b"\x01\x11\x00\xff\xd9")
+    with _pytest.raises(NotImplementedError):
+        real_decode(sof2)
     # ...but PNG is REAL now (from-scratch zlib codec): a payload with
     # the PNG signature and garbage chunks must fail PARSING (ValueError
     # from the actual decoder), not hit the not-implemented seam.
