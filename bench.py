@@ -131,6 +131,8 @@ HEADLINE = [
     "export_stride_interleave",
     "src_cache_policy",
     "text_mojibake_signals",
+    # round-4 session-9 additions (comparable from BENCH_r04 on)
+    "media_mp4_sample_plan",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -1,0 +1,429 @@
+"""MP4 / ISO Base Media File Format container codec — stdlib, from
+scratch.
+
+A 100-TB multimodal crawl stores video as opaque ``binary`` columns;
+the *container* layer (what a pipeline needs for metadata extraction
+and frame sampling) is pure structured parsing — no video decoding
+required — so it is implemented for real here:
+
+* ``write_mp4``: a minimal valid single-video-track MP4 ("moov at
+  end" layout): ftyp, mdat with the samples packed into 2-sample
+  chunks, moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(vmhd, dinf,
+  stbl(stsd/avc1+avcC, stts, stsc, stsz, stco|co64, stss))))).
+  The sample-to-chunk layout is deliberately non-trivial (2 samples
+  per chunk, odd tail) so parsing stsc/stco back is actually
+  exercised.
+* ``parse_mp4``: a full box walk — 32-bit and 64-bit (largesize)
+  box headers, version-0 and version-1 mvhd/tkhd/mdhd, stco and
+  co64, uuid skip — returning brand, movie timescale/duration and
+  per-track handler, codec fourcc, width/height (tkhd 16.16 fixed
+  and the sample-entry shorts), and the raw sample tables.
+* ``sample_table``: reconstructs per-sample (offset, size, dts,
+  is_sync) from stsc/stco/stsz/stts/stss — the primitive a
+  distributed frame-sampler actually needs: byte ranges let 1000
+  executors range-read ONLY keyframes out of object storage instead
+  of shipping whole videos.
+
+What stays behind the documented seam: the H.264/H.265 *bitstream*
+inside the samples (a real deployment swaps in ffmpeg at exactly the
+``decode_frame`` boundary).  The avcC written here carries a
+clearly-fake SPS/PPS placeholder — the container is real, the
+codec-private data is not pretending to be.
+
+Reference analog: the reference persists media screenshots as opaque
+binaries (/root/reference/scraper/costco.py:123-128); frame-range
+planning has no reference analog — it's the training-data-pipeline
+extension SURVEY.md §6 calls for.
+
+Spark side (``mp4_sample_plan``): Arrow-batched mapInPandas that
+writes + parses + explodes in ONE pass, so sample binaries never
+shuffle — only the (id, offset, size) plan rows do (24 B vs KBs per
+row).  At scale the writer half is replaced by real payload bytes
+from storage; the parser half is unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+FTYP = (
+    struct.pack(">I", 24) + b"ftyp" + b"isom" + struct.pack(">I", 0x200)
+    + b"isom" + b"mp42"
+)
+assert len(FTYP) == 24
+MDAT_HEADER_LEN = 8
+SAMPLES_PER_CHUNK = 2
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + tag + payload
+
+
+def _full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(tag, struct.pack(">B", version) + struct.pack(">I", flags)[1:]
+                + payload)
+
+
+def _avc1_entry(width: int, height: int) -> bytes:
+    # VisualSampleEntry (ISO 14496-12 §12.1.3) + a minimal avcC whose
+    # SPS/PPS are explicit placeholders — see module docstring.
+    avcc = _box(
+        b"avcC",
+        bytes([1, 66, 0, 30, 0xFF, 0xE1]) + struct.pack(">H", 4)
+        + b"FAKE" + bytes([1]) + struct.pack(">H", 4) + b"FAKE",
+    )
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved, data_ref_idx
+        + b"\x00" * 16                               # predef/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)         # frame_count=1
+        + b"\x00" * 32                               # compressorname
+        + struct.pack(">H", 0x18) + struct.pack(">h", -1)
+        + avcc
+    )
+    return _box(b"avc1", entry)
+
+
+def write_mp4(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    sync_every: int = 3,
+    force_co64: bool = False,
+) -> bytes:
+    """Serialize samples into a valid single-video-track MP4.
+
+    Chunking is fixed at SAMPLES_PER_CHUNK consecutive samples per
+    chunk (back-to-back in mdat), so sample offsets are
+    ftyp+mdat-header plus the running sum of prior sample sizes —
+    the property the oracle SQL re-derives independently.
+    """
+    n = len(samples)
+    if n == 0:
+        raise ValueError("write_mp4 needs at least one sample")
+    mdat = _box(b"mdat", b"".join(samples))
+    base = len(FTYP) + MDAT_HEADER_LEN
+
+    sizes = [len(s) for s in samples]
+    n_chunks = (n + SAMPLES_PER_CHUNK - 1) // SAMPLES_PER_CHUNK
+    chunk_offsets = []
+    off = base
+    for c in range(n_chunks):
+        chunk_offsets.append(off)
+        for i in range(c * SAMPLES_PER_CHUNK,
+                       min((c + 1) * SAMPLES_PER_CHUNK, n)):
+            off += sizes[i]
+
+    duration = n * sample_delta
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0) + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">II", 0, 0) + struct.pack(">I", 1)
+        + struct.pack(">I", 0) + struct.pack(">I", duration)
+        + b"\x00" * 16
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">II", 0, 0) + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # 'und' language
+    )
+    hdlr = _full(b"hdlr", 0, 0,
+                 b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"graft\x00")
+    stsd = _full(b"stsd", 0, 0,
+                 struct.pack(">I", 1) + _avc1_entry(width, height))
+    stts = _full(b"stts", 0, 0,
+                 struct.pack(">I", 1) + struct.pack(">II", n, sample_delta))
+    # stsc in the compact run-length form the spec requires: one run
+    # for the full chunks, one for an odd-sized tail chunk.
+    runs = [(1, SAMPLES_PER_CHUNK, 1)]
+    tail = n - (n_chunks - 1) * SAMPLES_PER_CHUNK
+    if n_chunks > 1 and tail != SAMPLES_PER_CHUNK:
+        runs.append((n_chunks, tail, 1))
+    elif n_chunks == 1:
+        runs = [(1, tail, 1)]
+    stsc = _full(b"stsc", 0, 0,
+                 struct.pack(">I", len(runs))
+                 + b"".join(struct.pack(">III", *r) for r in runs))
+    stsz = _full(b"stsz", 0, 0,
+                 struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", s) for s in sizes))
+    if force_co64:
+        stco = _full(b"co64", 0, 0,
+                     struct.pack(">I", n_chunks)
+                     + b"".join(struct.pack(">Q", o) for o in chunk_offsets))
+    else:
+        stco = _full(b"stco", 0, 0,
+                     struct.pack(">I", n_chunks)
+                     + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    sync = [i + 1 for i in range(n) if i % sync_every == 0]
+    stss = _full(b"stss", 0, 0,
+                 struct.pack(">I", len(sync))
+                 + b"".join(struct.pack(">I", s) for s in sync))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1)
+                               + _full(b"url ", 0, 1, b"")))
+    vmhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return FTYP + mdat + moov
+
+
+def _walk(buf: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (tag, payload_start, payload_end) for each box in range;
+    handles 64-bit largesize and size==0 (extends to end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", buf[pos:pos + 4])[0]
+        tag = buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack(">Q", buf[pos + 8:pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"box {tag!r} overruns container")
+        yield tag, pos + hdr, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("trailing garbage after last box")
+
+
+CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf",
+              b"edts", b"udta", b"mvex", b"moof", b"traf"}
+
+
+def _vf(buf: bytes, s: int) -> tuple[int, int]:
+    """(version, payload-after-version-flags offset) of a full box."""
+    return buf[s], s + 4
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse container-level structure: brand, movie header, and every
+    track's handler/codec/dimensions/sample tables.  Raises ValueError
+    on malformed boxes — parsing failures, not silent zeros."""
+    out: dict = {"brand": None, "timescale": None, "duration": None,
+                 "tracks": []}
+    saw_moov = False
+
+    def visit(s: int, e: int, track: dict | None) -> None:
+        nonlocal saw_moov
+        for tag, ps, pe in _walk(payload, s, e):
+            if tag == b"ftyp":
+                out["brand"] = payload[ps:ps + 4].decode("ascii")
+            elif tag == b"mvhd":
+                v, p = _vf(payload, ps)
+                p += 16 if v == 1 else 8
+                if v == 1:
+                    out["timescale"] = struct.unpack(
+                        ">I", payload[p:p + 4])[0]
+                    out["duration"] = struct.unpack(
+                        ">Q", payload[p + 4:p + 12])[0]
+                else:
+                    out["timescale"], out["duration"] = struct.unpack(
+                        ">II", payload[p:p + 8])
+            elif tag == b"trak":
+                t: dict = {"track_id": None, "handler": None, "codec": None,
+                           "width": None, "height": None, "timescale": None,
+                           "duration": None, "sizes": [], "chunk_offsets": [],
+                           "stsc": [], "sync": None, "stts": []}
+                visit(ps, pe, t)
+                out["tracks"].append(t)
+            elif tag == b"tkhd" and track is not None:
+                v, p = _vf(payload, ps)
+                p += 16 if v == 1 else 8
+                track["track_id"] = struct.unpack(">I", payload[p:p + 4])[0]
+                q = pe - 8  # width/height are the last two 16.16 words
+                w, h = struct.unpack(">II", payload[q:q + 8])
+                track["width"], track["height"] = w / 65536.0, h / 65536.0
+            elif tag == b"mdhd" and track is not None:
+                v, p = _vf(payload, ps)
+                if v == 1:
+                    p += 16
+                    track["timescale"] = struct.unpack(
+                        ">I", payload[p:p + 4])[0]
+                    track["duration"] = struct.unpack(
+                        ">Q", payload[p + 4:p + 12])[0]
+                else:
+                    p += 8
+                    track["timescale"], track["duration"] = struct.unpack(
+                        ">II", payload[p:p + 8])
+            elif tag == b"hdlr" and track is not None:
+                track["handler"] = payload[ps + 8:ps + 12].decode(
+                    "ascii", "replace")
+            elif tag == b"stsd" and track is not None:
+                _, p = _vf(payload, ps)
+                p += 4  # entry_count
+                entry_size = struct.unpack(">I", payload[p:p + 4])[0]
+                if entry_size < 16 or p + entry_size > pe:
+                    raise ValueError("malformed stsd entry")
+                track["codec"] = payload[p + 4:p + 8].decode(
+                    "ascii", "replace")
+            elif tag == b"stts" and track is not None:
+                _, p = _vf(payload, ps)
+                (cnt,) = struct.unpack(">I", payload[p:p + 4])
+                track["stts"] = [
+                    struct.unpack(">II", payload[p + 4 + 8 * i:
+                                                 p + 12 + 8 * i])
+                    for i in range(cnt)
+                ]
+            elif tag == b"stsc" and track is not None:
+                _, p = _vf(payload, ps)
+                (cnt,) = struct.unpack(">I", payload[p:p + 4])
+                track["stsc"] = [
+                    struct.unpack(">III", payload[p + 4 + 12 * i:
+                                                  p + 16 + 12 * i])
+                    for i in range(cnt)
+                ]
+            elif tag == b"stsz" and track is not None:
+                _, p = _vf(payload, ps)
+                fixed, cnt = struct.unpack(">II", payload[p:p + 8])
+                if fixed:
+                    track["sizes"] = [fixed] * cnt
+                else:
+                    track["sizes"] = list(struct.unpack(
+                        f">{cnt}I", payload[p + 8:p + 8 + 4 * cnt]))
+            elif tag in (b"stco", b"co64") and track is not None:
+                _, p = _vf(payload, ps)
+                (cnt,) = struct.unpack(">I", payload[p:p + 4])
+                fmt, w = (">Q", 8) if tag == b"co64" else (">I", 4)
+                track["chunk_offsets"] = [
+                    struct.unpack(fmt, payload[p + 4 + w * i:
+                                               p + 4 + w * (i + 1)])[0]
+                    for i in range(cnt)
+                ]
+            elif tag == b"stss" and track is not None:
+                _, p = _vf(payload, ps)
+                (cnt,) = struct.unpack(">I", payload[p:p + 4])
+                track["sync"] = [
+                    struct.unpack(">I", payload[p + 4 + 4 * i:
+                                                p + 8 + 4 * i])[0]
+                    for i in range(cnt)
+                ]
+            elif tag in CONTAINERS:
+                if tag == b"moov":
+                    saw_moov = True
+                visit(ps, pe, track)
+            # leaf boxes we don't need (mdat, free, uuid, vmhd, ...)
+            # are skipped by the walk itself.
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (no leading ftyp)")
+    visit(0, len(payload), None)
+    if not saw_moov:
+        raise ValueError("no moov box found")
+    return out
+
+
+def sample_table(track: dict) -> list[tuple[int, int, int, int, bool]]:
+    """Flatten stsc/stco/stsz/stts/stss into per-sample rows
+    (sample_idx, byte_offset, byte_size, dts, is_sync) — the exact
+    input a distributed keyframe range-reader needs."""
+    sizes = track["sizes"]
+    offsets = track["chunk_offsets"]
+    n = len(sizes)
+    # expand the stsc run-length table into samples-per-chunk
+    spc: list[int] = []
+    runs = track["stsc"]
+    for i, (first, per, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(offsets)
+        spc.extend([per] * (last - first + 1))
+    # expand stts into per-sample dts
+    dts, t = [], 0
+    for cnt, delta in track["stts"]:
+        for _ in range(cnt):
+            dts.append(t)
+            t += delta
+    sync = set(track["sync"] or [])
+    rows = []
+    si = 0
+    for ci, coff in enumerate(offsets):
+        off = coff
+        for _ in range(spc[ci]):
+            if si >= n:
+                if ci < len(offsets) - 1:
+                    raise ValueError(
+                        f"stsz declares {n} samples but stsc fills "
+                        f"chunk {ci} before the last chunk")
+                break
+            rows.append((si, off, sizes[si], dts[si], (si + 1) in sync))
+            off += sizes[si]
+            si += 1
+    if si != n:
+        raise ValueError(
+            f"stsc/stco cover {si} samples but stsz declares {n}")
+    return rows
+
+
+def decode_frame(sample_bytes: bytes) -> "object":
+    """The documented external-codec seam: the H.264/H.265 bitstream
+    inside a sample needs ffmpeg/libavcodec — absent in this
+    container.  Everything up to the byte range of the sample
+    (container parse, chunk layout, keyframe selection) is real."""
+    raise NotImplementedError(
+        "H.264/H.265 bitstream decode needs ffmpeg — absent in this "
+        "container; MP4 container parsing and sample byte-range "
+        "planning are real (parse_mp4/sample_table)"
+    )
+
+
+def mp4_sample_plan(media, id_col: str = "media_id",
+                    payload_col: str = "payload",
+                    keyframes_only: bool = False):
+    """media(id, payload:binary) -> per-sample byte-range plan rows.
+
+    One Arrow-batched mapInPandas pass: parse each payload's container
+    and emit (id, track metadata, sample_idx, offset, size, dts,
+    is_sync).  The binary column never shuffles — the output rows are
+    ~50 B each, so a 1000-executor fleet plans range-reads over PBs of
+    video while moving only the plan.
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, brand string, codec string, width double, "
+        "height double, duration_ms long, n_samples int, "
+        "sample_idx int, offset long, size long, dts long, "
+        "is_sync boolean"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta = parse_mp4(bytes(payload))
+                for tr in meta["tracks"]:
+                    dur_ms = int(
+                        tr["duration"] * 1000 // tr["timescale"])
+                    for (si, off, sz, dts, sync) in sample_table(tr):
+                        if keyframes_only and not sync:
+                            continue
+                        out.append(
+                            (int(mid), meta["brand"], tr["codec"],
+                             tr["width"], tr["height"], dur_ms,
+                             len(tr["sizes"]), si, off, sz, dts, sync))
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "brand", "codec", "width", "height",
+                         "duration_ms", "n_samples", "sample_idx",
+                         "offset", "size", "dts", "is_sync"],
+            )
+
+    return media.mapInPandas(run, schema=schema)

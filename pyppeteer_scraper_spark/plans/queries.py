@@ -8073,6 +8073,96 @@ def text_mojibake_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_mp4_sample_plan",
+    """
+    WITH docs AS (
+      SELECT doc_id, 3 + doc_id % 5 AS n
+      FROM documents WHERE doc_id % 8 = 0
+    ),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM docs),
+    sized AS (
+      SELECT doc_id, n, i, 20 + (doc_id * 7 + i * 13) % 50 AS sz FROM s
+    ),
+    offs AS (
+      SELECT doc_id, n, i, sz,
+             32 + coalesce(sum(sz) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      FROM sized
+    )
+    SELECT doc_id, 'isom' AS brand, 'avc1' AS codec,
+           CAST(16 + (doc_id % 4) * 16 AS DOUBLE) AS width,
+           CAST(12 + (doc_id % 3) * 12 AS DOUBLE) AS height,
+           CAST(n * 40 AS BIGINT) AS duration_ms,
+           CAST(n AS INT) AS n_samples,
+           CAST(i AS INT) AS sample_idx,
+           CAST(o AS BIGINT) AS byte_offset,
+           CAST(sz AS BIGINT) AS byte_size,
+           CAST(i * 40 AS BIGINT) AS dts,
+           i % 3 = 0 AS is_sync
+    FROM offs
+    """,
+)
+def media_mp4_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF container parsing + frame-sample byte-range
+    planning (operators/mp4.py): deterministic single-track MP4s are
+    serialized per doc (write_mp4: real ftyp/mdat/moov with 2-sample
+    chunks), then the real parser walks the box tree and reconstructs
+    per-sample (offset, size, dts, is_sync) from stsc/stco/stsz/stts/
+    stss.  The DuckDB oracle re-derives the expected plan
+    ARITHMETICALLY from the layout contract (base offset 32 = ftyp 24
+    + mdat header 8, consecutive samples) — independent derivation, no
+    parser replay — so a parser or writer off-by-one anywhere in the
+    chunk tables breaks the hash.  The binary never shuffles: write +
+    parse + explode happen in one mapInPandas pass; only ~50 B plan
+    rows come out.  At 100 TB the writer half is replaced by real
+    payloads read from object storage; the plan rows then drive
+    keyframe-only range reads (is_sync) instead of shipping whole
+    videos.  Frame BITSTREAM decode stays the documented ffmpeg seam
+    (mp4.decode_frame).  Reference analog: opaque media sink
+    (/root/reference/scraper/costco.py:123-128)."""
+    import pandas as pd
+
+    from pyppeteer_scraper_spark.operators.mp4 import (
+        mp4_sample_plan,
+        write_mp4,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.pmod(F.col("doc_id"), F.lit(8)) == 0)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 3 + d % 5
+                samples = [
+                    bytes([ (d + i) % 256 ]) * (20 + (d * 7 + i * 13) % 50)
+                    for i in range(n)
+                ]
+                payloads.append(
+                    write_mp4(samples, width=16 + (d % 4) * 16,
+                              height=12 + (d % 3) * 12, sync_every=3)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    plan = mp4_sample_plan(media, id_col="media_id")
+    return plan.select(
+        F.col("media_id").alias("doc_id"), "brand", "codec", "width",
+        "height", "duration_ms", "n_samples", "sample_idx",
+        F.col("offset").alias("byte_offset"),
+        F.col("size").alias("byte_size"), "dts", "is_sync",
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #

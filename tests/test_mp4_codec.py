@@ -1,0 +1,146 @@
+"""MP4/ISO-BMFF container codec (operators/mp4.py): writer→parser
+roundtrips with exact byte-range verification, the non-trivial
+2-sample-per-chunk stsc/stco reconstruction, co64 and largesize and
+version-1 header paths, malformed-box rejection, the keyframes-only
+plan, and the documented bitstream-decode seam."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pyppeteer_scraper_spark.operators.mp4 import (
+    FTYP,
+    MDAT_HEADER_LEN,
+    decode_frame,
+    mp4_sample_plan,
+    parse_mp4,
+    sample_table,
+    write_mp4,
+)
+
+BASE = len(FTYP) + MDAT_HEADER_LEN
+
+
+def _samples(n, seed=0):
+    return [bytes([(seed + i) % 256]) * (20 + (seed * 7 + i * 13) % 50)
+            for i in range(n)]
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 6, 7, 11])
+def test_roundtrip_offsets_sizes_bytes(n):
+    samples = _samples(n, seed=n)
+    payload = write_mp4(samples, width=32, height=24, sync_every=3)
+    meta = parse_mp4(payload)
+    assert meta["brand"] == "isom"
+    assert meta["timescale"] == 1000
+    assert meta["duration"] == n * 40
+    (tr,) = meta["tracks"]
+    assert (tr["handler"], tr["codec"]) == ("vide", "avc1")
+    assert (tr["width"], tr["height"]) == (32.0, 24.0)
+    rows = sample_table(tr)
+    assert [r[0] for r in rows] == list(range(n))
+    off = BASE
+    for si, o, sz, dts, sync in rows:
+        assert o == off and sz == len(samples[si])
+        # the byte range must address the actual sample bytes in mdat
+        assert payload[o:o + sz] == samples[si]
+        assert dts == si * 40
+        assert sync == (si % 3 == 0)
+        off += sz
+
+
+def test_co64_and_largesize_paths():
+    samples = _samples(5, seed=2)
+    p64 = write_mp4(samples, 16, 12, force_co64=True)
+    rows64 = sample_table(parse_mp4(p64)["tracks"][0])
+    p32 = write_mp4(samples, 16, 12, force_co64=False)
+    rows32 = sample_table(parse_mp4(p32)["tracks"][0])
+    assert rows64 == rows32  # identical plan, co64 is wider on disk
+    assert b"co64" in p64 and b"stco" not in p64
+
+    # rewrite mdat with a 64-bit largesize header; offsets shift by 8
+    mdat_start = len(FTYP)
+    mdat_size = struct.unpack(">I", p32[mdat_start:mdat_start + 4])[0]
+    body = p32[mdat_start + 8:mdat_start + mdat_size]
+    big_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(
+        ">Q", len(body) + 16) + body
+    rest = p32[mdat_start + mdat_size:]
+    big = p32[:mdat_start] + big_mdat + rest
+    meta = parse_mp4(big)  # must not choke on largesize
+    assert len(meta["tracks"][0]["sizes"]) == 5
+
+
+def test_version1_movie_and_media_headers():
+    p = bytearray(write_mp4(_samples(3), 16, 12))
+    # upgrade mvhd to version 1 in place: v0 payload is 8+8+... we
+    # rebuild the box instead — simpler: craft a v1 mvhd and splice.
+    i = p.find(b"mvhd") - 4
+    size = struct.unpack(">I", p[i:i + 4])[0]
+    v1_payload = (
+        b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000) + struct.pack(">Q", 270000)
+        + bytes(p[i + 8 + 4 + 16:i + size])  # rate.. onwards unchanged
+    )
+    v1 = struct.pack(">I", len(v1_payload) + 8) + b"mvhd" + v1_payload
+    delta = len(v1) - size
+    # the enclosing moov box grows by the same delta
+    m = p.find(b"moov") - 4
+    (moov_size,) = struct.unpack(">I", p[m:m + 4])
+    p[m:m + 4] = struct.pack(">I", moov_size + delta)
+    p2 = bytes(p[:i]) + v1 + bytes(p[i + size:])
+    meta = parse_mp4(p2)
+    assert meta["timescale"] == 90000 and meta["duration"] == 270000
+
+
+def test_malformed_boxes_raise():
+    good = write_mp4(_samples(3), 16, 12)
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08free" + good[8:])  # no ftyp first
+    # box size overrunning the container
+    bad = bytearray(good)
+    bad[0:4] = struct.pack(">I", len(good) + 999)
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+    with pytest.raises(ValueError):
+        parse_mp4(good[:40])  # truncated mid-mdat
+    with pytest.raises(ValueError):
+        parse_mp4(FTYP)  # no moov
+
+
+def test_stsc_stsz_disagreement_detected():
+    # 6 samples → 3 chunks of 2; lie that stsz has only 3 samples so a
+    # NON-final chunk (chunk 1) runs dry — flattening must refuse
+    # rather than silently emit a short plan.
+    p = bytearray(write_mp4(_samples(6), 16, 12))
+    i = p.find(b"stsz")
+    cnt_at = i + 4 + 4 + 4
+    (n,) = struct.unpack(">I", p[cnt_at:cnt_at + 4])
+    assert n == 6
+    p[cnt_at:cnt_at + 4] = struct.pack(">I", 3)
+    tr = parse_mp4(bytes(p))["tracks"][0]
+    with pytest.raises(ValueError):
+        sample_table(tr)
+
+
+def test_decode_frame_is_the_documented_seam():
+    with pytest.raises(NotImplementedError):
+        decode_frame(b"\x00\x00\x00\x01\x67FAKE")
+
+
+def test_spark_sample_plan_and_keyframes_only(spark):
+    import pandas as pd
+
+    payloads = [(i, write_mp4(_samples(3 + i, seed=i), 16, 12,
+                              sync_every=3)) for i in range(4)]
+    media = spark.createDataFrame(payloads, ["media_id", "payload"])
+    full = mp4_sample_plan(media).toPandas()
+    assert len(full) == sum(3 + i for i in range(4))
+    # per-media offsets are strictly increasing and start at BASE
+    for mid, grp in full.groupby("media_id"):
+        g = grp.sort_values("sample_idx")
+        assert g["offset"].iloc[0] == BASE
+        assert (np.diff(g["offset"]) == g["size"].values[:-1]).all()
+    keys = mp4_sample_plan(media, keyframes_only=True).toPandas()
+    assert (keys["is_sync"]).all()
+    assert len(keys) == int(full["is_sync"].sum())
