@@ -437,6 +437,75 @@ def audio_features(samples: np.ndarray, sr: int) -> np.ndarray:
     return np.array([dur, rms, zcr, peak], dtype=np.float32)
 
 
+def _mel_filterbank(
+    n_mels: int, n_fft: int, sr: int
+) -> np.ndarray:
+    """Triangular mel filterbank (n_mels, n_fft//2+1), HTK mel scale
+    mel(f) = 2595 log10(1 + f/700), filters spanning 0..Nyquist."""
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)
+                                 / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    freqs = np.arange(n_bins) * (sr / n_fft)
+    edges = from_mel(np.linspace(0.0, float(to_mel(sr / 2)), n_mels + 2))
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, ctr, hi = edges[m], edges[m + 1], edges[m + 2]
+        up = (freqs - lo) / max(ctr - lo, 1e-12)
+        down = (hi - freqs) / max(hi - ctr, 1e-12)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def audio_spectral_features(
+    samples: np.ndarray,
+    sr: int,
+    n_fft: int = 512,
+    hop: int = 256,
+    n_mels: int = 16,
+) -> np.ndarray:
+    """Real frequency-domain audio features — numpy FFT, from scratch:
+    Hann-windowed frames → rfft power spectrum averaged over frames →
+    [n_frames, peak_bin, peak_hz, centroid_hz, bandwidth_hz,
+    rolloff85_hz, flatness] + n_mels log-mel filterbank energies
+    (7 + n_mels floats).  peak_bin of a bin-exact sine is analytically
+    known, which is what the SQL oracle pins; the continuous features
+    are pytest-pinned against analytic expectations (centroid→f0,
+    sine flatness ≪ broadband flatness)."""
+    x = samples.astype(np.float64) / 32768.0
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    spec = np.abs(np.fft.rfft(x[idx] * window, axis=1)) ** 2
+    s = spec.mean(axis=0)
+    freqs = np.arange(len(s)) * (sr / n_fft)
+    total = s.sum()
+    if total <= 0:
+        centroid = bandwidth = rolloff = 0.0
+        flatness = 1.0
+        peak_bin = 0
+    else:
+        p = s / total
+        centroid = float((freqs * p).sum())
+        bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * p).sum()))
+        rolloff = float(freqs[np.searchsorted(np.cumsum(p), 0.85)])
+        flatness = float(
+            np.exp(np.mean(np.log(s + 1e-20))) / (s.mean() + 1e-20))
+        peak_bin = int(np.argmax(s))
+    mel = _mel_filterbank(n_mels, n_fft, sr) @ s
+    logmel = np.log10(mel + 1e-12)
+    return np.concatenate(
+        [[n_frames, peak_bin, peak_bin * (sr / n_fft), centroid,
+          bandwidth, rolloff, flatness], logmel]
+    ).astype(np.float32)
+
+
 def _area_resize_gray(gray: np.ndarray, rows: int, cols: int) -> np.ndarray:
     """Exact area-average resize to (rows, cols) via an integral image
     — the box-filter downscale perceptual hashing expects, O(pixels),

@@ -8163,6 +8163,74 @@ def media_mp4_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_audio_spectral",
+    """
+    SELECT doc_id,
+           CAST(500 + (doc_id % 8) * 500 AS BIGINT) AS f0_hz,
+           CAST(7 + (doc_id % 3) * 2 AS INT) AS n_frames,
+           CAST((500 + (doc_id % 8) * 500) / 31.25 AS INT) AS peak_bin,
+           CAST(500 + (doc_id % 8) * 500 AS DOUBLE) AS peak_hz
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def media_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio analysis
+    (operators/multimodal.py::audio_spectral_features): per doc a
+    bin-exact sine WAV fixture (f0 = 500..4000 Hz, every multiple of
+    500 Hz sits exactly on an n_fft=512/sr=16k FFT bin, 31.25 Hz wide)
+    is encoded with the real WAV writer, decoded back, Hann-framed,
+    and FFT-analyzed inside ONE mapInPandas pass — audio bytes never
+    shuffle.  The oracle states the analytically-known outputs: frame
+    count from the sample count, and the power-spectrum argmax bin,
+    which for a bin-exact sine is EXACT (symmetric leakage) — so any
+    framing, windowing, or rfft indexing bug moves the peak and breaks
+    the hash.  Continuous features (centroid/bandwidth/rolloff/
+    flatness/log-mel) ride the same code path and are pytest-pinned
+    against analytic expectations (tests/test_audio_spectral.py).
+    Reference analog: none — training-data-pipeline extension
+    (SURVEY.md §6 multimodal)."""
+    import pandas as pd
+
+    from pyppeteer_scraper_spark.operators.multimodal import (
+        audio_spectral_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
+    )
+
+    def run(batches):
+        import numpy as np
+
+        sr = 16000
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                f0 = 500 + (d % 8) * 500
+                n = 2048 + (d % 3) * 512
+                t = np.arange(n) / sr
+                pcm = (0.5 * 32767 * np.sin(2 * np.pi * f0 * t)).astype(
+                    np.int16)
+                samples, got_sr = decode_wav(encode_wav(pcm, sr))
+                f = audio_spectral_features(samples, got_sr)
+                out.append((d, f0, int(f[0]), int(f[1]), float(f[2])))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "f0_hz", "n_frames", "peak_bin",
+                              "peak_hz"])
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, f0_hz long, n_frames int, peak_bin int, "
+               "peak_hz double",
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
