@@ -134,6 +134,7 @@ HEADLINE = [
     # round-4 session-9 additions (comparable from BENCH_r04 on)
     "media_mp4_sample_plan",
     "media_audio_spectral",
+    "rank_lpa_communities",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

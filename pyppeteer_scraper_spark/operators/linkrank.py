@@ -579,3 +579,65 @@ def seed_distance(
     return nodes.join(dist, "node", "left").select(
         "node", F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, made deterministic) over the UNDIRECTED form of
+    ``edges``; returns (node, label) after a FIXED ``iters`` sweeps.
+
+    Each sweep, every node adopts the label held by the plurality of
+    its neighbors, ties broken by the MINIMUM label — the
+    deterministic replacement for the paper's random tie-break, so
+    Spark and the SQL oracle agree bit-for-bit.  Isolated semantics:
+    a node keeps its previous label when it has no neighbors.
+
+    Scale shape: one groupBy((node, label)) + one per-node window max
+    + one min-aggregate per sweep — all equi-shuffles on node; the
+    symmetrized adjacency is cached once and reused every sweep;
+    lineage is truncated per sweep (localCheckpoint) exactly like
+    ``pagerank``.  Fixed sweeps are the honest choice over a
+    convergence collect (synchronous LPA can 2-cycle on bipartite
+    structures — a real deployment runs a fixed small k anyway).
+    Reference analog: none — frontier/host clustering extension
+    (groups mutually-linked host neighborhoods so per-community crawl
+    budgets can be assigned).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().cache()
+    nodes = adj.select(F.col("a").alias("node")).distinct().cache()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        neigh = (
+            adj.join(
+                labels.withColumnRenamed("node", "b"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node")
+        best = (
+            neigh.withColumn("mc", F.max("c").over(w))
+            .where(F.col("c") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias(
+                    "label"),
+            )
+            .localCheckpoint()
+        )
+    adj.unpersist()
+    nodes.unpersist()
+    return labels

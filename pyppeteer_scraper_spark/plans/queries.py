@@ -3235,6 +3235,58 @@ def rank_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+# one synchronous LPA sweep, parameterized by the previous label CTE —
+# mirrors operators/linkrank.py::label_propagation exactly (plurality
+# label among undirected neighbors, ties broken by MIN label).
+def _lpa_iter_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""cnt{i} AS (
+      SELECT adj.a AS node, l.label, count(*) AS c
+      FROM adj JOIN {prev} l ON l.node = adj.b GROUP BY adj.a, l.label
+    ), best{i} AS (
+      SELECT node, min(label) AS new_label FROM (
+        SELECT node, label, c, max(c) OVER (PARTITION BY node) AS mc
+        FROM cnt{i}) t
+      WHERE c = mc GROUP BY node
+    ), l{i} AS (
+      SELECT n.node, coalesce(b.new_label, p.label) AS label
+      FROM lpa_nodes n LEFT JOIN best{i} b ON b.node = n.node
+      JOIN {prev} p ON p.node = n.node
+    )"""
+
+
+@query(
+    "rank_lpa_communities",
+    f"""
+    WITH {_TRANS_EDGES_SQL},
+    adj AS (SELECT src AS a, dst AS b FROM edges
+            UNION SELECT dst, src FROM edges),
+    lpa_nodes AS (SELECT DISTINCT a AS node FROM adj),
+    l0 AS (SELECT node, node AS label FROM lpa_nodes),
+    {_lpa_iter_sql(1)},
+    {_lpa_iter_sql(2)},
+    {_lpa_iter_sql(3)}
+    SELECT node, CAST(label AS BIGINT) AS community FROM l3
+    """,
+)
+def rank_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (operators/linkrank.py::label_propagation) over the navigation
+    graph — 3 fixed sweeps, plurality label with min-label tie-break.
+    The oracle unrolls the identical sweeps as CTEs (same shape as the
+    rank_pagerank oracle), so every plurality count and tie-break is
+    hash-checked.  Scale path: per-sweep equi-shuffles on node only;
+    adjacency cached once; lineage truncated per sweep."""
+    from pyppeteer_scraper_spark.operators.linkrank import (
+        label_propagation,
+    )
+
+    labels = label_propagation(_transition_edges(spark, sf_dir), iters=3)
+    return labels.select(
+        "node", F.col("label").cast("long").alias("community")
+    )
+
+
 # --- round-4 additions: data-selection / mixing / budget / decontam ------
 
 

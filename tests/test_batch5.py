@@ -190,3 +190,39 @@ def test_calibration_bins_golden(spark):
     expect = (2 * 0.375 + 2 * 0.025) / 4
     for r in out.values():
         assert r["ece"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_label_propagation_two_triangles_hand_computed(spark):
+    """Two triangles {0,1,2} and {3,4,5} joined by the bridge 2-3:
+    the hand-run of 3 deterministic sweeps (plurality, min-label
+    ties) converges to community 0 on the left and 2 on the right —
+    the bridge does NOT merge them."""
+    from pyppeteer_scraper_spark.operators.linkrank import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+        ["src", "dst"],
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}
+
+
+def test_label_propagation_directed_input_is_symmetrized(spark):
+    """A directed chain 0→1→2 must behave as the undirected path:
+    after one sweep every node adopts its min neighbor's label."""
+    from pyppeteer_scraper_spark.operators.linkrank import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=1).collect()
+    }
+    # node0's only neighbor is 1; node1 ties {0,2}→0; node2's is 1
+    assert out == {0: 1, 1: 0, 2: 1}
