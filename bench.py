@@ -135,6 +135,7 @@ HEADLINE = [
     "media_mp4_sample_plan",
     "media_audio_spectral",
     "rank_lpa_communities",
+    "dedup_edit1_pairs",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -8216,6 +8216,71 @@ def media_mp4_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_edit1_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'crawl item ' || CAST(doc_id // 4 AS VARCHAR)
+               || ' alpha beta' AS s,
+             2 + (doc_id // 4) % 9 AS p
+      FROM documents
+    ),
+    titles AS (
+      SELECT doc_id AS id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN s
+               WHEN 1 THEN substr(s, 1, p - 1) || substr(s, p + 1)
+               WHEN 2 THEN substr(s, 1, p - 1) || 'z' || substr(s, p + 1)
+               ELSE substr(s, 1, p - 1) || 'q' || substr(s, p)
+             END AS t
+      FROM base
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS INT) AS dist
+    FROM titles a JOIN titles b
+      ON a.id < b.id AND abs(length(a.t) - length(b.t)) <= 1
+    WHERE levenshtein(a.t, b.t) <= 1
+    """,
+)
+def dedup_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-1 near-dup pairs via deletion-neighborhood
+    blocking (operators/dedup.py::deletion_neighborhood_pairs — the
+    FastSS/SymSpell equi-join scheme, provably complete for ed<=1).
+    The fixture plants one delete / substitute / insert mutation per
+    4-doc title group; the DuckDB oracle is the BRUTE-FORCE quadratic
+    levenshtein join — a hash match proves the blocked Spark path
+    loses zero pairs on this corpus (the blocked side is the 100-TB
+    scale path; the oracle's all-pairs form is the verifier, same
+    division of labor as dedup_lsh_verified_jaccard)."""
+    from pyppeteer_scraper_spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    titles = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "'crawl item ' || CAST(doc_id div 4 AS STRING)"
+            " || ' alpha beta' AS s",
+            "2 + (doc_id div 4) % 9 AS p",
+        )
+        .selectExpr(
+            "doc_id",
+            """CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN s
+                 WHEN 1 THEN concat(substring(s, 1, p - 1),
+                                    substring(s, p + 1))
+                 WHEN 2 THEN concat(substring(s, 1, p - 1), 'z',
+                                    substring(s, p + 1))
+                 ELSE concat(substring(s, 1, p - 1), 'q',
+                             substring(s, p))
+               END AS title""",
+        )
+    )
+    return deletion_neighborhood_pairs(titles, "doc_id", "title")
+
+
+@query(
     "media_audio_spectral",
     """
     SELECT doc_id,

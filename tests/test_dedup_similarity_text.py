@@ -722,3 +722,48 @@ def test_ws_token_count_single_space_semantics(spark):
             "SELECT len(string_split(?, ' '))", [t]
         ).fetchone()[0]
         assert got[i] == want == len(t.split(" ")), (i, t, got[i], want)
+
+
+def test_deletion_neighborhood_exact_ed1(spark):
+    """FastSS blocking finds EXACTLY the ed<=1 pairs: deletion,
+    insertion, substitution, and identity all caught; an ed=2 pair
+    and an unrelated string excluded.  Cross-checked against the
+    brute-force O(n^2) levenshtein join on the same rows."""
+    from pyppeteer_scraper_spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "frontier"),
+        (2, "fronter"),    # deletion of 'i'  -> ed 1 vs #1
+        (3, "fronntier"),  # insertion of 'n' -> ed 1 vs #1
+        (4, "fruntier"),   # substitution     -> ed 1 vs #1
+        (5, "frontier"),   # identical        -> ed 0 vs #1
+        (6, "frontispiece"),  # far away
+        (7, "fronte"),     # ed 2 vs #1 (two deletions) — excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "title"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in deletion_neighborhood_pairs(df).collect()
+    }
+    # brute force ground truth
+    import itertools
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (i, j): ed(a, b)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if ed(a, b) <= 1
+    }
+    assert got == want
+    assert (1, 7) not in got and (1, 6) not in got
+    assert got[(1, 5)] == 0 and got[(1, 2)] == 1
