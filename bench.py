@@ -136,6 +136,8 @@ HEADLINE = [
     "media_audio_spectral",
     "rank_lpa_communities",
     "dedup_edit1_pairs",
+    "sim_embedding_covariance",
+    "sim_pca_whiten_identity",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

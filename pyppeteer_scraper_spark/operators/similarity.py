@@ -580,3 +580,123 @@ def int8_quantize_stats(
             ).alias("avg_cos_sim"),
         )
     )
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Population covariance matrix of an embedding column as rows
+    (i, j, cov) for i <= j — the distributed Gram-matrix pattern:
+
+    one mapInPandas pass computes PER-PARTITION partials (X^T X as a
+    flattened upper triangle, the column-sum vector, and the row
+    count), so the shuffle carries only d(d+1)/2 + d + 1 numbers per
+    input partition (d=64 → 2 KB) instead of any per-row data; a
+    groupBy-sum reduce and a tiny broadcast self-join assemble
+    cov(i,j) = E[x_i x_j] - E[x_i]E[x_j].  This is numerically the
+    textbook one-pass form; at 100 TB the partials tree-reduce and
+    the answer is d×d regardless of corpus size.  Reference analog:
+    none — embedding-pipeline extension (the input PCA/whitening and
+    SemDeDup's cell geometry both start from this matrix)."""
+
+    def partials(batches):
+        acc = None
+        n = 0
+        s = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            n += len(x)
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        out = pd.DataFrame({
+            "i": np.concatenate([iu, np.arange(d), [-1]]).astype("int32"),
+            "j": np.concatenate([ju, np.full(d, -1), [-1]]).astype(
+                "int32"),
+            "v": np.concatenate([acc[iu, ju], s, [float(n)]]),
+        })
+        yield out
+
+    parts = emb.select(vec_col).mapInPandas(
+        partials, schema="i int, j int, v double")
+    summed = parts.groupBy("i", "j").agg(F.sum("v").alias("v")).cache()
+    n = summed.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        "v").alias("nn")
+    sums = summed.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("k"), F.col("v").alias("s"))
+    gram = summed.where(F.col("j") >= 0)
+    out = (
+        gram.join(F.broadcast(sums.select(F.col("k").alias("i"),
+                                          F.col("s").alias("si"))), "i")
+        .join(F.broadcast(sums.select(F.col("k").alias("j"),
+                                      F.col("s").alias("sj"))), "j")
+        .crossJoin(F.broadcast(n.select(F.col("v").alias("n"))))
+        .select(
+            "i", "j",
+            ((F.col("v") - F.col("si") * F.col("sj") / F.col("n"))
+             / F.col("n")).alias("cov"),
+        )
+    )
+    return out
+
+
+def pca_whiten(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1e-8,
+) -> tuple[DataFrame, "np.ndarray", "np.ndarray"]:
+    """PCA whitening: rotate + rescale so the transformed embedding
+    column has identity covariance.  The covariance reduce is fully
+    distributed (``embedding_covariance``); only the d×d matrix is
+    collected for the eigendecomposition (d=64 → 32 KB — a driver-
+    side eigh on a d×d matrix is the PRINCIPLED collect: its size is
+    independent of corpus size), and the whitening matrix broadcasts
+    back into one Arrow-batched transform.  Returns (whitened_df,
+    mean_vector, whitening_matrix); whitened_df carries (id, vec
+    whitened).  Rows-only by design (eigenvectors are not
+    SQL-derivable); pytest pins whitened covariance == I."""
+    cov_rows = embedding_covariance(emb, vec_col).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    # mean vector via one tiny agg pass (reuses the partials' sums
+    # would be nicer, but the covariance API returns only cov —
+    # recompute from a d-wide aggregate, still one scan of a
+    # projection)
+    mean = np.array(
+        emb.select(
+            *[
+                F.avg(F.element_at(F.col(vec_col), k + 1)).alias(f"m{k}")
+                for k in range(d)
+            ]
+        ).collect()[0]
+    )
+    w_eig, v_eig = np.linalg.eigh(cov)
+    wmat = v_eig @ np.diag(1.0 / np.sqrt(np.maximum(w_eig, eps))) @ v_eig.T
+
+    b_mean = mean.copy()
+    b_w = wmat.copy()
+
+    def transform(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            y = (x - b_mean) @ b_w
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "whitened": list(y)})
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        transform, schema=f"{id_col} long, whitened array<double>")
+    return out, mean, wmat

@@ -8281,6 +8281,79 @@ def dedup_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_embedding_covariance",
+    """
+    WITH x AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    s AS (SELECT i, sum(v) AS s FROM x GROUP BY i),
+    g AS (
+      SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sp
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT g.i, g.j,
+           round((g.sp - sa.s * sb.s / (SELECT n FROM nn))
+                 / (SELECT n FROM nn), 6) AS cov
+    FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j
+    """,
+)
+def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the embedding column
+    (operators/similarity.py::embedding_covariance): per-partition
+    X^T X partials via mapInPandas, so the shuffle carries d(d+1)/2+
+    d+1 doubles per partition (2 KB at d=64) — corpus-size-
+    independent.  The DuckDB oracle computes the same matrix the
+    expensive way (explode + self-join on vec_id) — independent
+    derivation; a hash match at 6 dp pins every E[x_i x_j] cell.
+    The 1-row count attach is a declared scalar crossJoin (same
+    pattern as search_bm25_topk)."""
+    from pyppeteer_scraper_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = embedding_covariance(emb, "embedding")
+    return cov.select("i", "j", F.round("cov", 6).alias("cov"))
+
+
+@query(
+    "sim_pca_whiten_identity",
+    """
+    WITH d AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+    idx AS (SELECT CAST(unnest(range((SELECT d FROM d))) AS INT) AS i)
+    SELECT a.i, b.i AS j,
+           CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END AS cov
+    FROM idx a JOIN idx b ON a.i <= b.i
+    """,
+)
+def sim_pca_whiten_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening end-to-end (operators/similarity.py::pca_whiten —
+    distributed Gram reduce → driver-side d×d eigh, the principled
+    corpus-size-independent collect → broadcast transform), composed
+    with a second distributed covariance pass over the WHITENED
+    vectors.  The oracle is ANALYTIC: whitening is definitionally the
+    transform that makes the covariance the identity, so the expected
+    output is I at 6 dp — any bug in the partials, the mean, the
+    eigendecomposition wiring, or the transform breaks the hash.
+    Eigenvectors themselves are not SQL-derivable (rows-only would be
+    the lazy registration); this identity composition makes the op
+    fully oracled anyway."""
+    from pyppeteer_scraper_spark.operators.similarity import (
+        embedding_covariance,
+        pca_whiten,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    whitened, _mean, _w = pca_whiten(emb, "embedding", "vec_id")
+    cov = embedding_covariance(whitened, "whitened")
+    return cov.select("i", "j", F.round("cov", 6).alias("cov"))
+
+
+@query(
     "media_audio_spectral",
     """
     SELECT doc_id,

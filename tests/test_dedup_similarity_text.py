@@ -767,3 +767,37 @@ def test_deletion_neighborhood_exact_ed1(spark):
     assert got == want
     assert (1, 7) not in got and (1, 6) not in got
     assert got[(1, 5)] == 0 and got[(1, 2)] == 1
+
+
+def test_pca_whiten_identity_and_partials_exactness(spark, sf_small):
+    """pca_whiten: whitened covariance == I (numpy check, tighter than
+    the query's 6 dp), ZCA whitening matrix is symmetric, and the
+    distributed Gram partials agree with numpy's covariance exactly
+    (one-pass partial sums vs two-pass centered sums at 1e-10)."""
+    import numpy as np
+
+    from pyppeteer_scraper_spark.operators.similarity import (
+        embedding_covariance,
+        pca_whiten,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id")
+    x = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    ref_cov = np.cov(x, rowvar=False, bias=True)
+
+    # distributed covariance == numpy covariance
+    rows = embedding_covariance(emb).collect()
+    d = x.shape[1]
+    got = np.zeros((d, d))
+    for r in rows:
+        got[r["i"], r["j"]] = got[r["j"], r["i"]] = r["cov"]
+    assert np.abs(got - ref_cov).max() < 1e-10
+
+    whitened, mean, w = pca_whiten(emb)
+    assert np.abs(mean - x.mean(axis=0)).max() < 1e-12
+    assert np.abs(w - w.T).max() < 1e-12  # ZCA form
+    wdf = whitened.toPandas().sort_values("vec_id")
+    y = np.stack([np.asarray(v, np.float64) for v in wdf["whitened"]])
+    wc = np.cov(y, rowvar=False, bias=True)
+    assert np.abs(wc - np.eye(d)).max() < 1e-8

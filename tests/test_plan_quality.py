@@ -221,6 +221,11 @@ def test_registry_has_no_undeclared_cartesian_products(spark, sf_med):
         # itself is the posting-list equi-join on term, pinned
         # CartesianProduct-free by tests/test_lexical_cosine.py.
         "search_lexical_cosine",
+        # 1-row row-count attach onto the d(d+1)/2-row Gram reduce
+        # (operators/similarity.py::embedding_covariance) — the data
+        # path is a mapInPandas partial aggregation, never all-pairs.
+        "sim_embedding_covariance",
+        "sim_pca_whiten_identity",
     }
     offenders = []
     for name, fn in QUERIES.items():
