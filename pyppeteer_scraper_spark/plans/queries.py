@@ -1048,20 +1048,46 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_token_counts",
     """
+    WITH planted AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 11 AS INT)
+               WHEN 0 THEN text || '  two  spaces'
+               WHEN 3 THEN text || chr(9) || 'tab' || chr(9) || 'ends'
+               WHEN 7 THEN ' ' || text
+               ELSE text
+             END AS text
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
-    FROM documents
+    FROM planted
     """,
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with the tokenizer BOUNDARY actually exercised:
+    the driver corpus is single-spaced (where single-space split and
+    \\s+ split coincide and an oracle can't tell them apart), so
+    deterministic doc_id slots plant double spaces, tabs, and leading
+    whitespace into BOTH engines.  The oracle's string_split(text,' ')
+    is the exact twin of ws_token_count's single-space semantics —
+    consecutive spaces yield empty-string tokens on both sides, tabs
+    are not separators on either."""
     from pyppeteer_scraper_spark.functions.text import bpe_ish_token_count, ws_token_count
 
     d = load_table(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(11)).cast("int")
+    planted = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit("  two  spaces")))
+        .when(m == 3, F.concat(F.col("text"),
+                               F.lit("\ttab\tends")))
+        .when(m == 7, F.concat(F.lit(" "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
     return d.select(
         "doc_id",
-        ws_token_count(F.col("text")).alias("ws_tokens"),
-        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        ws_token_count(planted).alias("ws_tokens"),
+        bpe_ish_token_count(planted).alias("bpe_ish_tokens"),
     )
 
 
