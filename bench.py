@@ -138,6 +138,7 @@ HEADLINE = [
     "dedup_edit1_pairs",
     "sim_embedding_covariance",
     "sim_pca_whiten_identity",
+    "text_main_content",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

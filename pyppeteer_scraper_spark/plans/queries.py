@@ -8307,6 +8307,87 @@ def dedup_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_main_content",
+    """
+    SELECT doc_id,
+           'crawl content number ' || doc_id
+             || ' spark frontier engine parses blocks with density rules'
+             || chr(10)
+             || 'second content passage for document ' || doc_id
+             || ' has enough words to pass the gate easily'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || 'optional third passage for doc '
+                       || doc_id
+                       || ' carrying deterministic extra words in total'
+                       || ' here'
+                  ELSE '' END AS main_text,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 4 END AS INT)
+             AS n_blocks,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT)
+             AS n_content_blocks
+    FROM documents
+    """,
+)
+def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction from HTML
+    (functions/content.py::extract_main_content — the boilerpipe
+    densitometric block classifier over the same stdlib DOM as the
+    CSS-selector engine): per doc a full page fixture (head+script,
+    nav of links, a high-link-density div, a too-short paragraph, two
+    or three real prose paragraphs, footer) is built and stripped
+    back to exactly the prose.  The oracle states the expected
+    main_text and block counts from the fixture recipe — independent
+    derivation: any parser, skip-tag, density-threshold, or
+    whitespace-normalization bug changes the extracted text and
+    breaks the hash.  HTML never shuffles (build+extract in one
+    mapInPandas pass)."""
+    import pandas as pd
+
+    from pyppeteer_scraper_spark.functions.content import (
+        extract_main_content,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                extra = (
+                    f"<p>optional third passage for doc {d} carrying "
+                    "deterministic extra words in total here</p>"
+                    if d % 3 == 0 else ""
+                )
+                html = (
+                    "<html><head><title>T</title><script>junk()"
+                    "</script></head><body>\n"
+                    "<nav><a href=/a>Home</a> <a href=/b>About</a>"
+                    "</nav>\n"
+                    "<div><a>home page</a> <a>contact us</a> see</div>\n"
+                    f"<p>crawl content number {d} spark frontier "
+                    "engine parses blocks with density rules</p>\n"
+                    "<p>tiny note</p>\n"
+                    f"<article><p>second content passage for document "
+                    f"{d} has enough words to pass the gate easily"
+                    f"</p></article>\n{extra}"
+                    "<footer>(c) example</footer>\n</body></html>"
+                )
+                r = extract_main_content(html)
+                out.append((d, r["main_text"], r["n_blocks"],
+                            r["n_content_blocks"]))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "main_text", "n_blocks",
+                              "n_content_blocks"])
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, main_text string, n_blocks int, "
+               "n_content_blocks int",
+    )
+
+
+@query(
     "sim_embedding_covariance",
     """
     WITH x AS (
