@@ -139,6 +139,9 @@ HEADLINE = [
     "sim_embedding_covariance",
     "sim_pca_whiten_identity",
     "text_main_content",
+    "dedup_source_overlap",
+    "media_mime_sniff",
+    "export_frontcoded_urls",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -391,3 +391,59 @@ def stride_interleave(
         "rn",
         F.round("vt", 6).alias("vt"),
     )
+
+
+def frontcode_urls(
+    urls: DataFrame,
+    url_col: str = "url",
+    group_col: str = "domain",
+) -> DataFrame:
+    """Front-coding for sorted URL lists — the compression scheme web
+    archives use for URL indexes (Common Crawl's ZipNum/CDX blocks):
+    within each group, URLs sorted lexicographically store only
+    (shared-prefix length with predecessor, remaining suffix).  Dense
+    crawls share long scheme://host/path prefixes, so this typically
+    removes 60-90% of URL index bytes before general compression even
+    runs.
+
+    Returns (group, url, rank, prefix_len, suffix) — ``url`` retained
+    so the oracle can verify losslessness; a real index writes only
+    (prefix_len, suffix).  Reconstruction: url[rank] =
+    url[rank-1][:prefix_len] + suffix, checked exactly in
+    tests/test_export_shards.py.
+
+    Shape: one window over (group, url) — the same single shuffle a
+    sorted index write needs anyway; the common-prefix computation is
+    a higher-order ``aggregate`` over a char sequence (JVM codegen,
+    no Python).  Groups are domains, so partition-local; a global
+    (ungrouped) front-coding would instead use range partitioning +
+    per-partition boundary stitching.
+    """
+    w = Window.partitionBy(group_col).orderBy(url_col)
+    staged = (
+        urls.select(group_col, url_col)
+        .withColumn("lag_u", F.lag(url_col).over(w))
+        .withColumn("rank", F.row_number().over(w))
+    )
+    # longest i with a[1..i] == b[1..i]: running accumulator stays at
+    # i only while every prefix position matched so far (contiguity
+    # via acc = i-1)
+    prefix_len = F.when(F.col("lag_u").isNull(), F.lit(0)).otherwise(
+        F.expr(
+            f"aggregate(sequence(1, least(length({url_col}), "
+            f"length(lag_u))), 0, (acc, i) -> IF(acc = i - 1 AND "
+            f"substring({url_col}, i, 1) = substring(lag_u, i, 1), "
+            "i, acc))"
+        )
+    )
+    return (
+        staged.withColumn("prefix_len", prefix_len.cast("int"))
+        .select(
+            group_col,
+            url_col,
+            "rank",
+            "prefix_len",
+            F.expr(f"substring({url_col}, prefix_len + 1)").alias(
+                "suffix"),
+        )
+    )

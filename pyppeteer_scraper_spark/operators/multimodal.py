@@ -437,6 +437,41 @@ def audio_features(samples: np.ndarray, sr: int) -> np.ndarray:
     return np.array([dur, rms, zcr, peak], dtype=np.float32)
 
 
+def mime_sniff_col(col):
+    """Magic-byte MIME sniffing as a PURE CODEGEN column expression —
+    no Python touches the payload: ``hex(substring(payload, 1, 12))``
+    prefix tests cover every container this engine can produce or
+    decode (PNG/GIF/JPEG/BMP/PPM/PGM/WAV-RIFF/MP4-ftyp).  At 100 TB
+    this is the dispatch column a multimodal pipeline partitions by
+    BEFORE any decoder runs, so each format's decode stage reads only
+    its own rows; being codegen it costs one whole-stage projection.
+    """
+    from pyspark.sql import functions as F
+
+    h = F.hex(F.substring(col, 1, 12))
+    return (
+        F.when(h.startswith("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(h.startswith("474946383761")
+              | h.startswith("474946383961"), F.lit("image/gif"))
+        .when(h.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(h.startswith("424D"), F.lit("image/bmp"))
+        .when(h.startswith("5036"),
+              F.lit("image/x-portable-pixmap"))
+        .when(h.startswith("5035"),
+              F.lit("image/x-portable-graymap"))
+        .when(
+            h.startswith("52494646")
+            & (F.hex(F.substring(col, 9, 4)) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .when(
+            F.hex(F.substring(col, 5, 4)) == "66747970",
+            F.lit("video/mp4"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )
+
+
 def _mel_filterbank(
     n_mels: int, n_fft: int, sr: int
 ) -> np.ndarray:

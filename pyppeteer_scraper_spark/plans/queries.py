@@ -8307,6 +8307,230 @@ def dedup_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "export_frontcoded_urls",
+    """
+    WITH u AS (
+      SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+               AS domain,
+             'https://host' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example/section' || CAST(doc_id % 7 AS VARCHAR)
+               || '/page-' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    staged AS (
+      SELECT domain, url,
+             lag(url) OVER (PARTITION BY domain ORDER BY url) AS lag_u,
+             CAST(row_number() OVER (PARTITION BY domain ORDER BY url)
+                  AS INT) AS rank
+      FROM u
+    )
+    SELECT domain, url, rank,
+           CAST(coalesce(
+             (SELECT max(i)
+              FROM unnest(range(1, least(len(url), len(lag_u)) + 1))
+                   t(i)
+              WHERE substr(url, 1, CAST(i AS INT))
+                    = substr(lag_u, 1, CAST(i AS INT))), 0) AS INT)
+             AS prefix_len,
+           substr(url, CAST(coalesce(
+             (SELECT max(i)
+              FROM unnest(range(1, least(len(url), len(lag_u)) + 1))
+                   t(i)
+              WHERE substr(url, 1, CAST(i AS INT))
+                    = substr(lag_u, 1, CAST(i AS INT))), 0) AS INT)
+             + 1) AS suffix
+    FROM staged
+    """,
+)
+def export_frontcoded_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-coded URL index blocks
+    (operators/export.py::frontcode_urls — the ZipNum/CDX web-archive
+    compression): per-domain sorted URLs stored as (shared-prefix
+    length, suffix).  The Spark side computes the common prefix with a
+    higher-order aggregate (JVM codegen, contiguity-carrying
+    accumulator); the oracle re-derives it as max{i : prefixes equal}
+    via a correlated unnest — two independent formulations of the same
+    quantity, hash-checked per row.  Losslessness (urls reconstruct
+    exactly from the coded form) is pytest-pinned."""
+    from pyppeteer_scraper_spark.operators.export import frontcode_urls
+
+    u = load_table(spark, sf_dir, "documents").selectExpr(
+        "'host' || CAST(doc_id % 20 AS STRING) || '.example' AS domain",
+        "'https://host' || CAST(doc_id % 20 AS STRING) || '.example"
+        "/section' || CAST(doc_id % 7 AS STRING) || '/page-' || "
+        "CAST(doc_id AS STRING) AS url",
+    )
+    return frontcode_urls(u, "url", "domain")
+
+
+@query(
+    "media_mime_sniff",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 7 AS INT)
+             WHEN 0 THEN 'image/x-portable-pixmap'
+             WHEN 1 THEN 'image/bmp'
+             WHEN 2 THEN 'image/png'
+             WHEN 3 THEN 'image/gif'
+             WHEN 4 THEN 'image/jpeg'
+             WHEN 5 THEN 'audio/wav'
+             ELSE 'video/mp4'
+           END AS mime,
+           doc_id % 7 >= 5 AS is_av
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def media_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME dispatch
+    (operators/multimodal.py::mime_sniff_col, pure codegen): every
+    payload is produced by this repo's REAL encoder for its format
+    (PPM/BMP/PNG/GIF/JPEG/WAV/MP4 writers), then sniffed back from
+    the first bytes with hex-prefix column expressions — no Python in
+    the sniff path.  The oracle states the expected MIME from the
+    doc_id variant alone (independent derivation): a wrong magic
+    number in any encoder OR a wrong prefix test in the sniffer
+    breaks the hash.  This is the dispatch stage a 100-TB multimodal
+    pipeline partitions by before decoding."""
+    import pandas as pd
+
+    from pyppeteer_scraper_spark.operators.jpeg import encode_jpeg
+    from pyppeteer_scraper_spark.operators.mp4 import write_mp4
+    from pyppeteer_scraper_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+        mime_sniff_col,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    )
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 7
+                img = np.full((8, 8, 3), (d * 31) % 256, dtype=np.uint8)
+                if v == 0:
+                    p = encode_ppm(img)
+                elif v == 1:
+                    p = encode_bmp(img)
+                elif v == 2:
+                    p = encode_png(img)
+                elif v == 3:
+                    idx = np.zeros((8, 8), dtype=np.uint8)
+                    pal = np.array([[(d * 31) % 256] * 3],
+                                   dtype=np.uint8)
+                    p = encode_gif(idx, pal)
+                elif v == 4:
+                    p = encode_jpeg(img, quality=90)
+                elif v == 5:
+                    pcm = (np.arange(256) % 64 * 512 - 16384).astype(
+                        np.int16)
+                    p = encode_wav(pcm, 16000)
+                else:
+                    p = write_mp4([b"x" * 32], 16, 16)
+                out.append((d, p))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(
+        build, schema="doc_id long, payload binary")
+    return media.select(
+        "doc_id",
+        mime_sniff_col(F.col("payload")).alias("mime"),
+        (F.pmod(F.col("doc_id"), F.lit(7)) >= 5).alias("is_av"),
+    )
+
+
+@query(
+    "dedup_source_overlap",
+    """
+    WITH planted AS (
+      SELECT source,
+             CASE WHEN doc_id % 7 = 0
+               THEN 'syndicated passage number '
+                    || CAST(doc_id % 5 AS VARCHAR)
+               ELSE text END AS text
+      FROM documents
+    ),
+    fp AS (
+      SELECT DISTINCT source, md5(text) AS fp FROM planted
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM fp
+              GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-overlap matrix between sources — exact Jaccard
+    over per-source md5(text) fingerprint sets, the dataset-level
+    dedup diagnostic run before mixing corpora (how much of source B
+    is already inside source A decides mixing weights and dedup
+    order).  Shape: fingerprints are 16-byte keys, the pair join is an
+    equi-join on fp (never all-pairs over docs), and the output is
+    |sources|² rows regardless of corpus size — the same reduce
+    pattern as the covariance matrix.  Oracle: identical derivation in
+    SQL; source count is small, doc count is not.  The driver corpus
+    has no cross-source duplicates, so doc_id%7 slots are overwritten
+    with 5 shared 'syndicated passage' strings on BOTH sides —
+    without planting the check is vacuously empty."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(F.lit("syndicated passage number "),
+                 F.pmod(F.col("doc_id"), F.lit(5)).cast("string")),
+    ).otherwise(F.col("text"))
+    fp = docs.select(
+        "source", F.md5(planted).alias("fp")
+    ).distinct()
+    sizes = fp.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"))
+    inter = (
+        fp.alias("a")
+        .join(fp.alias("b"),
+              (F.col("a.fp") == F.col("b.fp"))
+              & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"),
+                 F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(
+            F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a")
+        .join(F.broadcast(sizes.select(
+            F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
     "text_main_content",
     """
     SELECT doc_id,

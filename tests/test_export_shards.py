@@ -85,3 +85,40 @@ def test_write_training_shards_deterministic_files(spark, sf_small, tmp_path):
         == 0
     )
     assert back.count() == docs.count()
+
+
+def test_frontcode_urls_lossless_and_edge_cases(spark):
+    """Front-coding is lossless: url[k] reconstructs as
+    url[k-1][:prefix_len] + suffix within each group; first-in-group
+    has prefix_len 0; identical URLs code to empty suffixes; a
+    one-URL group passes through whole."""
+    from pyppeteer_scraper_spark.operators.export import frontcode_urls
+
+    rows = [
+        ("a.example", "https://a.example/x/1"),
+        ("a.example", "https://a.example/x/10"),
+        ("a.example", "https://a.example/x/10"),  # exact dup
+        ("a.example", "https://a.example/y"),
+        ("b.example", "https://b.example/only"),
+    ]
+    df = spark.createDataFrame(rows, ["domain", "url"])
+    out = sorted(
+        frontcode_urls(df, "url", "domain").collect(),
+        key=lambda r: (r["domain"], r["rank"]),
+    )
+    # reconstruct per group
+    prev = {}
+    for r in out:
+        if r["rank"] == 1:
+            assert r["prefix_len"] == 0
+            rebuilt = r["suffix"]
+        else:
+            rebuilt = prev[r["domain"]][: r["prefix_len"]] + r["suffix"]
+        assert rebuilt == r["url"], r
+        prev[r["domain"]] = r["url"]
+    dup = [r for r in out if r["url"] == "https://a.example/x/10"]
+    assert dup[1]["prefix_len"] == len("https://a.example/x/10")
+    assert dup[1]["suffix"] == ""
+    only = [r for r in out if r["domain"] == "b.example"]
+    assert only[0]["prefix_len"] == 0
+    assert only[0]["suffix"] == "https://b.example/only"
