@@ -142,6 +142,7 @@ HEADLINE = [
     "dedup_source_overlap",
     "media_mime_sniff",
     "export_frontcoded_urls",
+    "dedup_incremental_minhash",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

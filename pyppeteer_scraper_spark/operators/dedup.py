@@ -802,3 +802,89 @@ def deletion_neighborhood_pairs(
         .where(F.col("dist") <= 1)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup detection: new batch vs existing corpus
+    ONLY — the production recrawl/ingest shape, where each crawl
+    round's documents are checked against the accumulated corpus
+    without re-pairing the corpus with itself.
+
+    Same banding-then-exact-verify contract as
+    :func:`shingle_jaccard_pairs_lsh`, but the band join is
+    ASYMMETRIC (new bands ⋈ corpus bands), so its cost is
+    O(new × collision rate), independent of corpus-internal
+    duplication — at 100 TB the corpus side is a persisted band-
+    signature table maintained across rounds (append new bands after
+    each batch), so each round reads signatures, never corpus text.
+
+    Output: (new_id, corpus_id, n_common, n_union, jaccard) with
+    jaccard >= threshold; exact shingle-set Jaccard, so precision is
+    exact and the oracle can verify by brute force.
+    """
+    sh_new = word_shingles(new_df, text_col, id_col, k)
+    sh_old = word_shingles(corpus_df, text_col, id_col, k)
+    sig_new = minhash_signatures(sh_new, id_col, n_perm)
+    sig_old = minhash_signatures(sh_old, id_col, n_perm)
+    rows_per_band = n_perm // bands
+
+    def banded(sig):
+        return (
+            sig.withColumn(
+                "band", (F.col("perm") / rows_per_band).cast("int"))
+            .groupBy(id_col, "band")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(
+                            F.collect_list(F.struct("perm", "minhash"))
+                        ).cast("array<string>"),
+                    )
+                ).alias("band_sig")
+            )
+        )
+
+    cands = (
+        banded(sig_new)
+        .select(F.col(id_col).alias("new_id"), "band", "band_sig")
+        .join(
+            banded(sig_old).select(
+                F.col(id_col).alias("corpus_id"), "band", "band_sig"),
+            ["band", "band_sig"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sets_new = sh_new.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sha"))
+    sets_old = sh_old.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("shb"))
+    return (
+        cands.join(
+            sets_new.select(F.col(id_col).alias("new_id"), "sha"),
+            "new_id")
+        .join(
+            sets_old.select(F.col(id_col).alias("corpus_id"), "shb"),
+            "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias(
+                "n_common"),
+            F.size(F.array_union("sha", "shb")).cast("long").alias(
+                "n_union"),
+        )
+        .withColumn(
+            "jaccard", F.round(F.col("n_common") / F.col("n_union"), 6))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -8307,6 +8307,82 @@ def dedup_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_minhash",
+    # Incremental (new-batch vs corpus) near-dup: the oracle brute-
+    # forces exact shingle Jaccard across the SAME asymmetric split —
+    # equality proves the banded new⋈corpus join loses nothing, and
+    # the %4==2 unrelated new docs prove the negatives.
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 4 = 0 AND len(text) > 0
+    ), newb AS (
+      SELECT doc_id + 100000 AS doc_id,
+             text || ' padfoot moony wormtail' AS text
+      FROM documents WHERE doc_id % 12 = 0 AND len(text) > 0
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents
+      WHERE doc_id % 4 = 2 AND len(text) > 0
+    ), sc AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS sh
+      FROM corpus
+    ), sn AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS sh
+      FROM newb
+    )
+    SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           len(list_intersect(n.sh, c.sh)) AS n_common,
+           len(list_distinct(list_concat(n.sh, c.sh))) AS n_union,
+           round(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(n.sh, c.sh))), 6)
+             AS jaccard
+    FROM sn n, sc c
+    WHERE round(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(n.sh, c.sh))), 6) >= 0.8
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection
+    (operators/dedup.py::incremental_minhash_pairs): each ingest
+    batch is banded against the persisted corpus signatures only —
+    new⋈corpus, never corpus⋈corpus — the production recrawl shape
+    where per-round cost is independent of corpus-internal
+    duplication.  Fixture: mutated copies (+3 tokens) of corpus docs
+    form the positives; untouched %4==2 docs form new-batch negatives.
+    Exact-Jaccard verification, brute-force SQL oracle: a hash match
+    proves recall 1.0 on this corpus."""
+    from pyppeteer_scraper_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    corpus = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text")
+    newb = (
+        docs.filter(F.col("doc_id") % 12 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"),
+                     F.lit(" padfoot moony wormtail")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 2).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text")
+        )
+    )
+    return incremental_minhash_pairs(newb, corpus, threshold=0.8)
+
+
+@query(
     "export_frontcoded_urls",
     """
     WITH u AS (

@@ -801,3 +801,37 @@ def test_pca_whiten_identity_and_partials_exactness(spark, sf_small):
     y = np.stack([np.asarray(v, np.float64) for v in wdf["whitened"]])
     wc = np.cov(y, rowvar=False, bias=True)
     assert np.abs(wc - np.eye(d)).max() < 1e-8
+
+
+def test_incremental_minhash_is_asymmetric_and_complete(spark):
+    """New-batch docs pair ONLY against the corpus: internal dups on
+    either side are never emitted (that is the point — per-round cost
+    independent of corpus-internal duplication), while every true
+    cross near-dup is found (brute-force cross ground truth)."""
+    from pyppeteer_scraper_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_rows = [
+        (1, base),
+        (2, base),  # corpus-internal exact dup: must NOT be emitted
+        (3, "unrelated corpus words entirely different from everything"),
+    ]
+    new_rows = [
+        (101, base + " lambda"),       # near-dup of corpus 1 and 2
+        (102, base + " lambda"),       # new-internal dup of 101
+        (103, "fresh novel content with no twin in the corpus at all"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    newb = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_minhash_pairs(
+            newb, corpus, threshold=0.5).collect()
+    }
+    assert set(got) == {(101, 1), (101, 2), (102, 1), (102, 2)}
+    # exact-Jaccard verification: 10-word base has 8 shingles, the
+    # +1-word copy has 9 (8 shared + 1 new) → 8/9
+    for v in got.values():
+        assert v == round(8 / 9, 6)
