@@ -143,6 +143,7 @@ HEADLINE = [
     "media_mime_sniff",
     "export_frontcoded_urls",
     "dedup_incremental_minhash",
+    "sim_random_projection",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -8307,6 +8307,44 @@ def dedup_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_random_projection",
+    """
+    WITH x AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+    ),
+    terms AS (
+      SELECT x.vec_id, CAST(u.j AS INT) AS j,
+             x.v * (CASE WHEN ('0x' || substr(md5('rp-v1' || chr(31)
+                    || x.i || chr(31) || u.j), 1, 1))::INT % 2 = 0
+                    THEN 1 ELSE -1 END) AS term
+      FROM x, unnest(range(16)) AS u(j)
+    )
+    SELECT vec_id, j, round(sum(term) / sqrt(16.0), 6) AS y
+    FROM terms GROUP BY vec_id, j
+    """,
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection
+    (operators/similarity.py::random_projection): 64-dim embeddings →
+    16 dims with a ±1 matrix whose entries are md5-parity bits, so
+    numpy (Spark side) and SQL (oracle side) construct the IDENTICAL
+    matrix independently — no RNG, nothing broadcast but a formula.
+    The oracle expands the full x·R sum per output coordinate; a hash
+    match at 6 dp pins all 64×16 matrix entries and the matmul.  At
+    100 TB this is the pre-ANN byte-shrinker (4× smaller vectors into
+    SRP/IVF)."""
+    from pyppeteer_scraper_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = random_projection(emb, d_out=16)
+    return out.select("vec_id", "j", F.round("y", 6).alias("y"))
+
+
+@query(
     "dedup_incremental_minhash",
     # Incremental (new-batch vs corpus) near-dup: the oracle brute-
     # forces exact shingle Jaccard across the SAME asymmetric split —

