@@ -144,6 +144,7 @@ HEADLINE = [
     "export_frontcoded_urls",
     "dedup_incremental_minhash",
     "sim_random_projection",
+    "quality_logreg_train",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -274,3 +274,46 @@ def calibration_bins(
             F.sum(F.col("n") * gap).over(total) / F.sum("n").over(total), 6
         ).alias("ece"),
     )
+
+
+def logreg_train_relational(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "y",
+    iters: int = 2,
+    lr: float = 0.5,
+) -> list[float]:
+    """Batch-gradient-descent logistic regression trained IN the
+    engine — the way a quality-filter model is actually fit over a
+    100-TB corpus: the weight vector (d floats) lives on the driver,
+    each iteration is ONE full-scan aggregate whose margin expression
+    embeds the current weights as literals (whole-stage codegen, no
+    Python in the scan), and the gradient comes back as d numbers.
+    Nothing scales with corpus size except the scan.
+
+    Deterministic: w0 = 0, fixed ``iters``, fixed ``lr``; gradient
+    g_j = avg((sigmoid(w·x) - y) * x_j), w ← w - lr·g.  Returns the
+    final weights (python list, length d) — callers wrap them in
+    :func:`score expressions <hashed n-gram model>` or a DataFrame.
+    The SQL oracle unrolls the same iterations (plans/queries.py::
+    quality_logreg_train)."""
+    d = len(df.select(vec_col).first()[0])
+    x = F.col(vec_col)
+    y = F.col(label_col).cast("double")
+    w = [0.0] * d
+    for _ in range(iters):
+        wlit = F.array(*[F.lit(float(v)) for v in w])
+        margin = F.aggregate(
+            F.zip_with(x, wlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - y
+        grads = df.agg(
+            *[
+                F.avg(resid * F.element_at(x, j + 1)).alias(f"g{j}")
+                for j in range(d)
+            ]
+        ).collect()[0]
+        w = [w[j] - lr * grads[j] for j in range(d)]
+    return w

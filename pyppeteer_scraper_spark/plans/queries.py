@@ -8307,6 +8307,62 @@ def dedup_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_logreg_train",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding, CAST(label % 2 AS DOUBLE) AS y
+      FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, y, CAST(i AS INT) AS j,
+             CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM e, unnest(range(len(embedding))) AS t(i)
+    ),
+    g1 AS (SELECT j, avg((0.5 - y) * v) AS g FROM x GROUP BY j),
+    w1 AS (SELECT j, -0.5 * g AS w FROM g1),
+    m2 AS (
+      SELECT x.vec_id, any_value(x.y) AS y, sum(x.v * w1.w) AS m
+      FROM x JOIN w1 ON w1.j = x.j GROUP BY x.vec_id
+    ),
+    r2 AS (
+      SELECT vec_id, (1.0 / (1.0 + exp(-m)) - y) AS resid FROM m2
+    ),
+    g2 AS (
+      SELECT x.j, avg(r2.resid * x.v) AS g
+      FROM x JOIN r2 ON r2.vec_id = x.vec_id GROUP BY x.j
+    )
+    SELECT w1.j, round(w1.w - 0.5 * g2.g, 6) AS weight
+    FROM w1 JOIN g2 ON g2.j = w1.j
+    """,
+)
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-model TRAINING
+    (functions/classifier.py::logreg_train_relational): batch-GD
+    logistic regression over the embeddings table (labels = label%2),
+    two fixed iterations, lr 0.5.  The weight vector lives on the
+    driver (d floats — corpus-size-independent, like pca_whiten's
+    eigh); each iteration is one full-scan aggregate whose margin
+    embeds the weights as codegen literals — no Python in the scan,
+    nothing shuffled but d partial sums.  The oracle UNROLLS both
+    iterations in SQL (w0=0 ⇒ sigmoid=0.5 folds the first step) — a
+    hash match at 6 dp pins every gradient component through the
+    sigmoid nonlinearity."""
+    from pyppeteer_scraper_spark.functions.classifier import (
+        logreg_train_relational,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "embedding",
+        F.pmod(F.col("label"), F.lit(2)).cast("double").alias("y"),
+    )
+    w = logreg_train_relational(emb, "embedding", "y", iters=2, lr=0.5)
+    return spark.createDataFrame(
+        [(j, round(float(wj), 6)) for j, wj in enumerate(w)],
+        "j int, weight double",
+    )
+
+
+@query(
     "sim_random_projection",
     """
     WITH x AS (
