@@ -145,6 +145,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "sim_random_projection",
     "quality_logreg_train",
+    "rank_triangle_stats",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -641,3 +641,78 @@ def label_propagation(
     adj.unpersist()
     nodes.unpersist()
     return labels
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the UNDIRECTED form of ``edges`` — the host-graph cohesion signal
+    (link farms and mutual-admiration spam rings are triangle-dense;
+    genuine editorial link neighborhoods are sparse).
+
+    Scale shape — degree orientation, the standard O(m^{3/2}) trick:
+    every undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, so each triangle is counted exactly
+    once and the wedge join fans out from LOW-degree vertices only —
+    a mega-hub with degree 10^6 contributes no wedges of its own,
+    bounding the intermediate at Σ min-side-degree² instead of Σ
+    degree².  Two equi-joins, no all-pairs.
+
+    Returns (node, degree, triangles, clustering) where clustering =
+    2T / (d(d-1)) (0 when d < 2).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("degree"))
+    # orient by (degree, id): lower endpoint -> higher endpoint
+    da = deg.select(F.col("node").alias("a"),
+                    F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"),
+                    F.col("degree").alias("db"))
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+    # wedges from the low end: (u->v, u->w) with v<w in orientation
+    w1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    w2 = oriented.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    wedges = w1.join(w2, "u").where(F.col("v") != F.col("w"))
+    closing = oriented.select(
+        F.col("a").alias("v"), F.col("b").alias("w"))
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("v").alias("node")))
+        .union(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+                "triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0 * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

@@ -8307,6 +8307,52 @@ def dedup_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rank_triangle_stats",
+    f"""
+    WITH {_TRANS_EDGES_SQL},
+    und AS (SELECT src AS a, dst AS b FROM edges
+            UNION SELECT dst, src FROM edges),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM und GROUP BY a),
+    half AS (SELECT a, b FROM und WHERE a < b),
+    tri AS (
+      SELECT t1.a AS x, t1.b AS y, t2.b AS z
+      FROM half t1
+      JOIN half t2 ON t2.a = t1.b
+      JOIN half t3 ON t3.a = t1.a AND t3.b = t2.b
+    ),
+    pn AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) t
+      GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           coalesce(pn.triangles, CAST(0 AS BIGINT)) AS triangles,
+           round(CASE WHEN d.degree >= 2
+                 THEN 2.0 * coalesce(pn.triangles, 0)
+                      / (d.degree * (d.degree - 1))
+                 ELSE 0.0 END, 6) AS clustering
+    FROM deg d LEFT JOIN pn ON pn.node = d.node
+    """,
+)
+def rank_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (operators/linkrank.py::triangle_stats) over the navigation graph
+    — the link-farm/spam-ring cohesion signal.  The Spark side uses
+    degree orientation (wedges fan out from low-degree endpoints only
+    — the O(m^{3/2}) bound that survives mega-hubs); the oracle counts
+    triangles the textbook x<y<z way — two independent formulations,
+    hash-checked per node."""
+    from pyppeteer_scraper_spark.operators.linkrank import (
+        triangle_stats,
+    )
+
+    return triangle_stats(_transition_edges(spark, sf_dir))
+
+
+@query(
     "quality_logreg_train",
     """
     WITH e AS (

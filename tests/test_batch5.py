@@ -262,3 +262,40 @@ def test_logreg_train_matches_numpy_and_learns(spark):
     cos = (got @ w_true) / (
         np.linalg.norm(got) * np.linalg.norm(w_true))
     assert cos > 0.8, cos
+
+
+def test_triangle_stats_hand_computed(spark):
+    """Triangle 0-1-2 with pendant 3 and an isolated edge 4-5: the
+    triangle nodes count 1 with clustering 1.0 (node 2's extra pendant
+    edge drops its coefficient to 1/3), degree-1 nodes get 0."""
+    from pyppeteer_scraper_spark.operators.linkrank import (
+        triangle_stats,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (4, 5)], ["src", "dst"])
+    out = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in triangle_stats(edges).collect()}
+    assert out[0] == (2, 1, 1.0)
+    assert out[1] == (2, 1, 1.0)
+    assert out[2] == (3, 1, round(2 * 1 / (3 * 2), 6))
+    assert out[3] == (1, 0, 0.0)
+    assert out[4] == (1, 0, 0.0)
+    assert out[5] == (1, 0, 0.0)
+
+
+def test_triangle_stats_k4_and_direction_invariance(spark):
+    """K4: every node sits in C(3,2)=3 triangles, clustering 1.0; and
+    reversed/duplicated directed edges do not change the undirected
+    counts."""
+    from pyppeteer_scraper_spark.operators.linkrank import (
+        triangle_stats,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + k4[:3]
+    out = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in triangle_stats(
+               spark.createDataFrame(noisy, ["src", "dst"])).collect()}
+    for n in range(4):
+        assert out[n] == (3, 3, 1.0)
