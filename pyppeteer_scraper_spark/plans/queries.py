@@ -9058,10 +9058,16 @@ _WINDOW_FIRST = [
     # dedup_ngram_containment, ..., search_lexical_cosine, url_idn_hosts,
     # url_meta_robots_gate, d10_priority_aging, quality_model_auc,
     # export_stride_interleave, src_cache_policy,
-    # text_mojibake_signals, ...) are NOT window-first: the 50 slots
-    # are fully claimed by earlier never-checked entries, so they sit in
-    # the middle from position 51 and lead the r05 rotation
-    # (oracle-checked locally via tools/check_correctness.py already).
+    # text_mojibake_signals, ...) and the session-9 additions
+    # (media_mp4_sample_plan, media_audio_spectral,
+    # rank_lpa_communities, dedup_edit1_pairs, sim_embedding_covariance,
+    # sim_pca_whiten_identity, text_main_content, dedup_source_overlap,
+    # media_mime_sniff, export_frontcoded_urls,
+    # dedup_incremental_minhash, sim_random_projection,
+    # quality_logreg_train, rank_triangle_stats) are NOT window-first:
+    # the 50 slots are fully claimed by earlier never-checked entries,
+    # so they sit in the middle from position 51 and lead the r05
+    # rotation (oracle-checked locally via tools/check_correctness.py).
     # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
     # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
     # displaced to _WINDOW_TAIL by the session-4 additions
