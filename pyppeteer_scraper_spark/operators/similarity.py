@@ -599,6 +599,33 @@ def embedding_covariance(
     the answer is d×d regardless of corpus size.  Reference analog:
     none — embedding-pipeline extension (the input PCA/whitening and
     SemDeDup's cell geometry both start from this matrix)."""
+    # cached: three branches (count, sums, gram) read it in one plan
+    summed = _gram_summed(emb, vec_col).cache()
+    n = summed.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        "v").alias("nn")
+    sums = summed.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("k"), F.col("v").alias("s"))
+    gram = summed.where(F.col("j") >= 0)
+    out = (
+        gram.join(F.broadcast(sums.select(F.col("k").alias("i"),
+                                          F.col("s").alias("si"))), "i")
+        .join(F.broadcast(sums.select(F.col("k").alias("j"),
+                                      F.col("s").alias("sj"))), "j")
+        .crossJoin(F.broadcast(n.select(F.col("v").alias("n"))))
+        .select(
+            "i", "j",
+            ((F.col("v") - F.col("si") * F.col("sj") / F.col("n"))
+             / F.col("n")).alias("cov"),
+        )
+    )
+    return out
+
+
+def _gram_summed(emb: DataFrame, vec_col: str) -> DataFrame:
+    """One-scan Gram partials, reduced: rows (i, j, v) holding the
+    upper-triangle X^T X sums, (i, -1) column sums, and (-1, -1) the
+    row count — everything first and second moments need, 2 KB per
+    input partition on the shuffle."""
 
     def partials(batches):
         acc = None
@@ -627,25 +654,7 @@ def embedding_covariance(
 
     parts = emb.select(vec_col).mapInPandas(
         partials, schema="i int, j int, v double")
-    summed = parts.groupBy("i", "j").agg(F.sum("v").alias("v")).cache()
-    n = summed.where((F.col("i") == -1) & (F.col("j") == -1)).select(
-        "v").alias("nn")
-    sums = summed.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
-        F.col("i").alias("k"), F.col("v").alias("s"))
-    gram = summed.where(F.col("j") >= 0)
-    out = (
-        gram.join(F.broadcast(sums.select(F.col("k").alias("i"),
-                                          F.col("s").alias("si"))), "i")
-        .join(F.broadcast(sums.select(F.col("k").alias("j"),
-                                      F.col("s").alias("sj"))), "j")
-        .crossJoin(F.broadcast(n.select(F.col("v").alias("n"))))
-        .select(
-            "i", "j",
-            ((F.col("v") - F.col("si") * F.col("sj") / F.col("n"))
-             / F.col("n")).alias("cov"),
-        )
-    )
-    return out
+    return parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
 
 
 def pca_whiten(
@@ -664,23 +673,20 @@ def pca_whiten(
     mean_vector, whitening_matrix); whitened_df carries (id, vec
     whitened).  Rows-only by design (eigenvectors are not
     SQL-derivable); pytest pins whitened covariance == I."""
-    cov_rows = embedding_covariance(emb, vec_col).collect()
-    d = max(r["j"] for r in cov_rows) + 1
-    cov = np.zeros((d, d))
-    for r in cov_rows:
-        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
-    # mean vector via one tiny agg pass (reuses the partials' sums
-    # would be nicer, but the covariance API returns only cov —
-    # recompute from a d-wide aggregate, still one scan of a
-    # projection)
-    mean = np.array(
-        emb.select(
-            *[
-                F.avg(F.element_at(F.col(vec_col), k + 1)).alias(f"m{k}")
-                for k in range(d)
-            ]
-        ).collect()[0]
-    )
+    # ONE scan: the reduced Gram partials carry both moments — cov and
+    # mean assemble driver-side from d(d+1)/2 + d + 1 numbers
+    rows = _gram_summed(emb, vec_col).collect()
+    d = max(r["j"] for r in rows) + 1
+    n = next(r["v"] for r in rows if r["i"] == -1 and r["j"] == -1)
+    s = np.zeros(d)
+    gram = np.zeros((d, d))
+    for r in rows:
+        if r["i"] >= 0 and r["j"] == -1:
+            s[r["i"]] = r["v"]
+        elif r["j"] >= 0:
+            gram[r["i"], r["j"]] = gram[r["j"], r["i"]] = r["v"]
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
     w_eig, v_eig = np.linalg.eigh(cov)
     wmat = v_eig @ np.diag(1.0 / np.sqrt(np.maximum(w_eig, eps))) @ v_eig.T
 
