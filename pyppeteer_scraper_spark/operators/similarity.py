@@ -664,12 +664,13 @@ def pca_whiten(
     eps: float = 1e-8,
 ) -> tuple[DataFrame, "np.ndarray", "np.ndarray"]:
     """PCA whitening: rotate + rescale so the transformed embedding
-    column has identity covariance.  The covariance reduce is fully
-    distributed (``embedding_covariance``); only the d×d matrix is
-    collected for the eigendecomposition (d=64 → 32 KB — a driver-
-    side eigh on a d×d matrix is the PRINCIPLED collect: its size is
-    independent of corpus size), and the whitening matrix broadcasts
-    back into one Arrow-batched transform.  Returns (whitened_df,
+    column has identity covariance.  Both moments come from ONE
+    distributed scan (``_gram_summed`` — the same reduced partials
+    ``embedding_covariance`` assembles relationally); only d(d+1)/2 +
+    d + 1 numbers are collected for the eigendecomposition (d=64 →
+    ~17 KB — a driver-side eigh on a d×d matrix is the PRINCIPLED
+    collect: its size is independent of corpus size), and the
+    whitening matrix broadcasts back into one Arrow-batched transform.  Returns (whitened_df,
     mean_vector, whitening_matrix); whitened_df carries (id, vec
     whitened).  Rows-only by design (eigenvectors are not
     SQL-derivable); pytest pins whitened covariance == I."""
