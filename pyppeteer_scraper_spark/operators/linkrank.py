@@ -665,10 +665,15 @@ def triangle_stats(
     2T / (d(d-1)) (0 when d < 2).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # cache the symmetrized adjacency: it feeds degree, orientation,
+    # wedges and the closing join — uncached, the whole edge-derivation
+    # lineage (e.g. a window over raw events) replays ~10× across the
+    # plan's branches (same policy as pagerank/label_propagation)
     und = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .cache()
     )
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("long").alias("degree"))
@@ -691,7 +696,9 @@ def triangle_stats(
     wedges = w1.join(w2, "u").where(F.col("v") != F.col("w"))
     closing = oriented.select(
         F.col("a").alias("v"), F.col("b").alias("w"))
-    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    # cached: the triangle list is read three times by the per-node
+    # explode below
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w").cache()
     per_node = (
         tris.select(F.col("u").alias("node"))
         .union(tris.select(F.col("v").alias("node")))
