@@ -351,6 +351,9 @@ def sample_table(track: dict) -> list[tuple[int, int, int, int, bool]]:
         for _ in range(cnt):
             dts.append(t)
             t += delta
+    # ISO 14496-12 §8.6.2: no stss box means EVERY sample is a sync
+    # sample (all-intra tracks omit it); an empty stss means none.
+    all_sync = track["sync"] is None
     sync = set(track["sync"] or [])
     rows = []
     si = 0
@@ -363,7 +366,9 @@ def sample_table(track: dict) -> list[tuple[int, int, int, int, bool]]:
                         f"stsz declares {n} samples but stsc fills "
                         f"chunk {ci} before the last chunk")
                 break
-            rows.append((si, off, sizes[si], dts[si], (si + 1) in sync))
+            rows.append(
+                (si, off, sizes[si], dts[si],
+                 all_sync or (si + 1) in sync))
             off += sizes[si]
             si += 1
     if si != n:

@@ -144,3 +144,24 @@ def test_spark_sample_plan_and_keyframes_only(spark):
     keys = mp4_sample_plan(media, keyframes_only=True).toPandas()
     assert (keys["is_sync"]).all()
     assert len(keys) == int(full["is_sync"].sum())
+
+
+def test_missing_stss_means_all_sync():
+    """ISO 14496-12 §8.6.2: a track without an stss box is all-intra —
+    every sample is a keyframe (strip the stss and re-parse)."""
+    p = write_mp4(_samples(5), 16, 12, sync_every=3)
+    i = p.find(b"stss") - 4
+    size = struct.unpack(">I", p[i:i + 4])[0]
+    stripped = bytearray(p[:i] + p[i + size:])
+    # shrink every ancestor box (moov, trak, mdia, minf, stbl)
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        a = stripped.find(tag) - 4
+        (sz,) = struct.unpack(">I", stripped[a:a + 4])
+        stripped[a:a + 4] = struct.pack(">I", sz - size)
+    tr = parse_mp4(bytes(stripped))["tracks"][0]
+    assert tr["sync"] is None
+    rows = sample_table(tr)
+    assert len(rows) == 5 and all(r[4] for r in rows)
+    # while the original (explicit stss, every 3rd) is selective
+    orig = sample_table(parse_mp4(p)["tracks"][0])
+    assert [r[4] for r in orig] == [True, False, False, True, False]
