@@ -689,6 +689,7 @@ def triangle_stats(
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select("a", "b")
+        .cache()  # read by both wedge sides and the closing join
     )
     # wedges from the low end: (u->v, u->w) with v<w in orientation
     w1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))
