@@ -80,11 +80,14 @@ def dsir_log_weights(
     ).select("__id", "__tgt", _bucket(F.col("g"), salt, n_buckets).alias("b"))
 
     # One fit aggregation for BOTH distributions; output ≤ n_buckets
-    # rows → always broadcastable, whatever the corpus size.
+    # rows → always broadcastable, whatever the corpus size.  Persist
+    # it BEFORE the totals collect: the collect materializes the tiny
+    # table, so the corpus-wide gram scan is not replayed to rebuild
+    # `counts` inside the scoring join below (2 corpus passes, not 3).
     counts = grams.groupBy("b").agg(
         F.count("*").alias("cr"),
         F.count_if(F.col("__tgt")).alias("ct"),
-    )
+    ).persist()
     totals = counts.agg(
         F.sum("cr").alias("r_total"), F.sum("ct").alias("t_total")
     ).collect()[0]

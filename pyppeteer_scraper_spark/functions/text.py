@@ -622,7 +622,10 @@ def vocab_coverage_curve(
             F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != "")
         ).alias("w")
     )
-    counts = toks.groupBy("w").agg(F.count("*").alias("n"))
+    # persist the type aggregate BEFORE the totals collect: the collect
+    # materializes it, so the corpus-wide explode is not replayed to
+    # rebuild `counts` for the ranked window (one corpus pass, not two)
+    counts = toks.groupBy("w").agg(F.count("*").alias("n")).persist()
     w = Window.orderBy(F.desc("n"), F.col("w"))
     ranked = counts.select(
         "w",

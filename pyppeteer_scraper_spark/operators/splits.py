@@ -328,7 +328,13 @@ def systematic_pps_sample(
             "__bucket"
         ),
     )
-    btotals = base.groupBy("__bucket").agg(F.sum("w").alias("__btotal"))
+    # persist the tiny per-bucket totals: the total-weight collect
+    # below materializes them, so the corpus scan runs exactly twice
+    # (bucket totals + the final placed window), never a third time
+    # just to sum weights the bucket aggregate already holds
+    btotals = (
+        base.groupBy("__bucket").agg(F.sum("w").alias("__btotal")).persist()
+    )
     wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     boffsets = btotals.select(
         "__bucket",
@@ -341,7 +347,7 @@ def systematic_pps_sample(
         "start",
         F.col("__base") + F.coalesce(F.sum("w").over(wd), F.lit(0)),
     )
-    total = placed.agg(F.sum("w")).collect()[0][0] or 0
+    total = btotals.agg(F.sum("__btotal")).collect()[0][0] or 0
     step = max(int(total) // int(n_samples), 1)
     n_hits = F.expr(
         f"((start + w + {step} - 1) div {step})"

@@ -4335,10 +4335,12 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the data.  This is the planner a 100-TB quality-audit
     sampler runs before drawing (sample_stratified_hash draws it)."""
     ev = load_table(spark, sf_dir, "events")
+    # persist the stratum aggregate (|event_type| rows) before the two
+    # scalar collects so the events scan runs once, not three times
     strata = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_h"),
         F.round(F.stddev_pop("value"), 6).alias("sd_h"),
-    )
+    ).persist()
     total = float(
         strata.agg(F.sum(F.col("n_h") * F.col("sd_h"))).collect()[0][0]
     )
@@ -4850,7 +4852,12 @@ def shard_binpack_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     loads = ev.groupBy(
         F.concat(F.lit("u"), F.col("user_id")).alias("host")
     ).agg(F.count("*").cast("long").alias("n_urls"))
-    packed = binpack_hosts(loads, 8, host_col="host", load_col="n_urls")
+    # persist: the ideal-load collect below otherwise replays the
+    # events aggregate AND binpack's global rank window a second time
+    # for the final rollup
+    packed = binpack_hosts(
+        loads, 8, host_col="host", load_col="n_urls"
+    ).persist()
     # one scalar to the driver (same policy as the LM fit / zipf stats) —
     # a one-row join here constant-folds into a nested-loop cross
     ideal = packed.agg((F.sum("n_urls") / 8.0).alias("ideal")).collect()[0][0]
