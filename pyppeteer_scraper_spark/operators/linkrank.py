@@ -724,3 +724,58 @@ def triangle_stats(
             ).alias("clustering"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over the UNDIRECTED form of
+    ``edges``: each round drops every node whose current degree is
+    below ``k``, then recomputes degrees on the surviving subgraph.
+    Returns (node, degree) for the nodes still present after
+    ``rounds`` peels — the dense-core membership signal (Seidman
+    1983; Batagelj & Zaversnik's peeling formulated as parallel
+    rounds).  Crawl use: the k-core of the host graph separates
+    densely interlinked hub communities (and link farms) from the
+    long tail of leaf pages, complementing triangle_stats' local
+    cohesion with a global one.
+
+    Determinism: the round count is FIXED (not run-to-convergence),
+    so a SQL oracle can unroll the identical peels — same contract as
+    pagerank's fixed power-iterations.  A converged core is obtained
+    by raising ``rounds``; parity holds at any value.
+
+    Scale shape: each round is one groupBy(node) degree count plus
+    two semi-joins of the edge list against the survivor set — all
+    equi-shuffles on node id, no all-pairs anywhere.  The edge list
+    shrinks monotonically; ``localCheckpoint`` truncates the
+    per-round lineage (same discipline as the connected-components
+    loop, operators/dedup.py).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    cur = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        survivors = (
+            cur.groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("node")
+        )
+        cur = (
+            cur.join(survivors.withColumnRenamed("node", "a"), "a", "semi")
+            .join(survivors.withColumnRenamed("node", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return cur.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )

@@ -8975,6 +8975,54 @@ def media_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# one k-core peel round, parameterized by the previous edge CTE —
+# mirrors operators/linkrank.py::kcore exactly (drop deg<k nodes, keep
+# edges whose BOTH endpoints survive, recount).
+def _kcore_peel_sql(i: int, k: int) -> str:
+    prev = "und" if i == 1 else f"e{i - 1}"
+    return f"""s{i} AS (
+      SELECT a AS node FROM {prev} GROUP BY a HAVING count(*) >= {k}
+    ), e{i} AS (
+      SELECT p.a, p.b FROM {prev} p
+      JOIN s{i} x ON p.a = x.node JOIN s{i} y ON p.b = y.node
+    )"""
+
+
+@query(
+    "rank_kcore",
+    f"""
+    WITH {_TRANS_EDGES_SQL},
+    und AS (SELECT src AS a, dst AS b FROM edges
+            UNION SELECT dst, src FROM edges),
+    {_kcore_peel_sql(1, 70)},
+    {_kcore_peel_sql(2, 70)},
+    {_kcore_peel_sql(3, 70)},
+    {_kcore_peel_sql(4, 70)}
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e4 GROUP BY a
+    """,
+)
+def rank_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership of the navigation graph
+    (operators/linkrank.py::kcore): 4 fixed peeling rounds at k=70 —
+    each peel removes real nodes on this near-regular graph
+    (198/194/192/184 survivors at sf0.01) so the parity exercises the
+    cascade, not a no-op —
+    each round drops nodes with degree < k and keeps only edges whose
+    both endpoints survive.  The dense-core / link-farm signal
+    complementing rank_triangle_stats (local cohesion) with a global
+    one (Seidman 1983).  Fixed round count keeps the oracle an exact
+    unrolled-CTE twin (same contract as rank_pagerank's fixed power
+    iterations); every peel is degree-groupBy + two semi-joins on
+    node id — no all-pairs, edge set shrinks monotonically.
+    Reference analog: none — crawl-prioritization extension
+    (SURVEY.md §6 link graph)."""
+    from pyppeteer_scraper_spark.operators.linkrank import kcore
+
+    return kcore(_transition_edges(spark, sf_dir), k=70, rounds=4)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
