@@ -882,3 +882,50 @@ def mojibake_signals(col) -> dict[str, Column]:
         "n_replacement": n_repl,
         "is_mojibake": (n_double + n_c1 + n_repl) > 0,
     }
+
+
+def readability_features(col) -> dict[str, Column]:
+    """Flesch reading-ease + Flesch-Kincaid grade level under the
+    classic vowel-group syllable proxy (Flesch 1948; Kincaid et al.
+    1975 — the public formulas used by readability-based corpus
+    filters, e.g. the C4/Gopher-era heuristic stacks).
+
+    Deterministic mirror-contract with the SQL oracle:
+    - sentences = count of non-blank segments under a [.!?]+ split
+      (min 1 so fragments without terminal punctuation count as one);
+    - words = single-space split (ws_token_count semantics — the one
+      tokenizer every text-family oracle shares);
+    - syllables = vowel-GROUP count over [aeiouy]+ of the lowercased
+      text, i.e. split-segments minus 1 — the standard cheap proxy
+      (per-word min-1 clamping is deliberately NOT applied; both
+      engines state the identical expression).
+
+    All pure codegen built-ins — no UDF, whole-stage friendly; the
+    formulas are two fused projections over three regex counts.
+    """
+    words = ws_token_count(col)
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(col, r"[.!?]+", -1),
+                lambda x: F.trim(x) != "",
+            )
+        ).cast("long"),
+        F.lit(1),
+    )
+    syllables = (
+        F.size(F.split(F.lower(col), "[aeiouy]+", -1)) - 1
+    ).cast("long")
+    wps = words / sentences.cast("double")
+    spw = syllables / F.greatest(words, F.lit(1)).cast("double")
+    return {
+        "n_words": words,
+        "n_sentences": sentences,
+        "n_syllables": syllables,
+        "flesch_ease": F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ),
+        "fk_grade": F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ),
+    }

@@ -1,0 +1,106 @@
+"""HyperBall: per-node neighborhood-function sketches over a link
+graph (Boldi & Vigna, "In-Core Computation of Geometric Centralities
+with HyperBall", 2013 — the algorithm behind the Facebook/Common-Crawl
+"degrees of separation" measurements).
+
+Each node carries an HLL register table of the set of nodes reachable
+from it within t hops; one HyperBall round merges every node's sketch
+with its out-neighbors' sketches.  Because the register table of an
+HLL sketch is a *deterministic* function of the underlying set (see
+operators/hll.py), the whole iteration is exactly checkable: an oracle
+can compute the true distance-<=t ball by unrolled BFS joins and
+derive the identical registers with the same md5 hash layout.
+
+Per-node ball sizes at increasing t yield the neighborhood function
+N(v, t) and from it harmonic/closeness centrality estimates — the
+principled way to get centrality at web scale, where exact all-pairs
+BFS is impossible but per-node O(2^p)-byte sketches stream through
+one equi-join per round.
+
+Scale shape: state is (node, bucket, rho) — at most 2^p rows per node,
+in practice min(|ball|, 2^p).  One round = one equi-join of the edge
+list against the register table on dst (shuffle keyed by node id,
+rows of 3 ints) + a map-side-combinable groupBy(node, bucket) max.
+No all-pairs, no driver collect; ``localCheckpoint`` per round
+truncates lineage (same discipline as pagerank / connected
+components).  Mega-hub skew: a hub's registers replicate to each
+in-neighbor — bounded by 2^p rows per edge, the same cost model as
+the published algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def node_registers(nodes: DataFrame, col: str = "node", p: int = 8) -> DataFrame:
+    """Singleton-set HLL registers for each node id: (node, bucket,
+    rho) with exactly one row per node.  Hash layout identical to
+    operators/hll.py::hll_registers (48-bit md5 prefix; p bucket bits
+    high, 48-p rho bits low) so oracles share the expression."""
+    w_bits = 48 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    w = h % F.lit(2**w_bits)
+    return nodes.select(
+        F.col(col).alias("node"),
+        (h / F.lit(2**w_bits)).cast("long").alias("bucket"),
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
+        .cast("int")
+        .alias("rho"),
+    )
+
+
+def hyperball(
+    edges: DataFrame,
+    t: int = 2,
+    p: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Run t HyperBall rounds over directed ``edges``; returns the
+    register table (node, bucket, rho) of each node's distance-<=t
+    OUT-ball (self included at t=0).  Deterministic — fixed rounds,
+    md5-derived registers, max-merge only."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    regs = node_registers(nodes, "node", p).localCheckpoint()
+    for _ in range(t):
+        prop = (
+            e.join(regs.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "bucket", "rho")
+        )
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return regs
+
+
+def ball_summary(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Per-node sketch summary: (node, n_filled, sum_rho, frac).
+    ``frac`` = sum of 2^-rho over filled buckets — every term is an
+    exact power of two >= 2^-(48-p+1), so the double sum is EXACT and
+    order-independent (the estimator's only data-dependent part);
+    with n_filled it determines the linear-counting/raw HLL estimate,
+    which stays driver/pytest-side (see operators/hll.py::
+    hll_estimate) to keep the oracled output transcendental-free."""
+    return regs.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_filled"),
+        F.sum("rho").cast("long").alias("sum_rho"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("frac"),
+    )

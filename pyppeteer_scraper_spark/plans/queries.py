@@ -9023,6 +9023,141 @@ def rank_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(_transition_edges(spark, sf_dir), k=70, rounds=4)
 
 
+
+@query(
+    "text_readability",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(greatest(len(list_filter(
+                 string_split_regex(text, '[.!?]+'),
+                 x -> trim(x) <> '')), 1) AS BIGINT) AS n_sentences,
+           CAST(len(string_split_regex(lower(text), '[aeiouy]+')) - 1
+                AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (len(string_split(text, ' '))
+                   / CAST(greatest(len(list_filter(
+                       string_split_regex(text, '[.!?]+'),
+                       x -> trim(x) <> '')), 1) AS DOUBLE))
+                 - 84.6 * ((len(string_split_regex(lower(text), '[aeiouy]+')) - 1)
+                   / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)),
+                 4) AS flesch_ease,
+           round(0.39 * (len(string_split(text, ' '))
+                   / CAST(greatest(len(list_filter(
+                       string_split_regex(text, '[.!?]+'),
+                       x -> trim(x) <> '')), 1) AS DOUBLE))
+                 + 11.8 * ((len(string_split_regex(lower(text), '[aeiouy]+')) - 1)
+                   / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE))
+                 - 15.59, 4) AS fk_grade
+    FROM documents
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (functions/text.py::readability_features) — the classic
+    readability filters in public corpus-curation stacks, under the
+    vowel-group syllable proxy.  Pure codegen (two regex counts + one
+    higher-order list filter, no UDF); the oracle states the identical
+    expressions, so sentence splitting, blank-segment filtering, the
+    syllable proxy, and both formulas are hash-pinned at 4 dp.
+    Reference analog: none — text-curation extension (SURVEY.md §6)."""
+    from pyppeteer_scraper_spark.functions.text import readability_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = readability_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        f["n_sentences"].alias("n_sentences"),
+        f["n_syllables"].alias("n_syllables"),
+        f["flesch_ease"].alias("flesch_ease"),
+        f["fk_grade"].alias("fk_grade"),
+    )
+
+
+# sparse navigation graph for neighborhood-function work: page space
+# 2000 (out-degree ~5 at sf0.01) so distance-<=2 balls are
+# discriminative (23-31 nodes), unlike the dense mod-200 graph where
+# every 2-ball saturates.
+_SPARSE_EDGES_SQL = """strans AS (
+      SELECT event_id % 2000 AS src,
+             lead(event_id % 2000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ), sedges AS (
+      SELECT DISTINCT src, dst FROM strans WHERE dst IS NOT NULL AND dst <> src
+    )"""
+
+
+def _sparse_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    page = F.col("event_id") % 2000
+    trans = ev.select(page.alias("src"), F.lead(page).over(w).alias("dst"))
+    return trans.filter(
+        F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
+    ).distinct()
+
+
+@query(
+    "rank_hyperball",
+    f"""
+    WITH {_SPARSE_EDGES_SQL},
+    nodes AS (SELECT src AS node FROM sedges UNION SELECT dst FROM sedges),
+    b0 AS (SELECT node, node AS member FROM nodes),
+    b1 AS (SELECT * FROM b0
+           UNION
+           SELECT e.src AS node, b.member FROM sedges e
+           JOIN b0 b ON b.node = e.dst),
+    b2 AS (SELECT * FROM b1
+           UNION
+           SELECT e.src AS node, b.member FROM sedges e
+           JOIN b1 b ON b.node = e.dst),
+    hashed AS (
+      SELECT node,
+             ('0x' || substr(md5(CAST(member AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM b2
+    ),
+    parts AS (
+      SELECT node, CAST(h // 1099511627776 AS BIGINT) AS bucket,
+             h % 1099511627776 AS w
+      FROM hashed
+    ),
+    regs AS (
+      SELECT node, bucket,
+             max(CASE WHEN w = 0 THEN 41
+                      ELSE 40 - length(bin(w)) + 1 END) AS rho
+      FROM parts GROUP BY node, bucket
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_filled,
+           CAST(sum(rho) AS BIGINT) AS sum_rho,
+           round(sum(power(2.0, -rho)), 6) AS frac
+    FROM regs GROUP BY node
+    """,
+)
+def rank_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood-function sketches (Boldi & Vigna 2013;
+    operators/hyperball.py): 2 register-merge rounds over the sparse
+    navigation graph give every node an HLL sketch of its
+    distance-<=2 out-ball — the web-scale path to ball sizes and
+    harmonic centrality (exact all-pairs BFS being impossible at
+    10^10 nodes).  Registers are a deterministic function of the true
+    ball, so the oracle computes the ball EXACTLY by unrolled BFS
+    joins and derives the identical md5-layout registers — any error
+    in the merge rounds, the hash layout, or the propagation
+    direction breaks the per-node (n_filled, sum_rho, frac) hash.
+    ``frac`` (sum of 2^-rho) is a sum of exact powers of two — order-
+    independent, so distributed aggregation is bit-stable."""
+    from pyppeteer_scraper_spark.operators.hyperball import (
+        ball_summary,
+        hyperball,
+    )
+
+    regs = hyperball(_sparse_transition_edges(spark, sf_dir), t=2, p=8)
+    s = ball_summary(regs, p=8)
+    return s.select("node", "n_filled", "sum_rho",
+                    F.round("frac", 6).alias("frac"))
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
