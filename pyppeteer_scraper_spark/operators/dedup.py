@@ -888,3 +888,77 @@ def incremental_minhash_pairs(
             "jaccard", F.round(F.col("n_common") / F.col("n_union"), 6))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram,
+    slide a w-hash window, select each window's minimum hash with the
+    RIGHTMOST position breaking ties, dedupe selections.  Guarantees:
+    any shared substring of length >= k + w - 1 contributes at least
+    one identical fingerprint to both docs (the detection guarantee),
+    while storing only ~2/(w+1) of all hashes — the local, position-
+    robust alternative to MinHash when match LOCATION matters
+    (plagiarism spans, quote detection, boilerplate localization).
+
+    Engine-portable determinism: gram hash = first 40 bits of md5;
+    rightmost-min tie-break is encoded arithmetically as
+    ``h * 2^16 + (65535 - pos)`` so the window aggregate is a plain
+    integer MIN — no struct ordering, bit-identical in any engine
+    (positions must fit 16 bits: document offsets < 65536, ample for
+    web pages; shard longer docs upstream).
+
+    Scale shape: one explode (positions stay document-local), one
+    window MIN per doc partition — a single shuffle on doc id; the
+    distinct on selections is position-pruned to ~2N/w rows.  No
+    UDFs, no all-pairs; cross-doc matching downstream is an equi-join
+    on the fingerprint hash.
+    """
+    n_grams = F.length(F.col(text_col)) - k + 1
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n_grams >= 1,
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k} + 1),"
+                    f" i -> substring({text_col}, i, {k}))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),  # 1-based like substring()
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    combined = (F.col("h") * F.lit(65536) + (F.lit(65535) - F.col("pos"))).alias(
+        "key"
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        grams.select(id_col, "pos", combined)
+        .withColumn("wmin", F.min("key").over(win))
+        .withColumn(
+            "n_pos",
+            F.max("pos").over(Window.partitionBy(id_col)),
+        )
+        # only positions that START a full w-window select a fingerprint
+        .filter(F.col("pos") <= F.col("n_pos") - (w - 1))
+        .select(
+            id_col,
+            # exact integer division — wmin reaches 2^56, past double's
+            # 53-bit mantissa, so `/` + cast would corrupt high hashes
+            F.expr("wmin div 65536").alias("fp"),
+            (F.lit(65535) - F.col("wmin") % F.lit(65536)).alias("fp_pos"),
+        )
+        .distinct()
+    )
+    return sel

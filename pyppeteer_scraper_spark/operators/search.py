@@ -205,3 +205,46 @@ def lexical_cosine_topk(
         .filter(F.col("rnk") <= top_n)
         .select(id_col, "partner_id", "cos_sim", "rnk")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching via positional postings — the classic
+    inverted-index access path (Manning/Raghavan/Schütze IR ch. 2):
+    tokenize with positions, keep ONLY postings of the phrase's k
+    terms (term-selective pushdown — the whole point of an inverted
+    index: the join never sees non-query terms), then chain k-1
+    equi-joins on (doc, start_pos) with each term's positions shifted
+    by its phrase offset.  Returns (id_col, n_matches) for docs with
+    at least one occurrence.
+
+    Scale shape: the postings explode is one pass; the term filter
+    cuts it to posting-list size before any shuffle; the k-1 joins
+    are equi-joins on (doc, pos) — co-partitioned after the first
+    shuffle, no re-exchange.  The filtered postings are persisted
+    once and served to every term branch.
+    """
+    terms = [t for t in phrase.split(" ") if t != ""]
+    if not terms:
+        raise ValueError("empty phrase")
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+    ptok = tok.filter(F.col("term").isin(terms)).persist()
+    cur = (
+        ptok.filter(F.col("term") == terms[0])
+        .select(id_col, "pos")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = ptok.filter(F.col("term") == t).select(
+            id_col, (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, [id_col, "pos"])
+    return cur.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_matches")
+    )

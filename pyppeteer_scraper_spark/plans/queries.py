@@ -9158,6 +9158,80 @@ def rank_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("frac", 6).alias("frac"))
 
 
+
+@query(
+    "search_phrase",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+    WHERE t[i] = 'table' AND t[i + 1] = 'table'
+    GROUP BY doc_id
+    """,
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query via positional postings
+    (operators/search.py::phrase_search): postings are filtered to
+    the phrase's terms BEFORE any join (the inverted-index access
+    path — non-query terms never shuffle), then chained with
+    position-offset equi-joins on (doc, pos).  The oracle derives the
+    same matches a structurally DIFFERENT way — a direct array scan
+    t[i]/t[i+1] over each document — so tokenization, position
+    bookkeeping, and the join-chain offsets are all independently
+    pinned.  Completes the retrieval family (inverted index, BM25,
+    lexical cosine) with the positional operator real corpus QA needs
+    ("find this exact quote").  Reference analog: none — SURVEY.md §6
+    retrieval extension."""
+    from pyppeteer_scraper_spark.operators.search import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "table table")
+
+
+@query(
+    "dedup_winnow",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ), grams AS (
+      SELECT doc_id, r.i AS pos,
+             ('0x' || substr(md5(substring(text, r.i, 8)), 1, 10))::BIGINT AS h,
+             length(text) - 8 + 1 AS np
+      FROM d, LATERAL (SELECT unnest(range(1, length(text) - 8 + 2)) AS i) r
+    ), keys AS (
+      SELECT doc_id, pos, np, h * 65536 + (65535 - pos) AS key FROM grams
+    ), wins AS (
+      SELECT doc_id, pos, np,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+      FROM keys
+    )
+    SELECT DISTINCT doc_id, CAST(wmin // 65536 AS BIGINT) AS fp,
+           CAST(65535 - wmin % 65536 AS BIGINT) AS fp_pos
+    FROM wins WHERE pos <= np - 15
+    """,
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003,
+    the MOSS algorithm; operators/dedup.py::winnow_fingerprints):
+    k=8 char-gram hashes, w=16 sliding window, rightmost-min
+    selection — guarantees any shared substring of length >= k+w-1
+    yields an identical (fp) in both documents while storing ~2/w of
+    the hashes.  The position-robust LOCAL complement to MinHash
+    (which answers "how similar" but not "where").  The rightmost-min
+    tie-break is arithmetic (h*2^16 + (65535-pos), integer MIN, exact
+    `div` decode) so the oracle is the identical window expression —
+    hash-exact per (doc, fp, fp_pos)."""
+    from pyppeteer_scraper_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    return winnow_fingerprints(docs, k=8, w=16)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #

@@ -1,0 +1,66 @@
+"""Round-4 session-10: winnowing fingerprints + positional phrase search."""
+
+from pyspark.sql import functions as F
+
+from pyppeteer_scraper_spark.operators.dedup import winnow_fingerprints
+from pyppeteer_scraper_spark.operators.search import phrase_search
+
+
+def test_winnow_detection_guarantee(spark):
+    # shared substring of length >= k + w - 1 (k=4, w=4 -> 7) must
+    # contribute at least one identical fingerprint hash to both docs.
+    shared = "zqxjkwvbn"  # 9 chars > 7, unlikely grams elsewhere
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa" + shared + "bbbbbbbb"),
+            (2, "cccccccc" + shared + "dddd"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = winnow_fingerprints(df, k=4, w=4)
+    fps = {
+        d: {r["fp"] for r in rows}
+        for d, rows in [
+            (1, out.filter(F.col("doc_id") == 1).collect()),
+            (2, out.filter(F.col("doc_id") == 2).collect()),
+        ]
+    }
+    assert fps[1] & fps[2], "shared substring produced no common fingerprint"
+
+
+def test_winnow_density_and_short_doc(spark):
+    # a doc shorter than k yields no grams (and must not crash via
+    # descending-sequence pitfalls); selections are ~2N/w dense.
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdefghijklmnopqrstuvwxyz" * 4)],
+        ["doc_id", "text"],
+    )
+    out = winnow_fingerprints(df, k=4, w=4).collect()
+    assert all(r["doc_id"] == 2 for r in out)
+    n_pos = 26 * 4 - 4 + 1
+    assert 0 < len(out) <= n_pos - 3
+    # every fingerprint position must actually be a selected gram start
+    assert all(1 <= r["fp_pos"] <= n_pos for r in out)
+
+
+def test_phrase_search_three_term_chain_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),   # "a b c" twice
+            (2, "a b x c"),       # broken chain -> no match
+            (3, "c b a"),         # reversed -> no match
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(df, "a b c").collect()
+    }
+    assert got == {1: 2}
+
+
+def test_phrase_search_overlapping_adjacent_repeats(spark):
+    # "t t t" contains "t t" at positions 0 and 1 -> 2 matches
+    df = spark.createDataFrame([(1, "t t t")], ["doc_id", "text"])
+    got = phrase_search(df, "t t").collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in got] == [(1, 2)]
