@@ -962,3 +962,48 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def winnow_shared_spans(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    max_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document quote/plagiarism candidates from winnowing
+    fingerprints: docs sharing >= 1 selected fingerprint, scored by
+    how many they share.  Returns (doc_a, doc_b, n_shared) with
+    doc_a < doc_b.
+
+    Skew control — the detail that decides whether this runs at
+    100 TB: fingerprints of boilerplate ("all rights reserved")
+    appear in millions of documents, and a raw self-join on fp would
+    square the hottest posting. Fingerprints present in more than
+    ``max_df`` documents are dropped BEFORE the join (the stop-gram
+    cut — same role as stopword removal in inverted indexes; Broder's
+    shingling work applies the identical document-frequency cut), so
+    the join's per-key fan-out is bounded by max_df² regardless of
+    corpus size.  Dropped fps are the commonest, least-informative
+    ones; near-verbatim quotes of length >= k+w-1 still share RARE
+    fingerprints by the winnowing guarantee.
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
+                              id_col=id_col)
+    per_doc = fps.select(id_col, "fp").distinct()
+    rare = (
+        per_doc.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    pruned = per_doc.join(rare, "fp")
+    a = pruned.select(F.col("fp"), F.col(id_col).alias("doc_a"))
+    b = pruned.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

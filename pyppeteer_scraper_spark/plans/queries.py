@@ -9232,6 +9232,102 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=8, w=16)
 
 
+
+@query(
+    "a_hll_merge_shards",
+    """
+    WITH el AS (
+      SELECT 'e' || (l_orderkey * 10 + l_linenumber) AS e FROM lineitem
+    ),
+    hashed AS (
+      SELECT ('0x' || substr(md5(e), 1, 12))::BIGINT AS h FROM el
+    ),
+    parts AS (
+      SELECT CAST(h // 1099511627776 AS BIGINT) AS bucket,
+             h % 1099511627776 AS w
+      FROM hashed
+    )
+    SELECT bucket,
+           CAST(max(CASE WHEN w = 0 THEN 41
+                         ELSE 40 - length(bin(w)) + 1 END) AS INT) AS rho
+    FROM parts GROUP BY bucket
+    """,
+)
+def a_hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL shard mergeability, proven hash-exact: the corpus is split
+    into two disjoint shards (l_orderkey parity), each shard builds
+    its own register table, and merge_registers (max per bucket)
+    unions them — while the ORACLE derives the registers of the WHOLE
+    set directly.  A hash match proves the associativity contract the
+    100-TB story rests on (per-shard/per-day sketches roll up without
+    re-touching raw data; operators/hll.py docstring) rather than
+    asserting it.  Estimator accuracy stays pytest-side
+    (tests/test_hll.py)."""
+    from pyppeteer_scraper_spark.operators.hll import (
+        hll_registers,
+        merge_registers,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    el = li.select(
+        F.concat(
+            F.lit("e"), F.col("l_orderkey") * 10 + F.col("l_linenumber")
+        ).alias("e"),
+        (F.col("l_orderkey") % 2).alias("shard"),
+    )
+    a = hll_registers(el.filter(F.col("shard") == 0), "e", p=8)
+    b = hll_registers(el.filter(F.col("shard") == 1), "e", p=8)
+    return merge_registers(a, b)
+
+
+
+@query(
+    "dedup_winnow_matches",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ), grams AS (
+      SELECT doc_id, r.i AS pos,
+             ('0x' || substr(md5(substring(text, r.i, 8)), 1, 10))::BIGINT AS h,
+             length(text) - 8 + 1 AS np
+      FROM d, LATERAL (SELECT unnest(range(1, length(text) - 8 + 2)) AS i) r
+    ), keys AS (
+      SELECT doc_id, pos, np, h * 65536 + (65535 - pos) AS key FROM grams
+    ), wins AS (
+      SELECT doc_id, pos, np,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+      FROM keys
+    ), sel AS (
+      SELECT DISTINCT doc_id, CAST(wmin // 65536 AS BIGINT) AS fp
+      FROM wins WHERE pos <= np - 15
+    ), rare AS (
+      SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 5
+    ), pr AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare r ON r.fp = s.fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document quote/plagiarism candidates from winnowing
+    fingerprints (operators/dedup.py::winnow_shared_spans): pairs of
+    docs sharing >= 1 selected fingerprint, scored by shared-fp count.
+    The skew cut that makes this a 100-TB join: fingerprints in more
+    than max_df=5 documents are dropped BEFORE the self-join (the
+    stop-gram cut, Broder-style df capping), bounding per-key fan-out
+    at max_df² however common the boilerplate.  The oracle replays
+    selection, df cut, and pair aggregation in SQL — hash-exact per
+    (doc_a, doc_b, n_shared)."""
+    from pyppeteer_scraper_spark.operators.dedup import winnow_shared_spans
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    return winnow_shared_spans(docs, k=8, w=16, max_df=5)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #

@@ -64,3 +64,27 @@ def test_phrase_search_overlapping_adjacent_repeats(spark):
     df = spark.createDataFrame([(1, "t t t")], ["doc_id", "text"])
     got = phrase_search(df, "t t").collect()
     assert [(r["doc_id"], r["n_matches"]) for r in got] == [(1, 2)]
+
+
+def test_winnow_shared_spans_df_cap_prunes_boilerplate(spark):
+    from pyppeteer_scraper_spark.operators.dedup import winnow_shared_spans
+
+    # 4 docs all share boilerplate; docs 1,2 also share a rare quote.
+    boiler = "all rights reserved worldwide"
+    quote = "zqxjv unique quoted passage kwybn"
+    df = spark.createDataFrame(
+        [
+            (1, quote + " " + boiler),
+            (2, "intro text " + quote + " " + boiler),
+            (3, "other page " + boiler),
+            (4, "yet another " + boiler),
+        ],
+        ["doc_id", "text"],
+    )
+    # max_df=2: boilerplate fps (df=4) are cut; quote fps (df=2) stay
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_shared_spans(df, k=5, w=4, max_df=2).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 1
