@@ -146,6 +146,14 @@ HEADLINE = [
     "sim_random_projection",
     "quality_logreg_train",
     "rank_triangle_stats",
+    # round-4 session-10 additions
+    "rank_kcore",
+    "text_readability",
+    "rank_hyperball",
+    "search_phrase",
+    "dedup_winnow",
+    "a_hll_merge_shards",
+    "dedup_winnow_matches",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -21,9 +21,9 @@ Scale shape: state is (node, bucket, rho) — at most 2^p rows per node,
 in practice min(|ball|, 2^p).  One round = one equi-join of the edge
 list against the register table on dst (shuffle keyed by node id,
 rows of 3 ints) + a map-side-combinable groupBy(node, bucket) max.
-No all-pairs, no driver collect; ``localCheckpoint`` per round
-truncates lineage (same discipline as pagerank / connected
-components).  Mega-hub skew: a hub's registers replicate to each
+No all-pairs, no driver collect; lineage is truncated every
+``checkpoint_every`` rounds (see ``hyperball``).  Mega-hub skew: a
+hub's registers replicate to each
 in-neighbor — bounded by 2^p rows per edge, the same cost model as
 the published algorithm.
 """
@@ -59,16 +59,30 @@ def hyperball(
     p: int = 8,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Run t HyperBall rounds over directed ``edges``; returns the
     register table (node, bucket, rho) of each node's distance-<=t
     OUT-ball (self included at t=0).  Deterministic — fixed rounds,
-    md5-derived registers, max-merge only."""
+    md5-derived registers, max-merge only.
+
+    Lineage is truncated every ``checkpoint_every`` rounds: an
+    unmaterialized round references ``regs`` twice (identity branch +
+    propagation join), fanning lineage ~2x/round — bounded at
+    2^checkpoint_every — while an EAGER per-round localCheckpoint
+    costs one full job each, which dominates wall time at small and
+    medium graph sizes."""
+    # localCheckpoint (eager), not cache(): the node-set union and the
+    # per-round propagation joins branch off `e` concurrently, and a
+    # lazy cache races — both branches recompute the upstream edge
+    # derivation (e.g. the window over raw events) in parallel before
+    # either populates the cache.  One eager materialization makes
+    # every branch read the 16-byte edge rows.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -76,7 +90,7 @@ def hyperball(
         .distinct()
     )
     regs = node_registers(nodes, "node", p).localCheckpoint()
-    for _ in range(t):
+    for r in range(t):
         prop = (
             e.join(regs.withColumnRenamed("node", "dst"), "dst")
             .select(F.col("src").alias("node"), "bucket", "rho")
@@ -85,9 +99,9 @@ def hyperball(
             regs.unionByName(prop)
             .groupBy("node", "bucket")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint()
         )
-    e.unpersist()
+        if (r + 1) % checkpoint_every == 0 and r + 1 < t:
+            regs = regs.localCheckpoint()
     return regs
 
 

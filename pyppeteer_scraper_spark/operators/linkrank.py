@@ -732,6 +732,7 @@ def kcore(
     rounds: int = 4,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-round k-core peeling over the UNDIRECTED form of
     ``edges``: each round drops every node whose current degree is
@@ -752,9 +753,11 @@ def kcore(
     Scale shape: each round is one groupBy(node) degree count plus
     two semi-joins of the edge list against the survivor set — all
     equi-shuffles on node id, no all-pairs anywhere.  The edge list
-    shrinks monotonically; ``localCheckpoint`` truncates the
-    per-round lineage (same discipline as the connected-components
-    loop, operators/dedup.py).
+    shrinks monotonically; lineage is truncated every
+    ``checkpoint_every`` rounds (eager per-round checkpoints cost one
+    job each and dominate wall time; unmaterialized rounds fan lineage
+    out ~3x/round, bounded at 3^checkpoint_every — same trade the
+    connected-components loop makes, operators/dedup.py).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     cur = (
@@ -763,7 +766,7 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(rounds):
+    for r in range(rounds):
         survivors = (
             cur.groupBy(F.col("a").alias("node"))
             .agg(F.count("*").alias("deg"))
@@ -774,8 +777,14 @@ def kcore(
             cur.join(survivors.withColumnRenamed("node", "a"), "a", "semi")
             .join(survivors.withColumnRenamed("node", "b"), "b", "semi")
             .select("a", "b")
-            .localCheckpoint()
         )
+        # materialize only every k-th round: each unmaterialized round
+        # references `cur` twice (both semi-joins derive survivors from
+        # it), so lineage fans out ~3x/round — bounded at 3^checkpoint_
+        # every — while EAGER per-round localCheckpoints cost a full
+        # job each, which dominates wall time on small/medium graphs.
+        if (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
+            cur = cur.localCheckpoint()
     return cur.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
     )
