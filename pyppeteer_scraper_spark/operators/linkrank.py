@@ -61,7 +61,13 @@ def pagerank(
     # lineage (e.g. a window over the raw events) replays per
     # iteration.  DataFrame cache is MEMORY_AND_DISK, so a bigger-than-
     # RAM edge set degrades to local-disk reads, not recomputation.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    # eager localCheckpoint, not lazy cache: the node-set union (and the
+    # first iteration) branch off `e` concurrently, and a lazy cache
+    # races — each branch recomputes the upstream edge derivation (the
+    # window over raw events) before any populates the cache.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -99,7 +105,6 @@ def pagerank(
         )
     nodes.unpersist()
     out_deg.unpersist()
-    e.unpersist()
     return ranks
 
 
@@ -124,7 +129,13 @@ def trustrank(
     ``localCheckpoint`` lineage truncation.  ``seeds`` (one ``node``
     column) is tiny by construction — it broadcast-joins.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    # eager localCheckpoint, not lazy cache: the node-set union (and the
+    # first iteration) branch off `e` concurrently, and a lazy cache
+    # races — each branch recomputes the upstream edge derivation (the
+    # window over raw events) before any populates the cache.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -170,7 +181,6 @@ def trustrank(
     nodes.unpersist()
     out_deg.unpersist()
     seed_nodes.unpersist()
-    e.unpersist()
     return ranks
 
 
@@ -273,7 +283,13 @@ def hits(
     half-step, ``localCheckpoint`` truncating each iteration's lineage.
     Deterministic: fixed iterations, no RNG.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    # eager localCheckpoint, not lazy cache: the node-set union (and the
+    # first iteration) branch off `e` concurrently, and a lazy cache
+    # races — each branch recomputes the upstream edge derivation (the
+    # window over raw events) before any populates the cache.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -284,10 +300,15 @@ def hits(
     hub = nodes.withColumn("hub", F.lit(1.0 / n))
     auth = None
     for _ in range(iters):
+        # materialize the per-node sum ONCE (it is tiny — one row per
+        # node): both the normalization scalar and the next half-step
+        # read it, so an unmaterialized a_raw would run its join+groupBy
+        # twice per half-step — the dominant cost of the whole operator
         a_raw = (
             e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum("hub").alias("s"))
+            .localCheckpoint()
         )
         a_tot = float(a_raw.agg(F.sum("s")).collect()[0][0] or 1.0)
         auth = nodes.join(
@@ -297,11 +318,12 @@ def hits(
             (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(a_tot)).alias(
                 "authority"
             ),
-        ).localCheckpoint()
+        )
         h_raw = (
             e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum("authority").alias("s"))
+            .localCheckpoint()
         )
         h_tot = float(h_raw.agg(F.sum("s")).collect()[0][0] or 1.0)
         hub = nodes.join(
@@ -309,10 +331,9 @@ def hits(
         ).select(
             "node",
             (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(h_tot)).alias("hub"),
-        ).localCheckpoint()
+        )
     out = nodes.join(hub, "node").join(auth, "node")
     nodes.unpersist()
-    e.unpersist()
     return out.select("node", "hub", "authority")
 
 
@@ -387,7 +408,13 @@ def opic(
     keeps it deterministic and lets the DuckDB oracle unroll the same
     rounds as CTEs (plans/queries.py::rank_opic).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    # eager localCheckpoint, not lazy cache: the node-set union (and the
+    # first iteration) branch off `e` concurrently, and a lazy cache
+    # races — each branch recomputes the upstream edge derivation (the
+    # window over raw events) before any populates the cache.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -433,7 +460,6 @@ def opic(
     )
     nodes.unpersist()
     out_deg.unpersist()
-    e.unpersist()
     return out
 
 
@@ -609,9 +635,10 @@ def label_propagation(
     budgets can be assigned).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # eager materialization for the same cache-race reason as above
     adj = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().cache()
+    ).distinct().localCheckpoint()
     nodes = adj.select(F.col("a").alias("node")).distinct().cache()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iters):
@@ -638,7 +665,6 @@ def label_propagation(
             )
             .localCheckpoint()
         )
-    adj.unpersist()
     nodes.unpersist()
     return labels
 
