@@ -56,11 +56,9 @@ def pagerank(
     standard correction; without it rank mass leaks and totals drift
     below 1).  Deterministic: no RNG, fixed iterations, pure joins.
     """
-    # Cache the edge table: it feeds every iteration's contribution
-    # join (and out_deg/nodes) — uncached, the whole edge-derivation
-    # lineage (e.g. a window over the raw events) replays per
-    # iteration.  DataFrame cache is MEMORY_AND_DISK, so a bigger-than-
-    # RAM edge set degrades to local-disk reads, not recomputation.
+    # The edge table feeds every iteration's contribution join (and
+    # out_deg/nodes) — unmaterialized, the whole edge-derivation
+    # lineage (e.g. a window over the raw events) replays per branch.
     # eager localCheckpoint, not lazy cache: the node-set union (and the
     # first iteration) branch off `e` concurrently, and a lazy cache
     # races — each branch recomputes the upstream edge derivation (the
@@ -813,4 +811,90 @@ def kcore(
             cur = cur.localCheckpoint()
     return cur.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
+    )
+
+
+def _min_label_rounds(
+    e: DataFrame, nodes: DataFrame, rounds: int, forward: bool,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Fixed-round min-label propagation: after t rounds, lab(v) is
+    the minimum node id reachable from v within <= t hops (forward)
+    or that reaches v within <= t hops (backward).  One equi-join +
+    min-groupBy per round."""
+    key_out, key_in = ("dst", "src") if forward else ("src", "dst")
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    for r in range(rounds):
+        neigh = (
+            e.join(lab.withColumnRenamed("node", key_out), key_out)
+            .groupBy(F.col(key_in).alias("node"))
+            .agg(F.min("lab").alias("nl"))
+        )
+        lab = lab.join(neigh, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lab"), F.coalesce(F.col("nl"), F.col("lab"))
+            ).alias("lab"),
+        )
+        if (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
+            lab = lab.localCheckpoint()
+    return lab
+
+
+def scc_certificates(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """t-bounded strongly-connected-component certificates via
+    forward+backward min-label propagation (the label half of the
+    classic coloring/FW-BW SCC schemes — Orzan 2004; Slota et al.
+    2014 — truncated to FIXED rounds so a SQL oracle can unroll the
+    identical computation).
+
+    Returns (node, fwd_min, bwd_min, in_scc): fwd_min = minimum node
+    id reachable within <= rounds hops, bwd_min = minimum node id that
+    reaches this node within <= rounds hops.  fwd_min == bwd_min == L
+    is a SOUND certificate that the node is in L's SCC via cycles of
+    length <= 2*rounds (v reaches L and L reaches v); longer cycles
+    need more rounds — incompleteness, never wrongness, so the flag
+    is monotone in ``rounds``.
+
+    Crawl use: directed short cycles through a common minimum are the
+    redirect-ring / link-ring signature (spam rings interlink
+    mutually; genuine link paths rarely return), complementing the
+    UNDIRECTED cohesion signals (triangle_stats, kcore) with cycle
+    direction.
+
+    Scale shape: 2*rounds equi-join + min-groupBy passes over the
+    edge list, labels are one row per node; eager edge
+    materialization and spaced lineage truncation as in ``kcore``.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    fwd = _min_label_rounds(e, nodes, rounds, forward=True)
+    bwd = _min_label_rounds(e, nodes, rounds, forward=False)
+    return (
+        fwd.withColumnRenamed("lab", "fwd_min")
+        .join(bwd.withColumnRenamed("lab", "bwd_min"), "node")
+        .select(
+            "node",
+            "fwd_min",
+            "bwd_min",
+            F.when(F.col("fwd_min") == F.col("bwd_min"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("in_scc"),
+        )
     )

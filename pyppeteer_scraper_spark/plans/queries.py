@@ -9328,6 +9328,54 @@ def dedup_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_shared_spans(docs, k=8, w=16, max_df=5)
 
 
+
+# one min-label propagation round for the SCC-certificate oracle —
+# mirrors operators/linkrank.py::_min_label_rounds exactly.
+def _minlab_sql(i: int, pre: str, join_on: str, group_by: str) -> str:
+    prev = f"{pre}{i - 1}"
+    return f"""{pre}{i} AS (
+      SELECT n.node,
+             least(n.lab, coalesce(min(p.lab), n.lab)) AS lab
+      FROM {prev} n
+      LEFT JOIN sedges e ON e.{group_by} = n.node
+      LEFT JOIN {prev} p ON p.node = e.{join_on}
+      GROUP BY n.node, n.lab
+    )"""
+
+
+@query(
+    "rank_scc_certificates",
+    f"""
+    WITH {_SPARSE_EDGES_SQL},
+    nodes AS (SELECT src AS node FROM sedges UNION SELECT dst FROM sedges),
+    f0 AS (SELECT node, node AS lab FROM nodes),
+    b0 AS (SELECT node, node AS lab FROM nodes),
+    {_minlab_sql(1, "f", "dst", "src")},
+    {_minlab_sql(2, "f", "dst", "src")},
+    {_minlab_sql(3, "f", "dst", "src")},
+    {_minlab_sql(1, "b", "src", "dst")},
+    {_minlab_sql(2, "b", "src", "dst")},
+    {_minlab_sql(3, "b", "src", "dst")}
+    SELECT f.node, f.lab AS fwd_min, b.lab AS bwd_min,
+           CAST(f.lab = b.lab AS INT) AS in_scc
+    FROM f3 f JOIN b3 b ON b.node = f.node
+    """,
+)
+def rank_scc_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-bounded SCC certificates
+    (operators/linkrank.py::scc_certificates): 3 rounds of forward and
+    backward min-label propagation over the sparse navigation graph.
+    fwd_min == bwd_min == L soundly certifies membership in L's SCC
+    through cycles of length <= 6 — the directed-cycle / redirect-ring
+    signature complementing the undirected cohesion signals (triangles,
+    k-core).  Fixed rounds keep the oracle an unrolled-CTE twin (the
+    pagerank/kcore contract); each round is one equi-join + min-groupBy
+    with labels one row per node."""
+    from pyppeteer_scraper_spark.operators.linkrank import scc_certificates
+
+    return scc_certificates(_sparse_transition_edges(spark, sf_dir), rounds=3)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
