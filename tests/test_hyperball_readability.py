@@ -81,3 +81,39 @@ def test_readability_no_terminal_punct_counts_one_sentence(spark):
     f = readability_features(F.col("text"))
     row = df.select(f["n_sentences"].alias("s")).collect()[0]
     assert row["s"] == 1
+
+
+def test_harmonic_estimates_close_to_exact(spark):
+    from pyppeteer_scraper_spark.operators.hyperball import (
+        harmonic_estimates,
+    )
+
+    # directed graph: star out of 'h' plus a 2-chain; exact t<=2
+    # truncated harmonic H(v) = sum_{0<d(v,u)<=2} 1/d(v,u).
+    edges = [("h", f"s{i}") for i in range(6)] + [("s0", "x"), ("x", "y")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+
+    def exact(v, t_max=2):
+        dist = {v: 0}
+        frontier = [v]
+        for d in range(1, t_max + 1):
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        return sum(1.0 / d for d in dist.values() if d > 0)
+
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_estimates(e, t_max=2, p=8).collect()
+    }
+    for v in nodes:
+        want = exact(v)
+        assert abs(got[v] - want) <= max(0.35, 0.06 * want), (v, got[v], want)
