@@ -154,6 +154,8 @@ HEADLINE = [
     "dedup_winnow",
     "a_hll_merge_shards",
     "dedup_winnow_matches",
+    "rank_scc_certificates",
+    "media_exif_metadata",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -9376,6 +9376,78 @@ def rank_scc_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc_certificates(_sparse_transition_edges(spark, sf_dir), rounds=3)
 
 
+
+@query(
+    "media_exif_metadata",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           'cam' || CAST(doc_id % 4 AS VARCHAR) AS make,
+           '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS dt,
+           CAST(320 + (doc_id % 5) * 160 AS INT) AS width,
+           CAST(240 + (doc_id % 3) * 120 AS INT) AS height,
+           round(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END
+                 * ((doc_id % 90) + (doc_id % 60) / 60.0
+                    + ((doc_id % 600) / 10.0) / 3600.0), 6) AS lat,
+           round(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END
+                 * ((doc_id % 180) + ((doc_id * 7) % 60) / 60.0), 6) AS lon
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def media_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF/TIFF metadata extraction (operators/exif.py): per doc a
+    minimal valid EXIF blob — IFD0 (orientation/make/datetime), EXIF
+    sub-IFD (pixel dims), GPS sub-IFD (rational DMS triplets), byte
+    order ALTERNATING by doc parity so both II and MM paths are
+    exercised — is built with the from-scratch encoder and parsed back
+    inside ONE mapInPandas pass (binary never shuffles).  The oracle
+    states the analytically-known field values, so tag decoding, the
+    inline-vs-offset value rule, sub-IFD chasing, endianness, and the
+    DMS->signed-decimal fold are all hash-pinned at 6 dp.  GPS
+    extraction is the PII-scrubbing path (geotags are doxxable).
+    Reference analog: none — multimodal extension (SURVEY.md §6)."""
+    import pandas as pd
+
+    from pyppeteer_scraper_spark.operators.exif import (
+        encode_exif,
+        exif_metadata,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blob = encode_exif(
+                    orientation=1 + d % 8,
+                    make=f"cam{d % 4}",
+                    datetime=f"2026:01:{1 + d % 28:02d} 12:00:00",
+                    width=320 + (d % 5) * 160,
+                    height=240 + (d % 3) * 120,
+                    lat=((d % 90, 1), (d % 60, 1), (d % 600, 10),
+                         "N" if d % 2 == 0 else "S"),
+                    lon=((d % 180, 1), ((d * 7) % 60, 1), (0, 1),
+                         "E" if d % 3 == 0 else "W"),
+                    big_endian=(d % 2 == 1),
+                )
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    out = exif_metadata(media)
+    return out.select(
+        "doc_id", "orientation", "make", "dt", "width", "height",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
