@@ -9544,7 +9544,11 @@ _WINDOW_FIRST = [
     # sim_pca_whiten_identity, text_main_content, dedup_source_overlap,
     # media_mime_sniff, export_frontcoded_urls,
     # dedup_incremental_minhash, sim_random_projection,
-    # quality_logreg_train, rank_triangle_stats) are NOT window-first:
+    # quality_logreg_train, rank_triangle_stats) and the session-10
+    # additions (rank_kcore, text_readability, rank_hyperball,
+    # search_phrase, dedup_winnow, a_hll_merge_shards,
+    # dedup_winnow_matches, rank_scc_certificates, media_exif_metadata)
+    # are NOT window-first:
     # the 50 slots are fully claimed by earlier never-checked entries,
     # so they sit in the middle from position 51 and lead the r05
     # rotation (oracle-checked locally via tools/check_correctness.py).
