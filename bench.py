@@ -156,6 +156,7 @@ HEADLINE = [
     "dedup_winnow_matches",
     "rank_scc_certificates",
     "media_exif_metadata",
+    "dedup_cdc_chunks",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -1007,3 +1007,84 @@ def winnow_shared_spans(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    w: int = 8,
+    bits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync scheme — Muthitacharoen
+    et al. SOSP 2001; FastCDC's min/max refinements are a documented
+    non-goal here since their greedy skip is inherently sequential):
+    a chunk boundary is cut after every w-gram whose hash has its low
+    ``bits`` bits zero, so expected chunk length is 2^bits characters
+    and — the whole point — boundaries are functions of CONTENT, not
+    position: an insertion shifts offsets but downstream boundaries
+    re-synchronize, so unchanged regions keep identical chunk hashes.
+    That's what makes dedup of re-crawled/re-encoded WARC payloads
+    work at the storage layer, where position-based (fixed-size)
+    blocks would never realign.
+
+    Returns (id, start, length, chunk_md5), 1-based inclusive spans
+    covering the document exactly.
+
+    Engine-portable determinism: gram hash = the usual 40-bit md5
+    prefix; the boundary predicate and the span reconstruction (window
+    lag over cut positions + an end-of-doc sentinel) are plain
+    relational ops, so the SQL oracle states the identical derivation.
+
+    Scale shape: one explode over gram positions (document-local), one
+    per-doc window — a single shuffle keyed by doc id; chunk hashing
+    re-reads the text via an equi-join on id.  Cross-corpus dedup
+    downstream is a groupBy on chunk_md5.
+    """
+    n_grams = F.length(F.col(text_col)) - w + 1
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n_grams >= 1,
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {w} + 1),"
+                    f" i -> substring({text_col}, i, {w}))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    cuts = grams.filter(F.col("h") % F.lit(2**bits) == 0).select(
+        id_col, (F.col("pos") + w - 1).alias("cut")
+    )
+    sentinel = docs.select(
+        F.col(id_col), F.length(text_col).cast("long").alias("cut")
+    ).filter(F.col("cut") > 0)
+    all_cuts = cuts.select(id_col, F.col("cut").cast("long")).union(
+        sentinel
+    ).distinct()
+    win = Window.partitionBy(id_col).orderBy("cut")
+    spans = all_cuts.select(
+        id_col,
+        (F.coalesce(F.lag("cut").over(win), F.lit(0)) + 1).alias("start"),
+        F.col("cut").alias("end"),
+    )
+    return (
+        spans.join(docs.select(id_col, text_col), id_col)
+        .select(
+            id_col,
+            "start",
+            (F.col("end") - F.col("start") + 1).alias("length"),
+            F.md5(
+                F.expr(
+                    f"substring({text_col}, start, end - start + 1)"
+                )
+            ).alias("chunk_md5"),
+        )
+    )

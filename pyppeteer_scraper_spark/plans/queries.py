@@ -9448,6 +9448,53 @@ def media_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "dedup_cdc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+    ), grams AS (
+      SELECT doc_id, r.i AS pos,
+             ('0x' || substr(md5(substring(text, r.i, 8)), 1, 10))::BIGINT AS h
+      FROM d, LATERAL (SELECT unnest(range(1, length(text) - 8 + 2)) AS i) r
+    ), cuts AS (
+      SELECT doc_id, CAST(pos + 7 AS BIGINT) AS cut
+      FROM grams WHERE h % 32 = 0
+      UNION
+      SELECT doc_id, CAST(length(text) AS BIGINT) FROM d WHERE length(text) > 0
+    ), spans AS (
+      SELECT doc_id,
+             coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+               + 1 AS start,
+             cut AS e
+      FROM cuts
+    )
+    SELECT s.doc_id, s.start, s.e - s.start + 1 AS length,
+           md5(substring(d.text, CAST(s.start AS INT),
+               CAST(s.e - s.start + 1 AS INT))) AS chunk_md5
+    FROM spans s JOIN d ON d.doc_id = s.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/dedup.py::cdc_chunks,
+    LBFS/rsync scheme): boundaries cut after w-grams whose 40-bit hash
+    has its low 5 bits zero (expected chunk ~32 chars), so boundaries
+    are content-anchored and re-synchronize after insertions — the
+    storage-dedup primitive for re-crawled WARC payloads, where
+    fixed-size blocks would never realign.  The oracle replays gram
+    hashing, the boundary predicate, the end-of-doc sentinel, and the
+    lag-window span reconstruction — hash-exact per
+    (doc, start, length, chunk_md5).  The resync property itself is
+    pytest-pinned (tests/test_cdc.py)."""
+    from pyppeteer_scraper_spark.operators.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    )
+    return cdc_chunks(docs, w=8, bits=5)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
