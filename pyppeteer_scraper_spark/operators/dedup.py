@@ -68,6 +68,10 @@ def minhash_band_candidates(
     (no skew); true duplicates cluster in small buckets, so the join
     output stays near-linear in the duplicate count."""
     rows_per_band = n_perm // bands
+    # eager materialization: both sides of the band self-join read this
+    # table, and each unmaterialized reference replays the whole
+    # shingle->minhash->band aggregation (lazy caches race across the
+    # join's concurrently-running sides).  Compact: docs x bands rows.
     banded = (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
@@ -79,6 +83,7 @@ def minhash_band_candidates(
                 )
             ).alias("band_sig")
         )
+        .localCheckpoint()
     )
     a = banded.select(F.col(id_col).alias("a"), "band", "band_sig")
     b = banded.select(F.col(id_col).alias("b"), "band", "band_sig")
@@ -108,7 +113,11 @@ def minhash_lsh_pairs(
 
     Output: (a, b, jaccard_est) with a < b.
     """
-    sig = minhash_signatures(word_shingles(df, text_col, id_col, k), id_col, n_perm)
+    # sig feeds the banding AND both verify sides: materialize once
+    # (docs x n_perm rows) instead of replaying the shingle explode 3x
+    sig = minhash_signatures(
+        word_shingles(df, text_col, id_col, k), id_col, n_perm
+    ).localCheckpoint()
     candidates = minhash_band_candidates(sig, id_col, n_perm, bands)
     sa = sig.select(F.col(id_col).alias("a"), "perm", F.col("minhash").alias("ma"))
     sb = sig.select(F.col(id_col).alias("b"), "perm", F.col("minhash").alias("mb"))
@@ -259,7 +268,11 @@ def shingle_jaccard_pairs_lsh(
     shingles = word_shingles(df, text_col, id_col, k)
     sig = minhash_signatures(shingles, id_col, n_perm)
     candidates = minhash_band_candidates(sig, id_col, n_perm, bands)
-    sets = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    # one row per doc; read by both verify sides — materialize so the
+    # shingle explode + collect_set aggregation runs once, not twice
+    sets = shingles.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh")
+    ).localCheckpoint()
     sa = sets.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
     sb = sets.select(F.col(id_col).alias("b"), F.col("sh").alias("shb"))
     return (
