@@ -235,7 +235,11 @@ def phrase_search(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
     )
-    ptok = tok.filter(F.col("term").isin(terms)).persist()
+    # eager localCheckpoint, not lazy persist: the k per-term branches
+    # join concurrently and a lazy cache races — each branch would
+    # replay the full tokenize-explode before any populates it.  The
+    # materialized table is posting-list-sized (query terms only).
+    ptok = tok.filter(F.col("term").isin(terms)).localCheckpoint()
     cur = (
         ptok.filter(F.col("term") == terms[0])
         .select(id_col, "pos")
