@@ -315,6 +315,13 @@ def anti_join_with_bloom(
     annotated = bloom_annotate(
         candidates, bloom_dir, params, store_factory=store_factory
     ).cache()
+    # Populate the cache SERIALLY before the fresh/suspect branches
+    # consume it: both branches are independent stages of the same
+    # downstream job, run concurrently, and a lazily-populated cache
+    # races — each side replays the canonicalize UDF + link explode
+    # upstream.  One count() materializes once; the handle still goes
+    # through the caller's round-level unpersist sweep.
+    annotated.count()
     if caches is not None:
         caches.append(annotated)
     fresh = annotated.filter(~F.col("maybe_seen")).drop("maybe_seen")
