@@ -723,14 +723,19 @@ def ngram_containment_pairs(
     Output: (a, b, n_common, n_a, n_b, containment_a, containment_b)
     for a < b where max(containment) ≥ threshold.
     """
-    grams = word_shingles(df, text_col, id_col, k)  # already distinct
+    # two eager materializations cap the pipeline at one shingle
+    # explode: `grams` feeds the df aggregate and the retained join;
+    # `rare` feeds the size aggregate and BOTH sides of the
+    # intersection self-join (3 references; lazy caches race across
+    # the join's concurrently-running sides).
+    grams = word_shingles(df, text_col, id_col, k).localCheckpoint()
     rare = grams.join(
         grams.groupBy("shingle")
         .agg(F.count("*").alias("__gdf"))
         .filter(F.col("__gdf") <= df_cap)
         .select("shingle"),
         "shingle",
-    )
+    ).localCheckpoint()
     sizes = rare.groupBy(id_col).agg(F.count("*").cast("long").alias("n"))
     inter = (
         rare.select(F.col(id_col).alias("a"), "shingle")
