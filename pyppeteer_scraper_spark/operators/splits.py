@@ -200,9 +200,13 @@ def split_ngram_contamination(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # the window projection (a 13-token concat + md5 PER TOKEN over
+    # the whole corpus) is by far the dominant cost and is read three
+    # times (train fingerprints, eval hits, eval sizes) — materialize
+    # it once
     base = df.select(
         F.col(id_col), F.col(split_col), windows.alias("__w")
-    )
+    ).localCheckpoint()
     train_fps = (
         base.filter(F.col(split_col) == train_split)
         .select(F.explode("__w").alias("fp"))
