@@ -157,6 +157,7 @@ HEADLINE = [
     "rank_scc_certificates",
     "media_exif_metadata",
     "dedup_cdc_chunks",
+    "dedup_winnow_spans",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

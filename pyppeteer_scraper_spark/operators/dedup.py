@@ -1106,3 +1106,75 @@ def cdc_chunks(
             ).alias("chunk_md5"),
         )
     )
+
+
+def winnow_matched_spans(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    max_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Localize the shared spans behind winnowing matches: matched
+    fingerprints between a doc pair that sit on a common alignment
+    DIAGONAL (pos_b - pos_a constant) are one contiguous shared
+    region; merging them with a gaps-and-islands pass recovers the
+    span boundaries — the "where exactly is the quote" answer that
+    winnow_shared_spans' pair counts don't give (the localization
+    payoff Schleimer et al. §5 describe for MOSS match reporting).
+
+    Returns (doc_a, doc_b, diag, a_start, a_end, n_fps) with
+    doc_a < doc_b; the matched region in doc_b is the same span
+    shifted by ``diag``.  Islands merge fingerprints on the same
+    diagonal whose positions are within k + w - 1 (the winnowing
+    guarantee distance: inside a shared span, consecutive selections
+    are at most w windows apart).
+
+    Scale shape: the df-capped fingerprint self-join from
+    winnow_shared_spans (bounded fan-out), then one window over
+    (pair, diag) ordered by position — shuffle keyed by the pair,
+    island extents instead of exploded coverage rows.
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
+                              id_col=id_col)
+    per = fps.select(id_col, "fp", "fp_pos")
+    rare = (
+        per.select(id_col, "fp").distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    pruned = per.join(rare, "fp").localCheckpoint()
+    a = pruned.select(
+        F.col("fp"), F.col(id_col).alias("doc_a"), F.col("fp_pos").alias("pa")
+    )
+    b = pruned.select(
+        F.col("fp"), F.col(id_col).alias("doc_b"), F.col("fp_pos").alias("pb")
+    )
+    matched = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa",
+            (F.col("pb") - F.col("pa")).alias("diag"),
+        )
+        .distinct()
+    )
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    gap = k + w - 1
+    prev = F.lag("pa").over(win)
+    flagged = matched.withColumn(
+        "flag",
+        F.when(prev.isNull() | (F.col("pa") - prev > gap), 1).otherwise(0),
+    ).withColumn("gid", F.sum("flag").over(win))
+    return (
+        flagged.groupBy("doc_a", "doc_b", "diag", "gid")
+        .agg(
+            F.min("pa").alias("a_start"),
+            (F.max("pa") + k - 1).alias("a_end"),
+            F.count("*").cast("long").alias("n_fps"),
+        )
+        .drop("gid")
+    )

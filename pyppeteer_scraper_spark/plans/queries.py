@@ -9495,6 +9495,74 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(docs, w=8, bits=5)
 
 
+
+@query(
+    "dedup_winnow_spans",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ), grams AS (
+      SELECT doc_id, r.i AS pos,
+             ('0x' || substr(md5(substring(text, r.i, 8)), 1, 10))::BIGINT AS h,
+             length(text) - 8 + 1 AS np
+      FROM d, LATERAL (SELECT unnest(range(1, length(text) - 8 + 2)) AS i) r
+    ), keys AS (
+      SELECT doc_id, pos, np, h * 65536 + (65535 - pos) AS key FROM grams
+    ), wins AS (
+      SELECT doc_id, pos, np,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+      FROM keys
+    ), sel AS (
+      SELECT DISTINCT doc_id, CAST(wmin // 65536 AS BIGINT) AS fp,
+             CAST(65535 - wmin % 65536 AS BIGINT) AS fp_pos
+      FROM wins WHERE pos <= np - 15
+    ), rare AS (
+      SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM sel)
+      GROUP BY fp HAVING count(*) <= 5
+    ), pr AS (
+      SELECT s.doc_id, s.fp, s.fp_pos FROM sel s JOIN rare r ON r.fp = s.fp
+    ), matched AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fp_pos AS pa, b.fp_pos - a.fp_pos AS diag
+      FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ), flagged AS (
+      SELECT doc_a, doc_b, diag, pa,
+             CASE WHEN lag(pa) OVER w IS NULL
+                       OR pa - lag(pa) OVER w > 23 THEN 1 ELSE 0 END AS flag
+      FROM matched
+      WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+    ), grouped AS (
+      SELECT doc_a, doc_b, diag, pa,
+             sum(flag) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+               AS gid
+      FROM flagged
+    )
+    SELECT doc_a, doc_b, diag,
+           min(pa) AS a_start,
+           CAST(max(pa) + 7 AS BIGINT) AS a_end,
+           CAST(count(*) AS BIGINT) AS n_fps
+    FROM grouped GROUP BY doc_a, doc_b, diag, gid
+    """,
+)
+def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-span LOCALIZATION from winnowing matches
+    (operators/dedup.py::winnow_matched_spans): matched fingerprints
+    between a doc pair on a common alignment diagonal merge into
+    contiguous spans via gaps-and-islands (merge gap = k+w-1, the
+    winnowing selection-guarantee distance) — the "where exactly is
+    the quote" answer on top of dedup_winnow_matches' pair counts
+    (MOSS match reporting, Schleimer et al. §5).  The oracle replays
+    selection, df cut, diagonal join, and island merge in SQL —
+    hash-exact per (pair, diag, span)."""
+    from pyppeteer_scraper_spark.operators.dedup import winnow_matched_spans
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    return winnow_matched_spans(docs, k=8, w=16, max_df=5)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #

@@ -88,3 +88,28 @@ def test_winnow_shared_spans_df_cap_prunes_boilerplate(spark):
     }
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] >= 1
+
+
+def test_winnow_matched_spans_localizes_planted_quote(spark):
+    from pyppeteer_scraper_spark.operators.dedup import winnow_matched_spans
+
+    # a long planted quote at known offsets in both docs
+    quote = "zqx jkw vbn mlp qrs tuv wxy zab cde fgh"  # 40 chars
+    pre1, pre2 = "A" * 10 + " ", "B" * 30 + " "
+    df = spark.createDataFrame(
+        [(1, pre1 + quote + " tail one"), (2, pre2 + quote + " other")],
+        ["doc_id", "text"],
+    )
+    spans = winnow_matched_spans(df, k=5, w=4, max_df=2).collect()
+    assert spans, "no spans found for a planted 40-char quote"
+    best = max(spans, key=lambda r: r["n_fps"])
+    assert (best["doc_a"], best["doc_b"]) == (1, 2)
+    # alignment diagonal = offset difference of the quote starts
+    assert best["diag"] == len(pre2) - len(pre1)
+    # the span must lie inside the quote region of doc 1 (1-based);
+    # +1: the space AFTER the quote is common to both docs, so the
+    # true shared region legitimately extends one char past it
+    q_start, q_end = len(pre1) + 1, len(pre1) + len(quote) + 1
+    assert q_start <= best["a_start"] <= best["a_end"] <= q_end
+    # and cover most of it (selection density ~2/w)
+    assert best["a_end"] - best["a_start"] >= len(quote) * 0.5
