@@ -9662,8 +9662,8 @@ _WINDOW_FIRST = [
     # quality_logreg_train, rank_triangle_stats) and the session-10
     # additions (rank_kcore, text_readability, rank_hyperball,
     # search_phrase, dedup_winnow, a_hll_merge_shards,
-    # dedup_winnow_matches, rank_scc_certificates, media_exif_metadata)
-    # are NOT window-first:
+    # dedup_winnow_matches, rank_scc_certificates, media_exif_metadata,
+    # dedup_cdc_chunks, dedup_winnow_spans) are NOT window-first:
     # the 50 slots are fully claimed by earlier never-checked entries,
     # so they sit in the middle from position 51 and lead the r05
     # rotation (oracle-checked locally via tools/check_correctness.py).
