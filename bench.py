@@ -158,6 +158,8 @@ HEADLINE = [
     "media_exif_metadata",
     "dedup_cdc_chunks",
     "dedup_winnow_spans",
+    "sim_pq_adc",
+    "export_bloom_words",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

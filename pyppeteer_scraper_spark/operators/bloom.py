@@ -332,6 +332,69 @@ def anti_join_with_bloom(
     return fresh.unionByName(verified)
 
 
+def bloom_shard_words(
+    df: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 8,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """Build the sharded URL-seen bloom filter AS A DATAFRAME and emit
+    it in word-packed exportable form: (shard, word_idx, word_val) for
+    every nonzero 32-bit word.  This is the relational twin of the
+    ``ShardStore`` sidecar (``update_bloom_shards``) — the exact
+    bitmaps, reconstructable by any reader, so a NEW cluster (or the
+    oracle) can verify / resume URL-seen dedup from the exported rows
+    alone instead of trusting opaque binary shards.
+
+    Hashing is pure codegen (md5 substrings, no UDF): shard = first
+    32 md5 bits mod n_shards; the k bit positions are the next k
+    24-bit md5 slices mod m_bits (requires m_bits <= 2^24 and
+    k_hashes <= 4 for one md5; chain a salted second md5 for more).
+    Words are 32-bit so every packed value stays positive in an int64
+    — no two's-complement edge to disagree on across engines.
+
+    Scale: the explode is k rows per URL, immediately collapsed by the
+    (shard, pos) distinct whose key space is n_shards x m_bits —
+    bounded by the FILTER size, not the corpus; the final groupBy
+    emits <= n_shards x m_bits/32 rows.  Both aggregations map-side
+    combine, so the shuffle carries at most the filter's own bits.
+    """
+    h = F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(url_col)))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+        F.lit(int(n_shards)),
+    ).cast("int")
+    poss = F.array(
+        *[
+            F.pmod(
+                F.conv(F.substring(h, 9 + i * 6, 6), 16, 10).cast("bigint"),
+                F.lit(int(m_bits)),
+            ).cast("int")
+            for i in range(k_hashes)
+        ]
+    )
+    bits = (
+        df.select(shard.alias("shard"), F.explode(poss).alias("pos"))
+        .distinct()
+    )
+    return (
+        bits.groupBy(
+            # exact integer division (`div`), not float-divide+cast —
+            # same rule ADVICE enforced in operators/packing.py
+            "shard", F.expr("pos div 32").cast("int").alias("word_idx")
+        )
+        .agg(
+            # SQL form: the Python F.shiftleft binding takes only a
+            # literal int for numBits, not a Column
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), pmod(pos, 32))")
+            ).alias("word_val")
+        )
+    )
+
+
 # Generic seen-filter interface (shared with operators/cuckoo.py) so the
 # crawl loop can dispatch on a `seen_filter` kind string.
 ensure_sidecar = ensure_bloom_sidecar

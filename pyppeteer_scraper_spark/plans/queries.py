@@ -9563,6 +9563,140 @@ def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_matched_spans(docs, k=8, w=16, max_df=5)
 
 
+# --- round-4 session-11: PQ compression + bloom artifact export ---------
+
+
+@query(
+    "sim_pq_adc",
+    """
+    WITH vecs AS (
+      SELECT vec_id AS vid, u.pos - 1 AS pos, CAST(u.x AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS pos,
+                           unnest(embedding) AS x) u
+    ),
+    sub AS (
+      SELECT vid, pos // 16 AS m, pos % 16 AS j, x FROM vecs
+    ),
+    cb AS (  -- training-free codebook: subvectors of the 16 smallest ids
+      SELECT vid AS cent, m, j, x FROM sub WHERE vid < 16
+    ),
+    d AS (
+      SELECT s.vid, s.m, c.cent, sum((s.x - c.x) * (s.x - c.x)) AS d2
+      FROM sub s JOIN cb c ON s.m = c.m AND s.j = c.j
+      GROUP BY s.vid, s.m, c.cent
+    ),
+    codes AS (
+      SELECT vid, m, cent AS code FROM (
+        SELECT vid, m, cent,
+               row_number() OVER (PARTITION BY vid, m ORDER BY d2, cent) AS rk
+        FROM d) WHERE rk = 1
+    ),
+    q AS (SELECT m, j, x FROM sub WHERE vid = 0),
+    qd AS (  -- ADC lookup table: query subvector -> every codeword
+      SELECT c.m, c.cent, sum((q.x - c.x) * (q.x - c.x)) AS qd2
+      FROM cb c JOIN q ON q.m = c.m AND q.j = c.j
+      GROUP BY c.m, c.cent
+    ),
+    adc AS (
+      SELECT co.vid, sum(qd.qd2) AS approx_d2
+      FROM codes co JOIN qd ON co.m = qd.m AND co.code = qd.cent
+      GROUP BY co.vid
+    )
+    SELECT c.vid AS vec_id,
+           CAST(max(CASE WHEN m = 0 THEN code END) AS INT) AS c0,
+           CAST(max(CASE WHEN m = 1 THEN code END) AS INT) AS c1,
+           CAST(max(CASE WHEN m = 2 THEN code END) AS INT) AS c2,
+           CAST(max(CASE WHEN m = 3 THEN code END) AS INT) AS c3,
+           round(max(a.approx_d2), 6) AS approx_d2
+    FROM codes c JOIN adc a USING (vid)
+    GROUP BY c.vid
+    """,
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011, operators/pq.py):
+    encode every 64-dim embedding as M=4 codes against a K=16
+    deterministic sample codebook and attach the asymmetric-distance
+    (ADC) estimate to the query (vec 0) — the compressed-domain scan
+    that makes 10^10-vector candidate evaluation bandwidth-bound
+    (codes are M bytes/vector).  Spark side is ONE Arrow pandas-UDF
+    pass with the codebook + M x K ADC table closure-broadcast — no
+    shuffle; the oracle re-derives subspace split, per-subspace
+    argmin (ties to the smaller codeword), and the table-lookup sum
+    relationally.  Trained codebooks are the same code path
+    (sim_kmeans_relational proves the Lloyd math separately)."""
+    import numpy as np
+
+    from pyppeteer_scraper_spark.operators.pq import (
+        pq_encode_adc,
+        pq_sample_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_sample_codebook(emb, n_sub=4, k=16)
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )
+    enc = pq_encode_adc(emb, cb, q)
+    return enc.select(
+        "vec_id",
+        *[
+            F.element_at("codes", i + 1).alias(f"c{i}")
+            for i in range(4)
+        ],
+        F.round("approx_d2", 6).alias("approx_d2"),
+    )
+
+
+@query(
+    "export_bloom_words",
+    """
+    WITH u AS (
+      SELECT 'https://h' || (o_custkey % 50) || '.example/p/' || o_orderkey
+               AS url
+      FROM orders
+    ),
+    h AS (SELECT md5('bloom-v1' || chr(31) || url) AS hx FROM u),
+    pos AS (
+      SELECT CAST(('0x' || substr(hx, 1, 8))::BIGINT % 8 AS INT) AS shard,
+             CAST(('0x' || substr(hx, 9 + i.i * 6, 6))::BIGINT % 4096 AS INT)
+               AS pos
+      FROM h, (SELECT unnest(range(0, 3)) AS i) i
+    ),
+    bits AS (SELECT DISTINCT shard, pos FROM pos)
+    SELECT shard, CAST(pos // 32 AS INT) AS word_idx,
+           CAST(bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS BIGINT)
+             AS word_val
+    FROM bits GROUP BY shard, pos // 32
+    """,
+)
+def export_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded URL-seen bloom filter exported as exact word-packed
+    rows (operators/bloom.py::bloom_shard_words): the relational twin
+    of the binary ShardStore sidecar, so a new cluster (and the
+    oracle) can reconstruct/verify the dedup bitmaps from rows alone —
+    the resume-from-artifact path of the north rule's URL-seen set.
+    All hashing is codegen md5 slices; the (shard, pos) distinct and
+    the word groupBy are both bounded by the FILTER size
+    (n_shards x m_bits), never the corpus, and 32-bit words keep every
+    packed value positive in int64 on both engines."""
+    from pyppeteer_scraper_spark.operators.bloom import bloom_shard_words
+
+    orders = load_table(spark, sf_dir, "orders")
+    urls = orders.select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("o_custkey"), 50).cast("string"),
+            F.lit(".example/p/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url")
+    )
+    return bloom_shard_words(
+        urls, n_shards=8, m_bits=4096, k_hashes=3, salt="bloom-v1"
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
@@ -9663,10 +9797,12 @@ _WINDOW_FIRST = [
     # additions (rank_kcore, text_readability, rank_hyperball,
     # search_phrase, dedup_winnow, a_hll_merge_shards,
     # dedup_winnow_matches, rank_scc_certificates, media_exif_metadata,
-    # dedup_cdc_chunks, dedup_winnow_spans) are NOT window-first:
-    # the 50 slots are fully claimed by earlier never-checked entries,
-    # so they sit in the middle from position 51 and lead the r05
-    # rotation (oracle-checked locally via tools/check_correctness.py).
+    # dedup_cdc_chunks, dedup_winnow_spans) and the session-11
+    # additions (sim_pq_adc, export_bloom_words, ...) are NOT
+    # window-first: the 50 slots are fully claimed by earlier
+    # never-checked entries, so they sit in the middle from position 51
+    # and lead the r05 rotation (oracle-checked locally via
+    # tools/check_correctness.py).
     # never driver-checked before r03 — r03-green; p9/s8/a5/a6,
     # p3/d2/p1/lsh_verified/d4_multifield, and p6/p2/split_hash
     # displaced to _WINDOW_TAIL by the session-4 additions
