@@ -160,6 +160,9 @@ HEADLINE = [
     "dedup_winnow_spans",
     "sim_pq_adc",
     "export_bloom_words",
+    "text_kn_bigram_ppl",
+    "d11_retry_backoff",
+    "a_jain_fairness",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -165,3 +165,83 @@ def ppl_buckets(
         "ppl",
         F.ntile(n_buckets).over(w).cast("long").alias("bucket"),
     )
+
+
+def kn_bigram_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    interpolated form of Chen & Goodman 1999 §2.7) at character level
+    — the smoothing the real KenLM filters use, upgrading the add-one
+    trigram model with the continuation-probability backoff that
+    stops frequent-but-context-bound characters (the "San Francisco"
+    effect) from inflating unseen-pair probabilities:
+
+        P(w2|w1) = (max(C(w1w2) - d, 0)
+                    + d * N1+(w1,.) * Pcont(w2)) / C(w1.)
+        Pcont(w2) = N1+(., w2) / |distinct bigram types|
+
+    Returns (id_col, n_bigrams, avg_logp, ppl) — same contract as
+    trigram_lm_scores, so the curation funnel / ppl_buckets compose
+    with either model.
+
+    Scale shape mirrors trigram_lm_scores: ONE O(total-chars) explode
+    feeds both fit and score; every model table (bigram counts,
+    per-context totals + continuation fan-outs, the scalar type
+    count) is bounded by |alphabet|^2 regardless of corpus size,
+    persisted before the fit collect so the corpus scan is never
+    replayed, and broadcast behind the same cardinality guard (a
+    full-Unicode corpus can exceed it; past the bound the joins
+    shuffle on bounded keys).  Docs shorter than one bigram emit no
+    row (the funnel counts them too_short upstream).
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    bis = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1), lambda i: text.substr(i, F.lit(2))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(F.col(id_col).alias("__id"), F.explode(bis).alias("bi"))
+    bc = bg.groupBy("bi").agg(F.count("*").alias("c2")).persist()
+    t = bc.count()  # materializes the cache; |distinct bigram types|
+    ctx = bc.groupBy(F.substring("bi", 1, 1).alias("w1")).agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = bc.groupBy(F.substring("bi", 2, 1).alias("w2")).agg(
+        F.count("*").alias("n1b")
+    )
+    bcj, ctxj, contj = bc, ctx, cont
+    if t <= 4_000_000:
+        bcj, ctxj, contj = F.broadcast(bc), F.broadcast(ctx), F.broadcast(cont)
+    d = F.lit(float(discount))
+    scored = (
+        bg.join(bcj, "bi")
+        .join(ctxj, F.substring(F.col("bi"), 1, 1) == F.col("w1"))
+        .join(contj, F.substring(F.col("bi"), 2, 1) == F.col("w2"))
+        .select(
+            "__id",
+            F.log(
+                (
+                    F.greatest(F.col("c2") - d, F.lit(0.0))
+                    + d
+                    * F.col("n1f")
+                    * (F.col("n1b") / F.lit(float(t)))
+                )
+                / F.col("c1")
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg("lp")), 3).alias("ppl"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

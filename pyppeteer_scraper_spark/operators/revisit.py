@@ -230,3 +230,101 @@ def snapshot_churn(
             ).alias("churn_rate"),
         )
     )
+
+
+def retry_backoff_schedule(
+    attempts: DataFrame,
+    page_col: str = "page",
+    ts_col: str = "ts",
+    ok_col: str = "ok",
+    order_cols: tuple = (),
+    base_ms: int = 1000,
+    cap_ms: int = 3_600_000,
+    max_retries: int = 6,
+    salt: str = "backoff-v1",
+) -> DataFrame:
+    """Truncated-exponential-backoff retry policy over a per-page fetch
+    attempt log: the current consecutive-failure streak (failures
+    after the last success — the whole history if no success yet)
+    drives the next retry delay
+
+        delay = min(base * 2^(streak-1), cap) * (1/2 + jitter/2)
+
+    with DETERMINISTIC jitter in [0, 1) from md5(salt, page, streak) —
+    reproducible across engines/runs (no Math.random), yet decorrelated
+    across pages so retry waves don't thundering-herd a recovering
+    host.  Pages with streak > max_retries are marked give_up (parked
+    for the adaptive-revisit scheduler instead of hot retry).  Pages
+    whose latest attempt succeeded emit streak 0 / delay 0.
+
+    Returns (page, n_attempts, n_fails, streak, next_delay_ms:bigint,
+    give_up).  Scale: one groupBy per page — the same single-shuffle
+    class as change_rate_schedule; the streak is a conditional count
+    against the max success timestamp, not a window sort, so partial
+    aggregation absorbs everything map-side.  Reference analog: the
+    bare try/except + next-cron-tick retry of the scrapers
+    (/root/reference/scraper/home_depo.py:616-641) — here the retry
+    cadence is computed, per page, from observed failures.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(page_col).orderBy(*[o.desc() for o in order])
+    ranked = attempts.select(
+        F.col(page_col).alias("page"),
+        F.col(ts_col).alias("__ts"),
+        F.col(ok_col).cast("boolean").alias("__ok"),
+        F.row_number().over(w).alias("__rk_desc"),
+    )
+    agg = ranked.groupBy("page").agg(
+        F.count("*").alias("n_attempts"),
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fails"),
+        # streak = attempts newer than the most recent success == the
+        # smallest desc-rank of a success, minus one; no success =>
+        # whole history
+        (
+            F.coalesce(
+                F.min(F.when(F.col("__ok"), F.col("__rk_desc"))),
+                F.count("*") + 1,
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("streak"),
+    )
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(salt),
+                        F.col("page").cast("string"),
+                        F.col("streak").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**6))
+    )
+    raw = F.least(
+        F.lit(float(base_ms)) * F.pow(F.lit(2.0), F.col("streak") - 1),
+        F.lit(float(cap_ms)),
+    )
+    return agg.select(
+        "page",
+        "n_attempts",
+        "n_fails",
+        "streak",
+        F.when(F.col("streak") <= 0, F.lit(0))
+        .otherwise(
+            F.floor(raw * (F.lit(0.5) + jitter / 2))
+        )
+        .cast("long")
+        .alias("next_delay_ms"),
+        (F.col("streak") > max_retries).alias("give_up"),
+    )

@@ -9697,6 +9697,156 @@ def export_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_kn_bigram_ppl",
+    """
+    WITH bg AS (
+      SELECT doc_id, substring(text, r.i, 2) AS bi
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text))) AS i) r
+      WHERE length(text) >= 2
+    ),
+    bc AS (SELECT bi, count(*) AS c2 FROM bg GROUP BY bi),
+    ctx AS (
+      SELECT substr(bi, 1, 1) AS w1, sum(c2) AS c1, count(*) AS n1f
+      FROM bc GROUP BY 1
+    ),
+    cont AS (
+      SELECT substr(bi, 2, 1) AS w2, count(*) AS n1b FROM bc GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS t FROM bc),
+    sc AS (
+      SELECT g.doc_id,
+             ln((greatest(b.c2 - 0.75, 0)
+                 + 0.75 * c.n1f * (n.n1b * 1.0 / tot.t)) / c.c1) AS lp
+      FROM bg g
+      JOIN bc b USING (bi)
+      JOIN ctx c ON c.w1 = substr(g.bi, 1, 1)
+      JOIN cont n ON n.w2 = substr(g.bi, 2, 1)
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logp,
+           round(exp(-avg(lp)), 3) AS ppl
+    FROM sc GROUP BY doc_id
+    """,
+)
+def text_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney char-bigram perplexity
+    (functions/lm.py::kn_bigram_scores; Kneser & Ney 1995, Chen &
+    Goodman 1999) — the continuation-probability smoothing the real
+    KenLM-based CCNet filter uses, as the upgrade path from the
+    add-one trigram model (same output contract, so ppl_buckets and
+    the curation funnel compose with either).  The oracle REFITS the
+    entire model in SQL: bigram counts, per-context totals and
+    fan-outs, continuation counts, the discount/backoff formula."""
+    from pyppeteer_scraper_spark.functions.lm import kn_bigram_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_bigram_scores(docs, discount=0.75)
+
+
+@query(
+    "d11_retry_backoff",
+    """
+    WITH att AS (
+      SELECT user_id AS page, ts, event_id, value < 80.0 AS fail
+      FROM events
+    ),
+    ranked AS (
+      SELECT page, fail,
+             row_number() OVER (PARTITION BY page
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM att
+    ),
+    agg AS (
+      SELECT page, CAST(count(*) AS BIGINT) AS n_attempts,
+             CAST(count(*) FILTER (WHERE fail) AS BIGINT) AS n_fails,
+             CAST(coalesce(min(CASE WHEN NOT fail THEN rk END),
+                           count(*) + 1) - 1 AS BIGINT) AS streak
+      FROM ranked GROUP BY page
+    )
+    SELECT page, n_attempts, n_fails, streak,
+           CAST(CASE WHEN streak <= 0 THEN 0 ELSE floor(
+             least(1000.0 * pow(2.0, streak - 1), 3600000.0)
+             * (0.5 + (('0x' || substr(md5('backoff-v1' || chr(31)
+                          || page || chr(31) || streak), 1, 6))::BIGINT
+                       / 16777216.0) / 2)
+           ) END AS BIGINT) AS next_delay_ms,
+           streak > 6 AS give_up
+    FROM agg
+    """,
+)
+def d11_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-exponential retry backoff with deterministic
+    per-(page, streak) md5 jitter (operators/revisit.py::
+    retry_backoff_schedule): the consecutive-failure streak at the
+    tail of each page's attempt log sets the next retry delay;
+    exhausted pages park for the adaptive-revisit scheduler.  Events
+    stand in as the attempt log (value < 80 ~ 'fetch failed', ~20%).
+    Replaces the reference's try/except + next-cron-tick retry with a
+    computed per-page policy; one groupBy shuffle, no window sort in
+    the aggregate path."""
+    from pyppeteer_scraper_spark.operators.revisit import (
+        retry_backoff_schedule,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    att = ev.select(
+        F.col("user_id").alias("page"),
+        "ts",
+        "event_id",
+        (F.col("value") >= 80.0).alias("ok"),
+    )
+    return retry_backoff_schedule(
+        att, order_cols=("event_id",), base_ms=1000,
+        cap_ms=3_600_000, max_retries=6,
+    )
+
+
+@query(
+    "a_jain_fairness",
+    """
+    WITH x AS (
+      SELECT o_orderpriority AS sched_round,
+             'h' || (o_custkey % 40) AS host, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT sched_round, CAST(count(*) AS BIGINT) AS n_hosts,
+           round(pow(sum(n), 2) / (count(*) * sum(n * n)), 6) AS jain
+    FROM x GROUP BY sched_round
+    """,
+)
+def a_jain_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index (Jain, Chiu & Hawe 1984) of per-host
+    scheduled-fetch allocation within each scheduler round —
+    (sum x)^2 / (n * sum x^2), 1 = perfectly even, 1/n = one host
+    hogs everything.  The scheduler-evaluation companion to
+    a_gini_host_concentration: Gini measures corpus-wide skew, Jain
+    scores each ROUND's politeness allocation (the north rule's
+    per-domain budget) on a fixed [1/n, 1] scale.  Two bounded
+    groupBys, both map-side combined."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = (
+        orders.select(
+            F.col("o_orderpriority").alias("sched_round"),
+            F.concat(
+                F.lit("h"), F.pmod(F.col("o_custkey"), 40).cast("string")
+            ).alias("host"),
+        )
+        .groupBy("sched_round", "host")
+        .agg(F.count("*").alias("n"))
+    )
+    return x.groupBy("sched_round").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.round(
+            F.pow(F.sum("n"), F.lit(2))
+            / (F.count("*") * F.sum(F.col("n") * F.col("n"))),
+            6,
+        ).alias("jain"),
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #

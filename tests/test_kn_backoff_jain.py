@@ -1,0 +1,175 @@
+"""Kneser-Ney bigram LM (functions/lm.py), retry backoff
+(operators/revisit.py), Jain fairness (plans/queries.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pyppeteer_scraper_spark.functions.lm import kn_bigram_scores
+from pyppeteer_scraper_spark.operators.revisit import retry_backoff_schedule
+
+
+def _kn_reference(texts, d=0.75):
+    """Pure-python KN bigram model refit for cross-checking."""
+    from collections import Counter
+
+    bc = Counter()
+    for t in texts:
+        for i in range(len(t) - 1):
+            bc[t[i : i + 2]] += 1
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for bi, c in bc.items():
+        c1[bi[0]] += c
+        n1f[bi[0]] += 1
+        n1b[bi[1]] += 1
+    t_types = len(bc)
+
+    def p(w1, w2):
+        c = bc.get(w1 + w2, 0)
+        return (max(c - d, 0) + d * n1f[w1] * (n1b[w2] / t_types)) / c1[w1]
+
+    return p, bc, c1
+
+
+def test_kn_matches_handrolled_model(spark):
+    texts = ["abab", "abcd", "aabb", "xyzzy"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r for r in kn_bigram_scores(docs).collect()
+    }
+    p, _, _ = _kn_reference(texts)
+    for i, t in enumerate(texts):
+        lps = [math.log(p(t[j], t[j + 1])) for j in range(len(t) - 1)]
+        want = sum(lps) / len(lps)
+        assert abs(got[i]["avg_logp"] - round(want, 6)) < 2e-6, (i, t)
+        assert got[i]["n_bigrams"] == len(t) - 1
+
+
+def test_kn_probabilities_normalize_per_context(spark):
+    """THE Kneser-Ney invariant: for every observed context w1,
+    sum over the full observed alphabet of P(w2|w1) == 1 — the
+    discount mass is exactly redistributed by the continuation
+    backoff when summed over observed bigram types plus the
+    continuation term over the rest.  (Holds exactly here because
+    Pcont normalizes over bigram TYPES and every w2 is reachable.)"""
+    texts = ["the cat sat", "the bat sat on the mat", "cats chase rats"]
+    p, bc, c1 = _kn_reference(texts)
+    alphabet = {ch for t in texts for ch in t}
+    # continuation term covers unseen pairs too: P must sum to <= 1
+    # over the alphabet and == 1 when the alphabet equals the
+    # observed continuation vocabulary
+    cont_vocab = {bi[1] for bi in bc}
+    for w1 in c1:
+        s = sum(p(w1, w2) for w2 in cont_vocab)
+        assert abs(s - 1.0) < 1e-9, (w1, s)
+    # and the Spark implementation agrees with this reference on a
+    # sample bigram probability (via a 2-char doc whose avg_logp IS
+    # that single bigram's logp)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts + ["th"])],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in kn_bigram_scores(docs).collect()}
+    # note: adding doc "th" changes the model (one more 'th' count) —
+    # recompute the reference over the same 4 docs
+    p4, _, _ = _kn_reference(texts + ["th"])
+    assert abs(got[3]["avg_logp"] - round(math.log(p4("t", "h")), 6)) < 2e-6
+
+
+def test_kn_scores_ood_text_worse(spark, sf_med):
+    """OOD contract, KN edition: what Kneser-Ney punishes is a RARE
+    CONTINUATION of a COMMON context (big C(w1.) denominator, tiny
+    bigram count) — so the probe doc pairs common corpus letters in
+    combinations the corpus never uses, each pair once (a repetitive
+    alien-alphabet doc would self-fit to near-deterministic
+    transitions and score LOW, which is correct LM behavior, not a
+    bug).  The probe must rank worse than the corpus median."""
+    from pyppeteer_scraper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_med, "documents").limit(50)
+    weird = spark.createDataFrame(
+        [(99999, "zq jx vk wg fz xj qv kz gw vq zx kq jw xq vz")],
+        ["doc_id", "text"],
+    )
+    both = docs.select("doc_id", "text").unionByName(weird)
+    rows = kn_bigram_scores(both).collect()
+    ppl = {r["doc_id"]: r["ppl"] for r in rows}
+    others = sorted(v for k, v in ppl.items() if k != 99999)
+    assert ppl[99999] > others[len(others) // 2], (
+        ppl[99999],
+        others[len(others) // 2],
+    )
+
+
+def test_retry_backoff_streaks_and_bounds(spark):
+    rows = [
+        # page 1: latest attempt succeeded -> streak 0, delay 0
+        (1, 1, False), (1, 2, False), (1, 3, True),
+        # page 2: 2 trailing fails after a success -> streak 2
+        (2, 1, True), (2, 2, False), (2, 3, False),
+        # page 3: all 8 attempts failed -> streak 8 > max_retries
+        *[(3, i, False) for i in range(1, 9)],
+    ]
+    att = spark.createDataFrame(
+        [
+            (p, f"2026-01-01 00:00:{s:02d}", ok)
+            for p, s, ok in rows
+        ],
+        ["page", "ts", "ok"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["page"]: r
+        for r in retry_backoff_schedule(
+            att, base_ms=1000, cap_ms=60_000, max_retries=6
+        ).collect()
+    }
+    assert got[1]["streak"] == 0 and got[1]["next_delay_ms"] == 0
+    assert not got[1]["give_up"]
+    assert got[2]["streak"] == 2 and got[2]["n_fails"] == 2
+    # delay in [raw/2, raw): raw = 1000 * 2^(2-1) = 2000
+    assert 1000 <= got[2]["next_delay_ms"] < 2000
+    assert got[3]["streak"] == 8 and got[3]["give_up"]
+    # capped: raw = min(1000*2^7, 60000) = 60000 -> [30000, 60000)
+    assert 30_000 <= got[3]["next_delay_ms"] < 60_000
+    # deterministic across recomputation
+    again = {
+        r["page"]: r["next_delay_ms"]
+        for r in retry_backoff_schedule(
+            att, base_ms=1000, cap_ms=60_000, max_retries=6
+        ).collect()
+    }
+    assert {p: r["next_delay_ms"] for p, r in got.items()} == again
+
+
+def test_jain_fairness_bounds(spark, sf_med):
+    from pyppeteer_scraper_spark.plans.queries import QUERIES
+
+    rows = QUERIES["a_jain_fairness"](spark, sf_med).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r["n_hosts"] - 1e-9 <= r["jain"] <= 1.0 + 1e-9, r
+
+
+def test_jain_equal_allocation_is_one(spark):
+    x = spark.createDataFrame(
+        [("r1", f"h{i}") for i in range(10) for _ in range(5)],
+        ["sched_round", "host"],
+    )
+    agg = (
+        x.groupBy("sched_round", "host")
+        .agg(F.count("*").alias("n"))
+        .groupBy("sched_round")
+        .agg(
+            F.round(
+                F.pow(F.sum("n"), F.lit(2))
+                / (F.count("*") * F.sum(F.col("n") * F.col("n"))),
+                6,
+            ).alias("jain")
+        )
+        .collect()
+    )
+    assert agg[0]["jain"] == 1.0
