@@ -163,6 +163,7 @@ HEADLINE = [
     "text_kn_bigram_ppl",
     "d11_retry_backoff",
     "a_jain_fairness",
+    "sim_ivfpq_topk",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

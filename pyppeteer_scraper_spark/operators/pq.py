@@ -113,3 +113,203 @@ def pq_encode_adc(
     return emb.select(
         F.col(id_col), enc(F.col(vec_col)).alias("pq")
     ).select(id_col, "pq.codes", "pq.approx_d2")
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 4,
+    pq_k: int = 16,
+    iters: int = 2,
+    train_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-ADC top-k: IVF cells prune candidates, PQ codes price them.
+
+    The FAISS ``IVFx,PQy`` layout minus residual refinement: corpus
+    vectors are (a) assigned to an IVF cell (``similarity.ivf_index``
+    spherical k-means) and (b) PQ-encoded ONCE against the sample
+    codebook; each query scans only its ``n_probe`` nearest cells and
+    ranks candidates by the ADC table-lookup estimate — it never
+    touches a full corpus vector again.  At 10^10 vectors that is the
+    difference between streaming M-byte codes and streaming 4d-byte
+    floats through every candidate scan.  (Classic IVF-PQ encodes the
+    RESIDUAL x - centroid[cell]; that refinement is a per-cell
+    codebook swap on the same code path, left out to keep the encode
+    corpus-independent.)
+
+    Returns (result, cache_handle): result is (query_id, neighbor_id,
+    rank, approx_d2); unpersist the handle after materializing.
+
+    Scale shape: the per-query ADC table (n_sub x pq_k doubles) is
+    built once per QUERY GROUP inside applyInPandas — grouped on
+    query_id, so each group prices all its candidates with one
+    vectorized gather; the candidate join is an equi-join on ``cell``
+    (broadcast queries), identical to ivf_topk's pruning contract.
+    """
+    from pyppeteer_scraper_spark.operators.similarity import (
+        ivf_index,
+        with_unit_norm,
+    )
+
+    assigned, centroids, cache_handle = ivf_index(
+        corpus,
+        n_centroids=n_centroids,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    unit_corpus = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col), F.col("unit").alias(vec_col)
+    )
+    if train_iters > 0:
+        codebook = pq_train_codebook(
+            unit_corpus, n_sub=n_sub, k=pq_k, iters=train_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        codebook = pq_sample_codebook(
+            unit_corpus, n_sub=n_sub, k=pq_k,
+            id_col=id_col, vec_col=vec_col,
+        )
+    n_sub_, k_, subdim = codebook.shape
+
+    # encode the corpus once: codes ride with the cell assignment
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        xs = x.reshape(len(x), n_sub_, subdim)
+        d2 = ((xs[:, :, None, :] - codebook[None]) ** 2).sum(axis=3)
+        return pd.Series(list(d2.argmin(axis=2).astype("int32")))
+
+    coded = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        enc(F.col("unit")).alias("codes"),
+    )
+
+    cu = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe = min(n_probe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        order = np.argsort(-(m @ cu.T), axis=1)[:, :probe].astype("int32")
+        return pd.Series(list(order))
+
+    q = (
+        with_unit_norm(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col("unit").alias("qv"))
+        .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+    )
+    cand = coded.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("approx_d2", T.DoubleType()),
+        ]
+    )
+
+    def adc_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qv = np.asarray(pdf["qv"].iloc[0], dtype=np.float64).reshape(
+            n_sub_, 1, subdim
+        )
+        qtab = ((qv - codebook) ** 2).sum(axis=2)  # (n_sub, pq_k)
+        codes = np.stack(
+            [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+        )
+        d2 = qtab[np.arange(n_sub_)[None, :], codes].sum(axis=1)
+        order = np.lexsort((pdf["neighbor_id"].to_numpy(), d2))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": pdf["neighbor_id"].to_numpy()[order],
+                "rank": np.arange(1, len(order) + 1, dtype="int32"),
+                "approx_d2": np.round(d2[order], 6),
+            }
+        )
+
+    result = cand.groupBy("query_id").applyInPandas(adc_group, out_schema)
+    return result, cache_handle
+
+
+def pq_train_codebook(
+    emb: DataFrame,
+    n_sub: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the PQ codebook with per-subspace Lloyd iterations, all M
+    subspaces in parallel per corpus pass (Jegou et al. 2011 §III.A).
+
+    Init is the deterministic sample codebook; each iteration is ONE
+    mapInPandas pass emitting per-batch partial sums keyed
+    (subspace, code, component) — at most n_sub*k*subdim rows per
+    batch, so the shuffle and the driver collect are codebook-sized
+    (KBs) however large the corpus.  Empty cells keep their previous
+    codeword (same policy as ivf_index).
+    """
+    codebook = pq_sample_codebook(
+        emb, n_sub=n_sub, k=k, id_col=id_col, vec_col=vec_col
+    )
+    n_sub_, k_, subdim = codebook.shape
+    src = emb.select(F.col(vec_col).alias("v"))
+
+    for _ in range(iters):
+        cb = codebook  # capture current iterate
+
+        def partials(batches, cb=cb):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                xs = x.reshape(len(x), n_sub_, subdim)
+                d2 = ((xs[:, :, None, :] - cb[None]) ** 2).sum(axis=3)
+                codes = d2.argmin(axis=2)  # (n, n_sub)
+                out = {"m": [], "code": [], "j": [], "s": [], "n": []}
+                for m in range(n_sub_):
+                    for c in np.unique(codes[:, m]):
+                        sel = xs[codes[:, m] == c, m, :]
+                        out["m"].extend([m] * subdim)
+                        out["code"].extend([int(c)] * subdim)
+                        out["j"].extend(range(subdim))
+                        out["s"].extend(sel.sum(axis=0).tolist())
+                        out["n"].extend([len(sel)] * subdim)
+                import pandas as _pd
+
+                yield _pd.DataFrame(out)
+
+        agg = (
+            src.mapInPandas(
+                partials,
+                "m int, code int, j int, s double, n long",
+            )
+            .groupBy("m", "code", "j")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new = codebook.copy()
+        for r in agg:
+            if r["n"]:
+                new[r["m"], r["code"], r["j"]] = r["s"] / r["n"]
+        codebook = new
+    return codebook

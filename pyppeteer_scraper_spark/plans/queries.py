@@ -9697,6 +9697,28 @@ def export_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivfpq_topk")  # rows-only: trained k-means + PQ quantization
+# are approximate by construction; recall floors + deterministic-value
+# pins live in tests/test_ivfpq.py, the exact encode/ADC math is oracled
+# via sim_pq_adc
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC compressed-domain ANN (operators/pq.py::ivfpq_topk):
+    IVF cells prune, trained PQ codes price — the FAISS IVFx,PQy scan
+    layout for 10^10-vector scale.  See sim_pq_adc for the oracled
+    encode/ADC math and test_ivfpq for recall evidence."""
+    from pyppeteer_scraper_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 7)
+    res, handle = ivfpq_topk(
+        qs, emb, k=5, n_centroids=16, n_probe=8,
+        n_sub=8, pq_k=16, train_iters=2,
+    )
+    out = res.localCheckpoint(eager=True)  # same cache discipline as sim_ivf_topk
+    handle.unpersist()
+    return out
+
+
 @query(
     "text_kn_bigram_ppl",
     """
