@@ -164,6 +164,7 @@ HEADLINE = [
     "d11_retry_backoff",
     "a_jain_fairness",
     "sim_ivfpq_topk",
+    "url_canonical_alias",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

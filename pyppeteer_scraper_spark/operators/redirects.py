@@ -157,3 +157,61 @@ def dust_rules(
             ).alias("safe"),
         )
     )
+
+
+def canonical_link_aliases(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Extract ``<link rel="canonical">`` declarations and resolve them
+    into page→canonical alias edges — the publisher-declared dedup
+    signal (Google's canonical-link element, RFC 6596) that a crawl
+    pipeline folds into URL aliasing BEFORE content dedup ever runs:
+    a canonical edge collapses parameterized/mirrored URLs for free,
+    no shingling needed.  Chains/cycles across pages resolve with the
+    same connected-components operator the dedup family uses.
+
+    Returns (url, canonical_url, is_self, cross_host); pages without
+    a canonical link emit (NULL, false, false) — crawlers treat an
+    undeclared canonical as self, and the flags stay NON-NULL booleans
+    so engines/pandas never disagree on null-bool representation.
+
+    Pure-codegen projection: two anchored ``regexp_extract`` passes
+    cover both attribute orders (rel-then-href / href-then-rel, either
+    quote style), the match is confined to one tag (``[^>]*``), and
+    relative hrefs resolve against the page URL with the same RFC 3986
+    ``resolve_reference`` used for outlinks.  No UDF, no shuffle.
+    """
+    html = F.col(html_col).cast("string")
+    rel_first = F.regexp_extract(
+        html,
+        r"""(?i)<link[^>]*\brel=["']?canonical["']?[^>]*\bhref=["']?([^"'>\s]+)""",
+        1,
+    )
+    href_first = F.regexp_extract(
+        html,
+        r"""(?i)<link[^>]*\bhref=["']?([^"'>\s]+)["']?[^>]*\brel=["']?canonical["']?""",
+        1,
+    )
+    raw = F.coalesce(
+        F.nullif(rel_first, F.lit("")), F.nullif(href_first, F.lit(""))
+    )
+    from pyppeteer_scraper_spark.functions.canonicalize import (
+        host_of,
+        resolve_reference,
+    )
+
+    resolved = F.when(
+        raw.isNotNull(), resolve_reference(F.col(url_col), raw)
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        resolved.alias("canonical_url"),
+        F.coalesce(resolved == F.col(url_col), F.lit(False)).alias(
+            "is_self"
+        ),
+        F.coalesce(
+            host_of(resolved) != host_of(F.col(url_col)), F.lit(False)
+        ).alias("cross_host"),
+    )

@@ -9869,6 +9869,91 @@ def a_jain_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "url_canonical_alias",
+    """
+    WITH p AS (
+      SELECT 'https://h' || (o_custkey % 30) || '.example/p/' || o_orderkey
+               AS url,
+             'h' || (o_custkey % 30) || '.example' AS host,
+             o_orderkey % 4 AS variant,
+             o_custkey % 5 AS cd,
+             o_orderkey % 100 AS c1,
+             o_orderkey % 50 AS c2
+      FROM orders
+    )
+    SELECT url,
+      CASE variant WHEN 0 THEN url
+                   WHEN 1 THEN 'https://' || host || '/c/' || c1
+                   WHEN 2 THEN 'https://cdn-' || cd || '.example/x/' || c2
+                   ELSE NULL END AS canonical_url,
+      variant = 0 AS is_self,
+      variant = 2 AS cross_host
+    FROM p
+    """,
+)
+def url_canonical_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical alias extraction (operators/redirects.py::
+    canonical_link_aliases; RFC 6596): the publisher-declared dedup
+    edge, parsed from four deterministic HTML variants — self-
+    canonical absolute href, RELATIVE href behind a decoy stylesheet
+    link (exercises tag confinement + RFC 3986 resolution), reversed
+    attribute order in single quotes (cross-host CDN canonical), and
+    no canonical at all (NULL url + false flags — undeclared canonical
+    means self, and non-null booleans keep engines/pandas agreeing on
+    the representation).  The oracle derives the expected
+    edges independently from the variant id — a second derivation,
+    never a parser replay (same policy as sitemap_parse).  Pure
+    codegen: two anchored regexps + resolve_reference, no UDF, no
+    shuffle."""
+    from pyppeteer_scraper_spark.operators.redirects import (
+        canonical_link_aliases,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://h"),
+        F.pmod(F.col("o_custkey"), 30).cast("string"),
+        F.lit(".example/p/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    variant = F.pmod(F.col("o_orderkey"), 4)
+    html = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit('<html><head><link rel="canonical" href="'),
+                url,
+                F.lit('"></head><body>p</body></html>'),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit(
+                    '<head><link rel="stylesheet" href="/s.css">'
+                    '<link rel="canonical" href="/c/'
+                ),
+                F.pmod(F.col("o_orderkey"), 100).cast("string"),
+                F.lit('"></head>'),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("<head><link href='https://cdn-"),
+                F.pmod(F.col("o_custkey"), 5).cast("string"),
+                F.lit(".example/x/"),
+                F.pmod(F.col("o_orderkey"), 50).cast("string"),
+                F.lit("' rel='canonical'></head>"),
+            ),
+        )
+        .otherwise(F.lit("<html><head><title>x</title></head></html>"))
+    )
+    pages = orders.select(url.alias("url"), html.alias("html"))
+    return canonical_link_aliases(pages)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
