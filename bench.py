@@ -165,6 +165,7 @@ HEADLINE = [
     "a_jain_fairness",
     "sim_ivfpq_topk",
     "url_canonical_alias",
+    "d12_ucb_host_allocation",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

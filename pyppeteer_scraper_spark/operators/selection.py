@@ -29,6 +29,8 @@ dropped, as are all after it in score order).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,3 +70,104 @@ def select_by_token_budget(
         scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
     )
+
+
+def ucb1_host_allocation(
+    rewards: DataFrame,
+    n_rounds: int = 3,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    reward_col: str = "reward",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """UCB1 (Auer, Cesa-Bianchi & Fischer 2002) focused-crawl budget
+    allocation: treat each host as a bandit arm whose pulls yield the
+    host's successive observed rewards (e.g. fraction of novel URLs /
+    quality of pages in each fetched batch), initialize with one pull
+    per host, then spend ``n_rounds`` extra fetch slots greedily on
+
+        UCB(h) = mean_h + sqrt(2 ln T / n_h)
+
+    (T = total pulls so far; ties break to the lexicographically
+    smallest host).  This is the exploration/exploitation policy for
+    focused crawling — hosts that keep yielding novel content earn
+    more of the politeness budget, cold hosts keep a guaranteed
+    exploration bonus — replacing the reference's static per-scraper
+    cron shares with a closed-loop allocation.
+
+    Returns (host, n_pulls, mean_reward, ucb) with mean/ucb rounded to
+    6 dp (ucb computed at the FINAL T, i.e. the score the next round
+    would use).  A host pulled past its observed history yields reward
+    0 (no data = no payoff).
+
+    Scale shape: the reward log shuffles ONCE (row_number per host);
+    the per-round loop touches only the (host, n, sum) stats table —
+    bounded by the host count — and collects exactly ONE scalar row
+    per round (the argmax arm), the same driver-contract class as
+    PageRank's dangling-mass scalar.  The sequential rounds are
+    inherent to the policy (each pull conditions on all previous
+    pulls), not an implementation artifact.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    ranked = rewards.select(
+        F.col(host_col).alias("host"),
+        F.col(reward_col).cast("double").alias("r"),
+        F.row_number().over(w).alias("rk"),
+    ).persist()
+    # init: one pull per host = its first reward
+    stats = (
+        ranked.filter(F.col("rk") == 1)
+        .select("host", F.lit(1).alias("n"), F.col("r").alias("s"))
+        .persist()
+    )
+    stats.count()
+    n_hosts = stats.count()
+    for t in range(n_rounds):
+        total = n_hosts + t
+        ucb = (F.col("s") / F.col("n")) + F.sqrt(
+            2.0 * math.log(float(total)) / F.col("n")
+        )
+        pick = (
+            stats.select("host", "n", ucb.alias("ucb"))
+            .orderBy(F.desc("ucb"), "host")
+            .limit(1)
+            .collect()[0]
+        )
+        nxt = (
+            ranked.filter(
+                (F.col("host") == pick["host"])
+                & (F.col("rk") == pick["n"] + 1)
+            )
+            .select("r")
+            .collect()
+        )
+        got = nxt[0]["r"] if nxt else 0.0
+        new_stats = stats.select(
+            "host",
+            F.when(F.col("host") == pick["host"], F.col("n") + 1)
+            .otherwise(F.col("n"))
+            .alias("n"),
+            F.when(
+                F.col("host") == pick["host"], F.col("s") + F.lit(got)
+            )
+            .otherwise(F.col("s"))
+            .alias("s"),
+        ).persist()
+        new_stats.count()
+        stats.unpersist()
+        stats = new_stats
+    final_total = n_hosts + n_rounds
+    out = stats.select(
+        "host",
+        F.col("n").cast("long").alias("n_pulls"),
+        F.round(F.col("s") / F.col("n"), 6).alias("mean_reward"),
+        F.round(
+            (F.col("s") / F.col("n"))
+            + F.sqrt(2.0 * math.log(float(final_total)) / F.col("n")),
+            6,
+        ).alias("ucb"),
+    ).localCheckpoint(eager=True)
+    stats.unpersist()
+    ranked.unpersist()
+    return out

@@ -9954,6 +9954,82 @@ def url_canonical_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_link_aliases(pages)
 
 
+@query(
+    "d12_ucb_host_allocation",
+    """
+    WITH ranked AS (
+      SELECT 'h' || (user_id % 20) AS host, value / 500.0 AS r,
+             row_number() OVER (PARTITION BY user_id % 20
+                                ORDER BY ts, event_id) AS rk
+      FROM events
+    ),
+    s0 AS (SELECT host, 1 AS n, r AS s FROM ranked WHERE rk = 1),
+    u1 AS (SELECT host, n, s, s / n + sqrt(2 * ln(20) / n) AS ucb
+           FROM s0),
+    p1 AS (SELECT host, n FROM u1 ORDER BY ucb DESC, host LIMIT 1),
+    s1 AS (
+      SELECT s0.host,
+             s0.n + CASE WHEN s0.host = p1.host THEN 1 ELSE 0 END AS n,
+             s0.s + CASE WHEN s0.host = p1.host
+                         THEN coalesce(nx.r, 0) ELSE 0 END AS s
+      FROM s0 LEFT JOIN p1 ON true
+      LEFT JOIN ranked nx ON nx.host = p1.host AND nx.rk = p1.n + 1
+    ),
+    u2 AS (SELECT host, n, s, s / n + sqrt(2 * ln(21) / n) AS ucb
+           FROM s1),
+    p2 AS (SELECT host, n FROM u2 ORDER BY ucb DESC, host LIMIT 1),
+    s2 AS (
+      SELECT s1.host,
+             s1.n + CASE WHEN s1.host = p2.host THEN 1 ELSE 0 END AS n,
+             s1.s + CASE WHEN s1.host = p2.host
+                         THEN coalesce(nx.r, 0) ELSE 0 END AS s
+      FROM s1 LEFT JOIN p2 ON true
+      LEFT JOIN ranked nx ON nx.host = p2.host AND nx.rk = p2.n + 1
+    ),
+    u3 AS (SELECT host, n, s, s / n + sqrt(2 * ln(22) / n) AS ucb
+           FROM s2),
+    p3 AS (SELECT host, n FROM u3 ORDER BY ucb DESC, host LIMIT 1),
+    s3 AS (
+      SELECT s2.host,
+             s2.n + CASE WHEN s2.host = p3.host THEN 1 ELSE 0 END AS n,
+             s2.s + CASE WHEN s2.host = p3.host
+                         THEN coalesce(nx.r, 0) ELSE 0 END AS s
+      FROM s2 LEFT JOIN p3 ON true
+      LEFT JOIN ranked nx ON nx.host = p3.host AND nx.rk = p3.n + 1
+    )
+    SELECT host, CAST(n AS BIGINT) AS n_pulls,
+           round(s / n, 6) AS mean_reward,
+           round(s / n + sqrt(2 * ln(23) / n), 6) AS ucb
+    FROM s3
+    """,
+)
+def d12_ucb_host_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 focused-crawl budget allocation (operators/selection.py::
+    ucb1_host_allocation; Auer et al. 2002): hosts are bandit arms,
+    observed per-batch rewards (events as batch-quality history) drive
+    3 greedy UCB rounds after the one-pull init — the closed-loop
+    replacement for the reference's static cron shares.  The oracle
+    UNROLLS every round in SQL (stats → UCB argmax → reward lookup),
+    so the sequential policy itself is hash-checked, not just the
+    final aggregate."""
+    from pyppeteer_scraper_spark.operators.selection import (
+        ucb1_host_allocation,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rw = ev.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("user_id"), 20).cast("string")
+        ).alias("host"),
+        "ts",
+        "event_id",
+        (F.col("value") / 500.0).alias("reward"),
+    )
+    return ucb1_host_allocation(
+        rw, n_rounds=3, order_cols=("event_id",)
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
