@@ -166,6 +166,7 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "url_canonical_alias",
     "d12_ucb_host_allocation",
+    "text_source_kl",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

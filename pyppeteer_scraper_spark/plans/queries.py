@@ -10030,6 +10030,102 @@ def d12_ucb_host_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_source_kl",
+    """
+    WITH ch AS (
+      SELECT source, substring(text, r.i, 1) AS c
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) r
+    ),
+    cnt AS (SELECT source, c, count(*) AS n FROM ch GROUP BY source, c),
+    tot AS (SELECT source, sum(n) AS nt FROM cnt GROUP BY source),
+    alpha AS (SELECT DISTINCT c FROM cnt),
+    v AS (SELECT count(*) AS v FROM alpha),
+    grid AS (
+      SELECT t.source, a.c,
+             (coalesce(x.n, 0) + 1) * 1.0 / (t.nt + v.v) AS p
+      FROM tot t CROSS JOIN alpha a CROSS JOIN v
+      LEFT JOIN cnt x ON x.source = t.source AND x.c = a.c
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           round(sum(a.p * ln(a.p / b.p)), 6) AS kl_ab,
+           round(sum(b.p * ln(b.p / a.p)), 6) AS kl_ba,
+           round(sum(a.p * ln(a.p / b.p))
+                 + sum(b.p * ln(b.p / a.p)), 6) AS jeffreys
+    FROM grid a JOIN grid b ON a.c = b.c AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-distribution divergence: add-one-smoothed char
+    unigram distributions per source, directed KL both ways plus the
+    symmetric Jeffreys divergence — the domain-shift measure mixture
+    design reads before setting source weights (cf. DSIR's
+    importance-weight view; `mix_source_weights` consumes exactly this
+    kind of signal).  Scale shape: one O(total-chars) explode into a
+    (source x alphabet)-bounded count table; everything after —
+    smoothing grid, pair join on the char key, the final aggregate —
+    is bounded by |alphabet| x |sources|^2, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    ch = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text)),
+                lambda i: text.substr(i, F.lit(1)),
+            )
+        ).alias("c"),
+    )
+    cnt = ch.groupBy("source", "c").agg(F.count("*").alias("n"))
+    cnt = cnt.persist()
+    v = cnt.select("c").distinct().count()
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("nt"))
+    alpha = cnt.select("c").distinct()
+    grid = (
+        tot.crossJoin(F.broadcast(alpha))
+        .join(cnt, ["source", "c"], "left")
+        .select(
+            "source",
+            "c",
+            (
+                (F.coalesce(F.col("n"), F.lit(0)) + 1)
+                / (F.col("nt") + F.lit(v)).cast("double")
+            ).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"), F.col("c").alias("c"),
+        F.col("p").alias("pa"),
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"), F.col("c").alias("c"),
+        F.col("p").alias("pb"),
+    )
+    out = (
+        a.join(b, "c")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 6
+            ).alias("kl_ab"),
+            F.round(
+                F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa"))), 6
+            ).alias("kl_ba"),
+            F.round(
+                F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb")))
+                + F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa"))),
+                6,
+            ).alias("jeffreys"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    cnt.unpersist()
+    return out
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #

@@ -173,3 +173,19 @@ def test_jain_equal_allocation_is_one(spark):
         .collect()
     )
     assert agg[0]["jain"] == 1.0
+
+
+def test_source_kl_invariants(spark, sf_med):
+    """Directed KLs nonnegative (Gibbs), Jeffreys = sum of both
+    directions, pairs emitted once in src_a < src_b order."""
+    from pyppeteer_scraper_spark.plans.queries import QUERIES
+
+    rows = QUERIES["text_source_kl"](spark, sf_med).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert (r["src_a"], r["src_b"]) not in seen
+        seen.add((r["src_a"], r["src_b"]))
+        assert r["kl_ab"] >= 0 and r["kl_ba"] >= 0, r
+        assert abs(r["jeffreys"] - (r["kl_ab"] + r["kl_ba"])) < 2e-6, r
