@@ -395,6 +395,93 @@ def bloom_shard_words(
     )
 
 
+def bloom_words_sidecar_scheme(
+    df: DataFrame,
+    hash_col: str = "url_hash",
+    n_shards: int = 8,
+    m: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """The SIDECAR's exact bitmaps, derationally: same sharding
+    (pmod(url_hash, n_shards)) and same Kirsch-Mitzenmacher double
+    hashing as ``_indices`` — h1 = u64(h) % m, h2 = rot(h) | 1,
+    pos_i = (h1 + i * (h2 % m)) % m — expressed in pure codegen over
+    SIGNED int64 (shiftleft wraps two's-complement = the same bit
+    pattern as numpy's uint64; the unsigned mod is recovered with the
+    constant 2^64 % m correction on negative values).  Emits the same
+    (shard, word_idx, word_val) 32-bit word rows as
+    ``bloom_shard_words``; ``load_bloom_shards_from_words`` turns them
+    back into byte-identical ``shard=N.npz`` blobs — a new cluster
+    resumes URL-seen dedup from exported ROWS, no binary handoff.
+
+    Bit-exactness vs the numpy sidecar is pinned by
+    tests/test_bloom_words_roundtrip.py.
+    """
+    wrap = (1 << 64) % m
+
+    def umod(col):
+        # unsigned-mod over a signed int64 bit pattern
+        return F.pmod(
+            F.when(col < 0, F.pmod(col, F.lit(m)) + F.lit(wrap)).otherwise(
+                F.pmod(col, F.lit(m))
+            ),
+            F.lit(m),
+        )
+
+    h = F.col(hash_col)
+    h1 = umod(h)
+    h2 = F.expr(
+        f"shiftrightunsigned({hash_col}, 33) | shiftleft({hash_col}, 31) | 1"
+    )
+    h2m = umod(h2)
+    poss = F.array(*[F.pmod(h1 + F.lit(i) * h2m, F.lit(m)).cast("int") for i in range(k)])
+    bits = (
+        df.select(
+            F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+            F.explode(poss).alias("pos"),
+        )
+        .distinct()
+    )
+    return bits.groupBy(
+        "shard", F.expr("pos div 32").cast("int").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), pmod(pos, 32))")
+        ).alias("word_val")
+    )
+
+
+def load_bloom_shards_from_words(
+    words: DataFrame,
+    bloom_dir: str,
+    params: BloomParams,
+    store_factory=None,
+) -> int:
+    """Rebuild the binary sidecar from exported (shard, word_idx,
+    word_val) rows: one task per shard decodes its words into the bit
+    array and writes the same ``shard=N.npz`` blob ``_save_shard``
+    produces (plus params.json), so ``bloom_annotate`` /
+    ``anti_join_with_bloom`` run unchanged against a store
+    reconstructed purely from rows.  Returns total set bits."""
+    save_params(bloom_dir, params, store_factory)
+    m = params.m
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        store = _store(bloom_dir, store_factory)
+        shard = int(pdf["shard"].iloc[0])
+        bits = np.zeros(m, dtype=bool)
+        vals = pdf["word_val"].to_numpy().astype(np.uint64)
+        idx = pdf["word_idx"].to_numpy().astype(np.int64)
+        bitmat = (vals[:, None] >> np.arange(32, dtype=np.uint64)) & np.uint64(1)
+        w, b = np.nonzero(bitmat)
+        bits[idx[w] * 32 + b] = True
+        _save_shard(store, shard, bits)
+        return pd.DataFrame({"shard": [shard], "n": [int(bits.sum())]})
+
+    out = words.groupBy("shard").applyInPandas(rebuild, "shard int, n long")
+    return sum(r["n"] for r in out.collect())
+
+
 # Generic seen-filter interface (shared with operators/cuckoo.py) so the
 # crawl loop can dispatch on a `seen_filter` kind string.
 ensure_sidecar = ensure_bloom_sidecar
