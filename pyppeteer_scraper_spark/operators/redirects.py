@@ -202,16 +202,30 @@ def canonical_link_aliases(
         resolve_reference,
     )
 
-    resolved = F.when(
-        raw.isNotNull(), resolve_reference(F.col(url_col), raw)
+    # STAGED projections, not one expression tree: resolve_reference
+    # references its ref ~15x and the flag columns reference the
+    # resolved URL 4x — inlined, the two html regexps would run
+    # O(60x) per row (measured 25 s vs ~1 s at sf0.1).  Each stage
+    # materializes the shared value as a column; CollapseProject keeps
+    # the boundaries because the aliases are non-cheap and
+    # multiply-referenced (SPARK-36718).
+    staged = pages.select(
+        F.col(url_col).alias("url"), raw.alias("__href")
+    ).select(
+        "url",
+        F.when(
+            F.col("__href").isNotNull(),
+            resolve_reference(F.col("url"), F.col("__href")),
+        ).alias("canonical_url"),
     )
-    return pages.select(
-        F.col(url_col).alias("url"),
-        resolved.alias("canonical_url"),
-        F.coalesce(resolved == F.col(url_col), F.lit(False)).alias(
-            "is_self"
-        ),
+    return staged.select(
+        "url",
+        "canonical_url",
         F.coalesce(
-            host_of(resolved) != host_of(F.col(url_col)), F.lit(False)
+            F.col("canonical_url") == F.col("url"), F.lit(False)
+        ).alias("is_self"),
+        F.coalesce(
+            host_of(F.col("canonical_url")) != host_of(F.col("url")),
+            F.lit(False),
         ).alias("cross_host"),
     )
