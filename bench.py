@@ -167,6 +167,7 @@ HEADLINE = [
     "url_canonical_alias",
     "d12_ucb_host_allocation",
     "text_source_kl",
+    "dedup_suffix_array",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

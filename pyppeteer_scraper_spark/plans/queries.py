@@ -10126,6 +10126,55 @@ def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "dedup_suffix_array",
+    """
+    WITH d AS (
+      SELECT doc_id, text || chr(1) AS t FROM documents
+      WHERE doc_id % 50 = 3
+    ),
+    offs AS (
+      SELECT doc_id, t,
+             CAST(coalesce(sum(length(t)) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS base
+      FROM d
+    ),
+    cat AS (SELECT string_agg(t, '' ORDER BY doc_id) AS s FROM d),
+    posn AS (
+      SELECT o.doc_id, CAST(r.i - 1 AS BIGINT) AS off,
+             o.base + r.i - 1 AS gpos
+      FROM offs o,
+           LATERAL (SELECT unnest(range(1, length(o.t) + 1)) AS i) r
+    )
+    SELECT row_number() OVER (
+             ORDER BY substr(c.s, CAST(p.gpos + 1 AS BIGINT))
+           ) AS suffix_rank,
+           p.doc_id, p.off
+    FROM posn p CROSS JOIN cat c
+    """,
+)
+def dedup_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global suffix array by prefix doubling
+    (operators/suffix.py; Manber & Myers 1990) over a deterministic
+    corpus sample — the exact-substring index under Lee et al. 2022
+    dedup, built with O(log n) rounds of sort/join/aggregate (two-int
+    comparator per row, distinct-key dense ranking, two-pass prefix
+    sum for global positions; no single-task window over the corpus).
+    The oracle is a genuinely independent derivation: concatenate the
+    sample and ORDER BY the raw suffix substrings under binary
+    collation — no doubling, no ranks — and it must agree
+    hash-exactly, position by position."""
+    from pyppeteer_scraper_spark.operators.suffix import (
+        global_suffix_array,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 3
+    )
+    return global_suffix_array(docs)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
