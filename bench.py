@@ -168,6 +168,7 @@ HEADLINE = [
     "d12_ucb_host_allocation",
     "text_source_kl",
     "dedup_suffix_array",
+    "dedup_suffix_lcp",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -187,3 +187,86 @@ def global_suffix_array(
             "off",
         )
     )
+
+
+def suffix_adjacent_lcp(
+    docs: DataFrame,
+    cap: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-suffix LCPs over the global suffix array — the Lee et
+    al. 2022 repeated-substring detector: a position whose suffix
+    shares a >= k-char prefix with its SA neighbor lies inside a
+    substring that occurs at least twice in the corpus; thresholding
+    ``lcp`` marks exactly those spans (the EXACT counterpart of the
+    shipped k-token-window approximation in ``dedup.py``).
+
+    Returns one row per adjacent SA pair: (rank_a, doc_a, off_a,
+    doc_b, off_b, lcp) with ``lcp`` capped at ``cap`` — Lee et al.
+    threshold at 50 tokens-ish; anything past the cap is "long
+    enough", and the cap is what bounds the per-row state.
+
+    Mechanics: each SA row rebuilds its first ``cap`` suffix chars
+    from its own doc plus the next TWO docs (doc-level lead window;
+    sound whenever no two consecutive docs are jointly shorter than
+    ``cap`` — true of this corpus, asserted cheaply at runtime by the
+    caller's tests), pairs rank r with r+1 via one equi-join carrying
+    2*cap chars per row, and counts the monotone prefix-equality
+    ladder in codegen (prefix equality only ever turns off, so
+    count(equal_j) == LCP).  The doc-level lead window is over the
+    DOC table, not positions; at full scale it takes the same bucketed
+    two-pass treatment as the packing prefix sum.
+    """
+    sa = global_suffix_array(docs, id_col=id_col, text_col=text_col)
+    w = Window.orderBy("doc_id")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(F.col(text_col), F.lit(SEP)).alias("t"),
+    )
+    ctx_src = d.select(
+        "doc_id",
+        F.concat(
+            F.col("t"),
+            F.lead("t", 1, "").over(w),
+            F.lead("t", 2, "").over(w),
+        ).alias("__ctx_t"),
+    )
+    rows = sa.withColumnRenamed(id_col, "doc_id").join(
+        ctx_src, "doc_id"
+    ).select(
+        "suffix_rank",
+        F.col("doc_id"),
+        "off",
+        F.col("__ctx_t")
+        .substr(F.col("off") + 1, F.lit(int(cap)))
+        .alias("__ctx"),
+    )
+    a = rows.select(
+        F.col("suffix_rank").alias("rank_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("off").alias("off_a"),
+        F.col("__ctx").alias("__ca"),
+    )
+    b = rows.select(
+        (F.col("suffix_rank") - 1).alias("rank_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("off").alias("off_b"),
+        F.col("__ctx").alias("__cb"),
+    )
+    paired = a.join(b, "rank_a")
+    lcp = sum(
+        (
+            F.substring(F.col("__ca"), 1, j)
+            == F.substring(F.col("__cb"), 1, j)
+        ).cast("int")
+        for j in range(1, int(cap) + 1)
+    )
+    return paired.select(
+        "rank_a",
+        "doc_a",
+        "off_a",
+        "doc_b",
+        "off_b",
+        lcp.cast("long").alias("lcp"),
+    )

@@ -10175,6 +10175,71 @@ def dedup_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_suffix_array(docs)
 
 
+@query(
+    "dedup_suffix_lcp",
+    """
+    WITH d AS (
+      SELECT doc_id, text || chr(1) AS t FROM documents
+      WHERE doc_id % 50 = 3
+    ),
+    offs AS (
+      SELECT doc_id, t,
+             CAST(coalesce(sum(length(t)) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS base
+      FROM d
+    ),
+    cat AS (SELECT string_agg(t, '' ORDER BY doc_id) AS s FROM d),
+    posn AS (
+      SELECT o.doc_id, CAST(r.i - 1 AS BIGINT) AS off,
+             o.base + r.i - 1 AS gpos
+      FROM offs o,
+           LATERAL (SELECT unnest(range(1, length(o.t) + 1)) AS i) r
+    ),
+    sa AS (
+      SELECT row_number() OVER (
+               ORDER BY substr(c.s, CAST(p.gpos + 1 AS BIGINT))
+             ) AS rk,
+             p.doc_id, p.off, p.gpos
+      FROM posn p CROSS JOIN cat c
+    ),
+    pairs AS (
+      SELECT a.rk AS rank_a, a.doc_id AS doc_a, a.off AS off_a,
+             b.doc_id AS doc_b, b.off AS off_b,
+             substr(c.s, CAST(a.gpos + 1 AS BIGINT), 48) AS ca,
+             substr(c.s, CAST(b.gpos + 1 AS BIGINT), 48) AS cb
+      FROM sa a JOIN sa b ON b.rk = a.rk + 1 CROSS JOIN cat c
+    )
+    SELECT rank_a, doc_a, off_a, doc_b, off_b,
+           CAST(count(*) FILTER (
+             WHERE substr(ca, 1, CAST(j.j AS INT))
+                 = substr(cb, 1, CAST(j.j AS INT))
+           ) AS BIGINT) AS lcp
+    FROM pairs, (SELECT unnest(range(1, 49)) AS j) j
+    GROUP BY rank_a, doc_a, off_a, doc_b, off_b
+    """,
+)
+def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-suffix LCPs over the distributed suffix array
+    (operators/suffix.py::suffix_adjacent_lcp) — the Lee et al. 2022
+    exact repeated-substring detector: thresholding lcp marks every
+    position inside a substring occurring >= 2x in the corpus.  LCP
+    is counted up the monotone prefix-equality ladder in codegen,
+    capped at 48; per-row context is rebuilt from <= 3 consecutive
+    docs (sound here: no two consecutive docs are jointly shorter
+    than the cap).  The oracle re-derives BOTH stages independently —
+    suffix order by raw ORDER BY, LCP from the true concatenated
+    string — and must agree hash-exactly per adjacent pair."""
+    from pyppeteer_scraper_spark.operators.suffix import (
+        suffix_adjacent_lcp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 3
+    )
+    return suffix_adjacent_lcp(docs, cap=48)
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
