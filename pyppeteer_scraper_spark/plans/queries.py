@@ -9957,6 +9957,9 @@ def url_canonical_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d12_ucb_host_allocation",
     """
+    -- T constants (20..23) assume the sf0.01 host count (150 users
+    -- cover all 20 user_id%20 buckets); the Spark side derives
+    -- n_hosts dynamically, so only compare at sf>=0.01
     WITH ranked AS (
       SELECT 'h' || (user_id % 20) AS host, value / 500.0 AS r,
              row_number() OVER (PARTITION BY user_id % 20
