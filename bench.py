@@ -169,6 +169,7 @@ HEADLINE = [
     "text_source_kl",
     "dedup_suffix_array",
     "dedup_suffix_lcp",
+    "tok_unigram_train",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

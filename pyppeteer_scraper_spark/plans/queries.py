@@ -10243,6 +10243,26 @@ def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_adjacent_lcp(docs, cap=48)
 
 
+@query("tok_unigram_train")  # rows-only: iterative hard-EM + per-word
+# Viterbi DP aren't SQL-expressible (same status as tok_bpe_train);
+# golden morpheme recovery, determinism, and lossless-roundtrip
+# encoding are pinned in tests/test_unigram.py
+def tok_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (functions/unigram.py; Kudo 2018
+    — the SentencePiece 'unigram' algorithm, completing the
+    BPE+unigram pair of standard subword trainers): substring seed
+    vocab over the Heaps-small distinct-word table, deterministic
+    Viterbi-E / count-M rounds with the bounded vocab broadcast into
+    an Arrow UDF, probability pruning with a single-char coverage
+    floor.  Returns the trained (piece, logp, n_chars) vocabulary."""
+    from pyppeteer_scraper_spark.functions.unigram import train_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_unigram(
+        docs, vocab_size=64, n_iters=2, seed_size=300, max_piece_len=6
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #
