@@ -170,6 +170,7 @@ HEADLINE = [
     "dedup_suffix_array",
     "dedup_suffix_lcp",
     "tok_unigram_train",
+    "text_mattr_diversity",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))

@@ -10263,6 +10263,61 @@ def tok_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_mattr_diversity",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, len(ts) AS n,
+             unnest(range(1, len(ts) - 20 + 2)) AS i, ts
+      FROM tok WHERE len(ts) >= 20
+    )
+    SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+           round(avg(len(list_distinct(ts[i:i+19])) / 20.0), 6)
+             AS mattr
+    FROM wins GROUP BY doc_id
+    """,
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity (Covington & McFall 2010): mean
+    type-token ratio over every sliding 20-token window — the
+    length-independent diversity signal curation pipelines threshold
+    (raw TTR decays with length; MATTR doesn't), complementing the
+    Gopher repetition family from the opposite direction.  Pure
+    per-row codegen: token array once, one transform over window
+    starts with array_distinct on slices — O(n_tokens x 20) work per
+    row, NO shuffle, no UDF; docs shorter than one window emit no row
+    (they fall to the too_short funnel rule instead).  Single-space
+    split matches the oracle exactly (the planted whitespace fixtures
+    exercise the boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ", -1)
+    n = F.size(ts)
+    w = 20
+    wins = F.transform(
+        F.sequence(F.lit(1), n - w + 1),
+        lambda i: F.size(F.array_distinct(F.slice(ts, i, F.lit(w))))
+        / F.lit(float(w)),
+    )
+    return (
+        docs.select("doc_id", n.alias("n_tokens"), wins.alias("__w"))
+        .filter(F.col("n_tokens") >= w)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    "__w", F.lit(0.0), lambda acc, x: acc + x
+                )
+                / F.size("__w"),
+                6,
+            ).alias("mattr"),
+        )
+    )
+
+
 # =========================================================================
 # Registration-order finalization — DRIVER COVERAGE IS ORDER-SENSITIVE.
 #

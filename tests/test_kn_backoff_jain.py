@@ -189,3 +189,50 @@ def test_source_kl_invariants(spark, sf_med):
         seen.add((r["src_a"], r["src_b"]))
         assert r["kl_ab"] >= 0 and r["kl_ba"] >= 0, r
         assert abs(r["jeffreys"] - (r["kl_ab"] + r["kl_ba"])) < 2e-6, r
+
+
+def test_mattr_invariants(spark, sf_med):
+    """MATTR in (0, 1]; an all-repeated-token doc scores 1/20; a doc
+    of 20 distinct tokens scores 1.0."""
+    from pyppeteer_scraper_spark.plans.queries import QUERIES
+
+    rows = QUERIES["text_mattr_diversity"](spark, sf_med).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["mattr"] <= 1.0, r
+        assert r["n_tokens"] >= 20
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyppeteer_scraper_spark.sources import tables
+
+    extra = spark.createDataFrame(
+        [
+            (90001, "x " * 39 + "x"),            # 40 identical tokens
+            (90002, " ".join(f"t{i}" for i in range(20))),  # all distinct
+        ],
+        ["doc_id", "text"],
+    )
+    orig = tables.load_table
+
+    def patched(s, d, name):
+        if name == "documents":
+            return orig(s, d, name).select("doc_id", "text").unionByName(
+                extra
+            )
+        return orig(s, d, name)
+
+    import pyppeteer_scraper_spark.plans.queries as qmod
+
+    old = qmod.load_table
+    qmod.load_table = patched
+    try:
+        got = {
+            r["doc_id"]: r["mattr"]
+            for r in qmod.QUERIES["text_mattr_diversity"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+    finally:
+        qmod.load_table = old
+    assert got[90001] == round(1 / 20, 6)
+    assert got[90002] == 1.0
