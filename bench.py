@@ -171,6 +171,8 @@ HEADLINE = [
     "dedup_suffix_lcp",
     "tok_unigram_train",
     "text_mattr_diversity",
+    # round-5 additions (comparable from BENCH_r05 on)
+    "dedup_suffix_coverage",
 ]
 
 BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
@@ -271,16 +273,87 @@ def main() -> None:
     frontier = bench_frontier(spark, sf_dir)
     total = round(time.time() - t_total, 3)
 
+    # ARTIFACT ROBUSTNESS (VERDICT r04 "What's wrong #2"): the driver
+    # keeps only a bounded TAIL of this process's output, and r04's
+    # 124-query stdout dict overflowed it — "parsed": null.  Round 5:
+    # the full per-query detail goes to a committed file; the stdout
+    # line stays compact (summary stats + a representative subset) and
+    # is printed LAST, after spark.stop(), so no Spark shutdown noise
+    # can land after it.
+    detail_path = os.path.join(REPO, "BENCH", "bench_detail_latest.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_dir,
+                "cpus": cpus,
+                **frontier,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+
+    # Representative stdout subset: the headline scan/agg/join quartet
+    # plus the most expensive operator families (dedup, similarity,
+    # graph, tokenizer, curation) — every name comparable across
+    # BENCH_r03+ artifacts.
+    stdout_subset = [
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "d3_daily_rate_limit",
+        "t4_topk_per_group",
+        "dedup_exact_groups",
+        "dedup_minhash_lsh",
+        "sim_embedding_near_dups",
+        "sim_bruteforce_topk",
+        "text_lang_id",
+        "text_curation_funnel_full",
+        "rank_pagerank",
+        "pack_sequences",
+        "dedup_substring_coverage",
+        "dedup_suffix_array",
+        "dedup_suffix_lcp",
+        "dedup_suffix_coverage",
+        "dedup_ngram_containment",
+        "rank_hyperball",
+        "rank_hits",
+        "text_kn_bigram_ppl",
+        "sim_ivfpq_topk",
+        "url_canonical_alias",
+        "tok_bpe_pair_counts",
+        "tok_unigram_train",
+        "text_dsir_weights",
+        "media_mp4_sample_plan",
+        "search_bm25_topk",
+        "d12_ucb_host_allocation",
+    ]
+    slowest = sorted(per_query, key=per_query.get, reverse=True)[:5]
+    compact = {
+        n: per_query[n]
+        for n in dict.fromkeys(stdout_subset + slowest)
+        if n in per_query
+    }
     out = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
-        "queries": per_query,
+        "queries": compact,
+        "n_queries": len(per_query),
+        "queries_detail_file": os.path.relpath(detail_path, REPO),
         "sf": sf_dir,
         "cpus": cpus,
         **frontier,
     }
-    print(json.dumps(out))
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    line = json.dumps(out, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -236,7 +236,7 @@ def kn_bigram_scores(
             ).alias("lp"),
         )
     )
-    return (
+    out = (
         scored.groupBy("__id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -245,3 +245,9 @@ def kn_bigram_scores(
         )
         .withColumnRenamed("__id", id_col)
     )
+    # ADVICE r04: pin the scored result eagerly, then release the
+    # bigram-count cache — the same localCheckpoint+unpersist
+    # discipline as text_source_kl (no session-lifetime cache leak).
+    out = out.localCheckpoint(eager=True)
+    bc.unpersist()
+    return out

@@ -361,6 +361,22 @@ def bloom_shard_words(
     emits <= n_shards x m_bits/32 rows.  Both aggregations map-side
     combine, so the shuffle carries at most the filter's own bits.
     """
+    # ADVICE r04: enforce the documented envelope instead of silently
+    # corrupting the filter — k_hashes=5 would read past md5's 32 hex
+    # chars (conv('') -> null/garbage positions), m_bits > 2^24 would
+    # alias positions through the 24-bit slices.
+    if not 1 <= int(k_hashes) <= 4:
+        raise ValueError(
+            f"k_hashes must be in [1, 4] for one md5 (got {k_hashes}); "
+            "chain a salted second md5 for more"
+        )
+    if not 32 <= int(m_bits) <= (1 << 24):
+        raise ValueError(
+            f"m_bits must be in [32, 2^24] (got {m_bits}): positions are "
+            "24-bit md5 slices"
+        )
+    if int(n_shards) < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
     h = F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(url_col)))
     shard = F.pmod(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),

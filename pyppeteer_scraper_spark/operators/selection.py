@@ -121,8 +121,19 @@ def ucb1_host_allocation(
         .select("host", F.lit(1).alias("n"), F.col("r").alias("s"))
         .persist()
     )
-    stats.count()
     n_hosts = stats.count()
+    if n_hosts == 0:
+        # ADVICE r04: empty reward log -> empty allocation, not a
+        # math.log(0) crash in the first policy round.
+        out = stats.select(
+            "host",
+            F.col("n").cast("long").alias("n_pulls"),
+            F.col("s").cast("double").alias("mean_reward"),
+            F.col("s").cast("double").alias("ucb"),
+        ).localCheckpoint(eager=True)
+        stats.unpersist()
+        ranked.unpersist()
+        return out
     for t in range(n_rounds):
         total = n_hosts + t
         ucb = (F.col("s") / F.col("n")) + F.sqrt(

@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bars: they interleave with stdout and
+        # corrupted the driver's BENCH_r04 tail capture (VERDICT r04
+        # "What's wrong #2") — the bench contract is ONE parseable
+        # JSON line.
+        .config("spark.ui.showConsoleProgress", "false")
         # Shuffle/spill scratch space.  On a real cluster each executor
         # has its own local NVMe — I/O bandwidth scales with node count.
         # On this single box, point it at tmpfs (RAM) to emulate that

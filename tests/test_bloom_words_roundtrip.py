@@ -74,3 +74,22 @@ def test_relational_scheme_matches_numpy_sidecar_bit_for_bit(
     finally:
         shutil.rmtree(da, ignore_errors=True)
         shutil.rmtree(db, ignore_errors=True)
+
+
+def test_bloom_shard_words_validates_envelope(spark):
+    """ADVICE r04: k_hashes > 4 would read past md5's 32 hex chars and
+    m_bits > 2^24 would alias the 24-bit position slices — both must
+    raise, not silently corrupt the filter."""
+    import pytest
+
+    from pyppeteer_scraper_spark.operators.bloom import bloom_shard_words
+
+    df = spark.createDataFrame([("http://a/",)], ["url"])
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_shard_words(df, k_hashes=5)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_shard_words(df, m_bits=(1 << 24) + 32)
+    with pytest.raises(ValueError, match="n_shards"):
+        bloom_shard_words(df, n_shards=0)
+    # the documented envelope still works
+    assert bloom_shard_words(df, k_hashes=4, m_bits=1 << 10).count() > 0

@@ -98,20 +98,60 @@ def test_driver_window_covers_unchecked():
     """The correctness driver checks only the FIRST 50 registered
     queries — registration order is load-bearing (see
     plans/queries.py::_finalize_order and __spark_entry__ docstring).
-    Assert every query that has never had a driver CORRECTNESS row sits
-    inside the window, so CORRECTNESS_r03+ records it."""
+
+    Round 5 makes the rotation SELF-ENFORCING (VERDICT r04 'What's
+    wrong #3'): the never-driver-checked set is recomputed from the
+    CORRECTNESS_r*.json artifacts on disk, not from a hand-maintained
+    list.  Invariants: (a) _WINDOW_FIRST is literally the first
+    len(_WINDOW_FIRST) registered names; (b) while more never-checked
+    ORACLED queries exist than window slots, every slot must be spent
+    on one — no slot may be wasted on an already-green name; (c) once
+    the backlog fits, every never-checked oracled name must sit inside
+    the window."""
+    import glob
+    import json
+    import os
+
     from pyppeteer_scraper_spark.plans.queries import (
         ORACLE_SQL,
         QUERIES,
         _WINDOW_FIRST,
     )
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    artifacts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert artifacts, "no CORRECTNESS artifacts found beside the repo"
+    for f in artifacts:
+        with open(f) as fh:
+            checked.update(json.load(fh))
+
     names = list(QUERIES)
     window = set(names[:50])
     for n in _WINDOW_FIRST:
         assert n in window, f"{n} fell outside the driver's 50-query window"
-    # order pin: the never-checked entries are literally first
+    # order pin: the window-first entries are literally first
     assert names[: len(_WINDOW_FIRST)] == _WINDOW_FIRST
+
+    unchecked_oracled = [
+        n for n in names if n in ORACLE_SQL and n not in checked
+    ]
+    if len(unchecked_oracled) >= 50:
+        # backlog exceeds the window: every slot must carry a
+        # never-checked oracled query
+        wasted = [n for n in names[:50] if n in checked or n not in ORACLE_SQL]
+        assert not wasted, (
+            f"window slots wasted on already-checked/unoracled names "
+            f"while {len(unchecked_oracled)} oracled queries have no "
+            f"driver row: {wasted}"
+        )
+    else:
+        outside = [n for n in unchecked_oracled if n not in window]
+        assert not outside, (
+            f"never-driver-checked oracled queries outside the 50-slot "
+            f"window: {outside}"
+        )
+
     # oracle dict stays aligned (subset, same relative order)
     assert set(ORACLE_SQL) <= set(QUERIES)
     pos = {n: i for i, n in enumerate(names)}

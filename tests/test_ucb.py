@@ -65,3 +65,18 @@ def test_ucb1_exploration_reaches_cold_arm(spark):
     }
     assert got["bad"]["n_pulls"] >= 2, got
     assert got["good"]["n_pulls"] > got["bad"]["n_pulls"]
+
+
+def test_ucb1_empty_rewards_returns_empty(spark):
+    """ADVICE r04: an empty reward log must yield an empty allocation
+    (schema intact), not a math.log(0) crash."""
+    from pyppeteer_scraper_spark.operators.selection import (
+        ucb1_host_allocation,
+    )
+
+    empty = spark.createDataFrame(
+        [], "host string, ts timestamp, reward double"
+    )
+    out = ucb1_host_allocation(empty, n_rounds=3)
+    assert out.columns == ["host", "n_pulls", "mean_reward", "ucb"]
+    assert out.count() == 0
