@@ -200,9 +200,11 @@ def binpack_hosts(
     cannot pile onto shard 0 the way plain ``rank % n`` does.  For a
     Zipf-ish host-size law (the empirical web), serpentine lands
     within a few percent of LPT's makespan while needing only ONE
-    window rank over the (distinct-host) aggregate — no driver loop,
+    global rank over the (distinct-host) aggregate — no driver loop,
     no iterative state, and the host table (10^7 rows at 10^10 URLs)
-    never leaves the executors.
+    never leaves the executors: the rank comes from the distributed
+    range-partitioned row_number (``topk.global_row_number``, round
+    5 — bounded by construction, no single-partition window).
 
     Returns one row per host: (host, load, shard), plus the rank used
     (``tier`` = rank div n identifies the dealing row for audits).
@@ -211,12 +213,13 @@ def binpack_hosts(
     ~10 URLs: /root/reference/scraper/home_depo.py); this exists for
     the 1000-executor fetch fleet the north rule targets.
     """
-    w = Window.orderBy(F.col(load_col).desc(), F.col(host_col))
-    ranked = host_loads.select(
-        host_col,
-        F.col(load_col),
-        (F.row_number().over(w) - 1).alias("_rk"),
-    )
+    from pyppeteer_scraper_spark.operators.topk import global_row_number
+
+    ranked = global_row_number(
+        host_loads.select(host_col, F.col(load_col)),
+        [F.col(load_col).desc(), F.col(host_col)],
+        out_col="__r1",
+    ).select(host_col, load_col, (F.col("__r1") - 1).alias("_rk"))
     pos = F.col("_rk") % n_shards
     tier = F.expr(f"_rk div {n_shards}")
     return ranked.select(

@@ -161,19 +161,23 @@ def gini_concentration(
     (equal x with consecutive i contribute the same Σ i·x_i under any
     tie order), so the result is deterministic without a tiebreak.
 
-    One groupBy over hosts, then a window + final aggregate over the
-    HOST TABLE (≪ corpus; millions of rows fits one node — same
-    documented trade as the frontier's percentile promotion).
+    One groupBy over hosts, then ranks from the distributed
+    range-partitioned row_number (``topk.global_row_number`` — round
+    5: bounded by construction, no single-partition window even when
+    the host table is 10^7 rows) and a final scalar aggregate.
     Returns a single row (n_groups, total, gini).
     """
+    from pyppeteer_scraper_spark.operators.topk import global_row_number
+
     x = (
         F.count("*").alias("x")
         if weight_col is None
         else F.sum(weight_col).alias("x")
     )
     counts = df.groupBy(F.col(group_col).alias("g")).agg(x)
-    w = Window.orderBy(F.col("x"), F.col("g"))
-    ranked = counts.select("x", F.row_number().over(w).alias("i"))
+    ranked = global_row_number(
+        counts, [F.col("x"), F.col("g")], out_col="i"
+    ).select("x", "i")
     return ranked.agg(
         F.count("*").cast("long").alias("n_groups"),
         F.sum("x").cast("long").alias("total"),
