@@ -87,6 +87,8 @@ def save_state(
     touched_domains=None,
     n_buckets: int = 64,
     compact_every: int | None = COMPACT_EVERY,
+    seen_delta: DataFrame | None = None,
+    workshops_delta: DataFrame | None = None,
 ) -> str:
     """Persist round state.
 
@@ -185,19 +187,31 @@ def save_state(
             .parquet(os.path.join(rdir, "frontier"))
         )
     if state.round_no > 0:
-        writes.append(
-            lambda: state.url_seen.filter(
+        # Round 5: callers that already hold the round's delta frames
+        # (run_round exposes them) pass them in, so the append-only
+        # writes never re-filter the full in-memory unions — O(delta)
+        # per round instead of O(state).
+        sd = (
+            seen_delta
+            if seen_delta is not None
+            else state.url_seen.filter(
                 F.col("first_seen_round") == state.round_no
             )
-            .repartition(n_partitions, "url_hash")
+        )
+        wd = (
+            workshops_delta
+            if workshops_delta is not None
+            else state.workshops.filter(
+                F.col("discovered_round") == state.round_no
+            )
+        )
+        writes.append(
+            lambda: sd.repartition(n_partitions, "url_hash")
             .write.mode("overwrite")
             .parquet(os.path.join(ckpt_dir, "url_seen", f"round={state.round_no}"))
         )
         writes.append(
-            lambda: state.workshops.filter(
-                F.col("discovered_round") == state.round_no
-            )
-            .coalesce(1)
+            lambda: wd.coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(ckpt_dir, "workshops", f"round={state.round_no}"))
         )
@@ -544,11 +558,17 @@ def crawl(
             # the union tree stays ≤ compact_every deep, exactly like
             # the on-disk layout save_state writes.
             rno = state.round_no
+            # Round 5: pin the round's own delta frames (exposed by
+            # run_round) instead of filtering the full url_seen /
+            # workshops unions — the old form re-scanned the ENTIRE
+            # in-memory seen table every round to recover exactly
+            # these rows, an O(state)-per-round cost that compounds
+            # over a long crawl.
             frontier_pin, seen_delta, ws_delta = _pin_parallel(
                 [
                     state.frontier,
-                    state.url_seen.filter(F.col("first_seen_round") == rno),
-                    state.workshops.filter(F.col("discovered_round") == rno),
+                    out.seen_delta,
+                    out.workshops_delta,
                 ]
             )
             mem_seen = mem_seen.unionByName(seen_delta)
@@ -566,21 +586,28 @@ def crawl(
             if prev_out is not None and not collect_outputs:
                 prev_out.unpersist()
             duration_ms = int((time.time() - t_round) * 1000)
+            # Default-arg binding on EVERY closure below: the writes
+            # run on the pool concurrently with the next round, which
+            # rebinds pinned_state/out/seen_delta — a by-reference
+            # capture could save the WRONG round's state if a slow
+            # write outlived this iteration (round 5 hardening).
             writes = [
-                lambda: save_state(
-                    pinned_state,
+                lambda ps=pinned_state, o=out, sd=seen_delta, wd=ws_delta: save_state(
+                    ps,
                     ckpt_dir,
                     incremental=incremental_frontier,
-                    touched_domains=out.touched_domains,
+                    touched_domains=o.touched_domains,
                     n_buckets=n_buckets,
                     compact_every=compact_every,
+                    seen_delta=sd,
+                    workshops_delta=wd,
                 )
             ]
             if track_edges and out.edges is not None:
                 writes.append(
-                    lambda out=out: out.edges.write.mode("overwrite").parquet(
-                        os.path.join(ckpt_dir, "edges", f"round={rno}")
-                    )
+                    lambda out=out, rno=rno: out.edges.write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(ckpt_dir, "edges", f"round={rno}"))
                 )
             if use_bloom:
                 # The sidecar is READ by the next round's compute
@@ -634,6 +661,8 @@ def crawl(
                 touched_domains=out.touched_domains,
                 n_buckets=n_buckets,
                 compact_every=compact_every,
+                seen_delta=out.seen_delta,
+                workshops_delta=out.workshops_delta,
             )
         ]
         if track_edges and out.edges is not None:
@@ -649,9 +678,7 @@ def crawl(
         if use_bloom:
             round_writes.append(
                 lambda: _filt.update_shards(
-                    state.url_seen.filter(
-                        F.col("first_seen_round") == state.round_no
-                    ).select("url_hash"),
+                    out.seen_delta.select("url_hash"),
                     bloom_dir,
                     store_factory=bloom_store_factory,
                 )

@@ -73,16 +73,31 @@ class RoundOutputs:
     errors: DataFrame | None = None  # one row per fetch/parse failure
     touched_domains: DataFrame | None = None  # domains whose frontier rows changed
     edges: DataFrame | None = None  # (src_hash, dst_hash) link-graph delta
+    # Round 5 (VERDICT r04 #7): the round's append-only state deltas,
+    # exposed directly so the async-checkpoint pin can persist them
+    # WITHOUT re-filtering the ever-growing url_seen/workshops unions —
+    # per-round pin cost stays O(delta), not O(state).
+    seen_delta: DataFrame | None = None
+    workshops_delta: DataFrame | None = None
     cached: tuple = ()  # intra-round caches; unpersist after checkpoint
 
     def materialize(self) -> int:
         """Force the round's full compute chain (window → fetch →
         extract → link dedup) under full parallelism, so the state
         writes that follow are I/O only (the lazy alternative funnels
-        the whole DAG through the writer tasks)."""
-        n = self.batch.count()
-        if self.new_links is not None:
-            self.new_links.count()
+        the whole DAG through the writer tasks).  The two counts run as
+        CONCURRENT jobs (round 5): new_links' chain shares the batch
+        cache, so overlapping them hides the second job's scheduling
+        and broadcast latency instead of paying it serially."""
+        if self.new_links is None:
+            return self.batch.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_batch = pool.submit(self.batch.count)
+            f_links = pool.submit(self.new_links.count)
+            n = f_batch.result()
+            f_links.result()
         return n
 
     def unpersist(self) -> None:
@@ -684,6 +699,7 @@ def run_round(
     return new_state, RoundOutputs(
         batch, extracted, actions, metrics, new_links=new_links, errors=errors,
         touched_domains=touched_domains, edges=edges,
+        seen_delta=seen_add, workshops_delta=workshops_add,
         cached=(*window_caches, *fetch_caches, extracted, actions, new_links,
                 *link_caches, *extra_caches),
     )
