@@ -19,7 +19,7 @@ DRIVER CONTRACT (observed behavior — keep these invariants):
   locally regardless of position.
 - Queries WITHOUT an ``oracle_sql()`` twin get a weaker rows-only
   check (recorded as ``err: "no_oracle"``); keep those pytest-covered.
-  The 13 such queries are rows-only BY DESIGN (probabilistic LSH/IVF/
+  The 15 such queries are rows-only BY DESIGN (probabilistic LSH/IVF/
   k-means candidates, sketches, binary codecs — semantics ANSI SQL
   cannot replay); see README.md "Rows-only-by-design queries" for the
   per-query rationale + the pytest pin and exact-oracled twin of each.
