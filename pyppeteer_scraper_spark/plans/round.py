@@ -91,13 +91,17 @@ class RoundOutputs:
         and broadcast latency instead of paying it serially."""
         if self.new_links is None:
             return self.batch.count()
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_batch = pool.submit(self.batch.count)
-            f_links = pool.submit(self.new_links.count)
-            n = f_batch.result()
-            f_links.result()
+        # Round 6 (ADVICE r05): batch FIRST, then new_links.  The two
+        # jobs share the select_batch window caches, and new_links'
+        # chain additionally runs THROUGH batch (fetch → extract →
+        # canonicalize), so overlapping them while those caches are
+        # still cold made both jobs compute the same upstream
+        # partitions concurrently — duplicate work, not overlap.
+        # Counting batch first materializes every shared cache once;
+        # the new_links job then starts from warm batch/extract caches
+        # and only pays its own link-dedup tail.
+        n = self.batch.count()
+        self.new_links.count()
         return n
 
     def unpersist(self) -> None:

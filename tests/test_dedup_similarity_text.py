@@ -803,6 +803,35 @@ def test_pca_whiten_identity_and_partials_exactness(spark, sf_small):
     assert np.abs(wc - np.eye(d)).max() < 1e-8
 
 
+def test_embedding_covariance_order_invariant(spark, sf_med):
+    """The 6-dp covariance contract must be stable to cross-partition
+    accumulation ORDER (the r05 driver flake: a one-pass moment cell
+    near a .5e-7 boundary flipped between runs).  The two-pass centered
+    form's partials are covariance-magnitude, so the rounded output
+    must be bit-identical across partition counts and repeated runs."""
+    from pyspark.sql import functions as SF
+
+    from pyppeteer_scraper_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+
+    def rounded(df_in):
+        return sorted(
+            (r["i"], r["j"], r["cov"])
+            for r in embedding_covariance(df_in)
+            .select("i", "j", SF.round("cov", 6).alias("cov"))
+            .collect()
+        )
+
+    ref = rounded(emb.repartition(1))
+    for parts in (3, 8):
+        assert rounded(emb.repartition(parts)) == ref
+    # repeated run, same layout: deterministic
+    assert rounded(emb.repartition(8)) == ref
+
+
 def test_incremental_minhash_is_asymmetric_and_complete(spark):
     """New-batch docs pair ONLY against the corpus: internal dups on
     either side are never emitted (that is the point — per-round cost

@@ -119,12 +119,22 @@ def test_driver_window_covers_unchecked():
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Round 6 (VERDICT r05 #2 / ADVICE): "checked" means GREEN, not
+    # merely present — a red row (hash_match false) must stay pinned in
+    # the window until a green driver row lands, so failures can never
+    # silently rotate out.  Green = hash_match true for oracled rows,
+    # or a recorded spark_rows > 0 for rows-only (err == "no_oracle").
     checked: set[str] = set()
     artifacts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     assert artifacts, "no CORRECTNESS artifacts found beside the repo"
     for f in artifacts:
         with open(f) as fh:
-            checked.update(json.load(fh))
+            for name, row in json.load(fh).items():
+                if row.get("hash_match") is True or (
+                    row.get("err") == "no_oracle"
+                    and (row.get("spark_rows") or 0) > 0
+                ):
+                    checked.add(name)
 
     names = list(QUERIES)
     window = set(names[:50])
