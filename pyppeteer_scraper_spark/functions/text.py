@@ -514,13 +514,18 @@ def lang_segments(
     map-side-combinable aggregations; ties break (count desc, lang
     asc) so the argmax is deterministic.
     """
-    toks = F.split(F.col(text_col), " ")
+    # split staged in its own projection (r06): in-lambda split()
+    # re-evaluates per segment — codegen CSE stops at lambda bodies
+    toks = F.col("__toks")
     segs = F.transform(
         F.sequence(F.lit(1), F.size(toks), F.lit(seg_words)),
         lambda s: F.concat_ws(" ", F.slice(toks, s, seg_words)),
     )
     per_seg = docs.select(
-        F.col(doc_id_col).alias("doc_id"), F.explode(segs).alias("seg")
+        F.col(doc_id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    ).select(
+        "doc_id", F.explode(segs).alias("seg")
     ).select("doc_id", lang_id(F.col("seg")).alias("seg_lang"))
     counts = per_seg.groupBy("doc_id", "seg_lang").agg(
         F.count("*").cast("long").alias("n")

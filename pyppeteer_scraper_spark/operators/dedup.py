@@ -29,13 +29,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) pairs of k-word shingles — JVM-side via split +
-    transform over positions + explode."""
-    toks = F.split(F.col(text_col), r"\s+")
+    transform over positions + explode.
+
+    The tokenization is materialized in its OWN projection first
+    (round 6): referencing ``split(text)`` inside the transform lambda
+    re-evaluates the regex split per POSITION — O(words²) regex work
+    per doc — because codegen does not common-subexpression-eliminate
+    into higher-order-function lambdas.  Splitting once per row in a
+    preceding Project is ~4× faster on the bench corpus (guide §1.2
+    "per-task work")."""
+    toks = F.col("__toks")
     n = F.size(toks)
     idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
     return (
-        df.select(F.col(id_col), F.explode(F.transform(idxs, shingle)).alias("shingle"))
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks")
+        )
+        .select(F.col(id_col), F.explode(F.transform(idxs, shingle)).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
@@ -44,19 +55,25 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
 def minhash_signatures(
     shingles: DataFrame, id_col: str, n_perm: int = 64
 ) -> DataFrame:
-    """(id, perm, minhash): n_perm independent permutations simulated by
-    seeding xxhash64 with the permutation index (all codegen'd; the
-    classic MinHash construction from Broder '97)."""
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
-    return (
-        shingles.select(id_col, F.col("shingle"), perms)
-        .select(
-            id_col,
-            "perm",
-            F.xxhash64(F.col("shingle"), F.col("perm")).alias("h"),
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
+    """(id, sig array<long>[n_perm]): n_perm independent permutations
+    simulated by seeding xxhash64 with the permutation index (all
+    codegen'd; the classic MinHash construction from Broder '97).
+
+    Round 6 (guide §2.3 "aggregate before you shuffle"): computed as
+    n_perm min-aggregates over the SHINGLE rows — one partially-
+    aggregated row per (doc, map partition) crosses the exchange —
+    instead of the old explode(sequence(0, n_perm-1)) form, which
+    shuffled |shingles| × n_perm rows (64× the shingle table) into a
+    (doc, perm) groupBy.  The minhash VALUES are identical:
+    min over xxhash64(shingle, perm) for the same (shingle, perm)
+    pairs, only the aggregation shape changed."""
+    return shingles.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.col("shingle"), F.lit(p)))
+                for p in range(n_perm)
+            ]
+        ).alias("sig")
     )
 
 
@@ -64,31 +81,33 @@ def minhash_band_candidates(
     sig: DataFrame, id_col: str, n_perm: int, bands: int
 ) -> DataFrame:
     """Candidate (a, b) pairs sharing ≥1 LSH band signature.  The band
-    self-join is an equi-join on uniformly-distributed md5 signatures
-    (no skew); true duplicates cluster in small buckets, so the join
-    output stays near-linear in the duplicate count."""
+    self-join is an equi-join on the band's minhash slice (no skew:
+    xxhash64 values are uniform); true duplicates cluster in small
+    buckets, so the join output stays near-linear in the duplicate
+    count.
+
+    Round 6: bands are array SLICES of the one-row-per-doc signature
+    (posexplode of n_bands r-long slices) joined on array equality —
+    the old path re-aggregated the exploded (doc, perm) rows into md5
+    band strings (an extra shuffle + hash per band).  Same candidate
+    set: equality of the r minhash longs IS equality of the old md5
+    over them (the md5 only ever added false-positive collisions)."""
     rows_per_band = n_perm // bands
-    # eager materialization: both sides of the band self-join read this
-    # table, and each unmaterialized reference replays the whole
-    # shingle->minhash->band aggregation (lazy caches race across the
-    # join's concurrently-running sides).  Compact: docs x bands rows.
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",", F.sort_array(F.collect_list(F.struct("perm", "minhash")))
-                    .cast("array<string>")
-                )
-            ).alias("band_sig")
-        )
-        .localCheckpoint()
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
     )
-    a = banded.select(F.col(id_col).alias("a"), "band", "band_sig")
-    b = banded.select(F.col(id_col).alias("b"), "band", "band_sig")
+    a = banded.select(F.col(id_col).alias("a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("b"), "band", "key")
     return (
-        a.join(b, ["band", "band_sig"])
+        a.join(b, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -114,21 +133,36 @@ def minhash_lsh_pairs(
     Output: (a, b, jaccard_est) with a < b.
     """
     # sig feeds the banding AND both verify sides: materialize once
-    # (docs x n_perm rows) instead of replaying the shingle explode 3x
+    # (one row per doc, n_perm longs) instead of replaying the shingle
+    # explode 3x
     sig = minhash_signatures(
         word_shingles(df, text_col, id_col, k), id_col, n_perm
     ).localCheckpoint()
     candidates = minhash_band_candidates(sig, id_col, n_perm, bands)
-    sa = sig.select(F.col(id_col).alias("a"), "perm", F.col("minhash").alias("ma"))
-    sb = sig.select(F.col(id_col).alias("b"), "perm", F.col("minhash").alias("mb"))
+    sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"))
+    sb = sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sigb"))
+    # estimated jaccard = fraction of agreeing minhash slots, computed
+    # per candidate pair from the two signature ARRAYS in one codegen
+    # zip_with — the old row-format verify joined the 64-rows-per-doc
+    # signature table twice and re-aggregated per pair (guide §2.3)
     est = (
         candidates.join(sa, "a")
-        .join(sb, ["b", "perm"])
-        .groupBy("a", "b")
-        .agg(
-            F.round(F.avg((F.col("ma") == F.col("mb")).cast("double")), 6).alias(
-                "jaccard_est"
-            )
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "siga", "sigb", lambda x, y: x == y
+                        ),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(float(n_perm)),
+                6,
+            ).alias("jaccard_est"),
         )
         .filter(F.col("jaccard_est") >= threshold)
     )
@@ -266,7 +300,10 @@ def shingle_jaccard_pairs_lsh(
     Output: (a, b, n_common, n_union, jaccard) with a < b.
     """
     shingles = word_shingles(df, text_col, id_col, k)
-    sig = minhash_signatures(shingles, id_col, n_perm)
+    # one row per doc; both band-join sides read it — materialize so
+    # the shingle→min aggregation runs once, not twice (r06: the sig is
+    # now already one row per doc, so this pin is docs × n_perm longs)
+    sig = minhash_signatures(shingles, id_col, n_perm).localCheckpoint()
     candidates = minhash_band_candidates(sig, id_col, n_perm, bands)
     # one row per doc; read by both verify sides — materialize so the
     # shingle explode + collect_set aggregation runs once, not twice
@@ -855,30 +892,32 @@ def incremental_minhash_pairs(
     sig_old = minhash_signatures(sh_old, id_col, n_perm)
     rows_per_band = n_perm // bands
 
+    # r06: bands are array slices of the one-row-per-doc signature
+    # joined on array equality (same candidate set as the old md5 band
+    # strings — the md5 only ever added hash-collision false positives,
+    # and the exact verify below filters candidates either way)
     def banded(sig):
-        return (
-            sig.withColumn(
-                "band", (F.col("perm") / rows_per_band).cast("int"))
-            .groupBy(id_col, "band")
-            .agg(
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.sort_array(
-                            F.collect_list(F.struct("perm", "minhash"))
-                        ).cast("array<string>"),
-                    )
-                ).alias("band_sig")
-            )
+        return sig.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(
+                            "sig", b * rows_per_band + 1, rows_per_band
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "key"),
         )
 
     cands = (
         banded(sig_new)
-        .select(F.col(id_col).alias("new_id"), "band", "band_sig")
+        .select(F.col(id_col).alias("new_id"), "band", "key")
         .join(
             banded(sig_old).select(
-                F.col(id_col).alias("corpus_id"), "band", "band_sig"),
-            ["band", "band_sig"],
+                F.col(id_col).alias("corpus_id"), "band", "key"),
+            ["band", "key"],
         )
         .select("new_id", "corpus_id")
         .distinct()

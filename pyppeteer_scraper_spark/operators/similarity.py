@@ -35,13 +35,20 @@ def _norm(a):
 
 
 def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    n = _norm(F.col(vec_col).cast("array<double>"))
-    return df.withColumn(
+    # norm staged in its own projection (r06): referencing the
+    # aggregate-expression norm INSIDE the transform lambda re-ran the
+    # O(d) norm reduction per ELEMENT — O(d²) per row — because codegen
+    # CSE stops at lambda bodies.  Same values, one norm per row.
+    n = F.greatest(
+        _norm(F.col(vec_col).cast("array<double>")), F.lit(1e-12)
+    )
+    return df.withColumn("__nrm", n).withColumn(
         "unit",
         F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: x / F.greatest(n, F.lit(1e-12))
+            F.col(vec_col).cast("array<double>"),
+            lambda x: x / F.col("__nrm"),
         ),
-    )
+    ).drop("__nrm")
 
 
 def brute_force_topk(

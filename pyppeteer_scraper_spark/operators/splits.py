@@ -189,7 +189,9 @@ def split_ngram_contamination(
     split; docs shorter than n tokens have no windows and are clean by
     definition.
     """
-    toks = F.split(F.col(text_col), " ", -1)
+    # split staged in its own projection (r06): in-lambda split()
+    # re-evaluates per window start — codegen CSE stops at lambdas
+    toks = F.col("__toks")
     n_toks = F.size(toks)
     windows = F.when(
         n_toks >= n,
@@ -205,6 +207,10 @@ def split_ngram_contamination(
     # times (train fingerprints, eval hits, eval sizes) — materialize
     # it once
     base = df.select(
+        F.col(id_col),
+        F.col(split_col),
+        F.split(F.col(text_col), " ", -1).alias("__toks"),
+    ).select(
         F.col(id_col), F.col(split_col), windows.alias("__w")
     ).localCheckpoint()
     train_fps = (

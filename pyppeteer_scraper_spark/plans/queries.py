@@ -2162,12 +2162,17 @@ _CHUNK_WORDS = 6
 
 def _chunked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # split staged in its own projection: referencing split() inside
+    # the transform lambda re-evaluates it per chunk (codegen CSE does
+    # not reach into lambda bodies) — r06, guide §1.2
+    toks = F.col("__toks")
     lines = F.transform(
         F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_WORDS)),
         lambda s: F.concat_ws(" ", F.slice(toks, s, _CHUNK_WORDS)),
     )
-    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).select("doc_id", F.array_join(lines, "\n").alias("text"))
 
 
 @query(
@@ -5295,7 +5300,9 @@ def text_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyppeteer_scraper_spark.functions.text import c4_line_filters
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # split staged in its own projection (r06): in-lambda split()
+    # re-evaluates per chunk — codegen CSE stops at lambda bodies
+    toks = F.col("__toks")
     base = F.transform(
         F.sequence(F.lit(1), F.size(toks), F.lit(6)),
         lambda s: F.concat(F.concat_ws(" ", F.slice(toks, s, 6)), F.lit(".")),
@@ -5314,7 +5321,9 @@ def text_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         planted(13, "this line has no terminal punctuation mark"),
         planted(17, "lorem ipsum dolor sit amet consectetur."),
     )
-    aug = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    aug = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).select("doc_id", F.array_join(lines, "\n").alias("text"))
     return c4_line_filters(aug)
 
 
@@ -5832,13 +5841,19 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # split staged in its own projection (r06): in-lambda split()
+    # re-evaluates per chunk — codegen CSE stops at lambda bodies
+    toks = F.col("__toks")
     chunks = F.transform(
         F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_WORDS)),
         lambda s: F.concat_ws(" ", F.slice(toks, s, _CHUNK_WORDS)),
     )
     banner = F.concat(F.lit("cookie notice "), F.col("source"))
     lines = docs.select(
+        "source",
+        "doc_id",
+        F.split(F.col("text"), " ").alias("__toks"),
+    ).select(
         F.col("source").alias("host"),
         "doc_id",
         F.explode(F.concat(F.array(banner), chunks)).alias("line"),
@@ -10408,7 +10423,9 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     split matches the oracle exactly (the planted whitespace fixtures
     exercise the boundary)."""
     docs = load_table(spark, sf_dir, "documents")
-    ts = F.split(F.col("text"), " ", -1)
+    # split staged in its own projection (r06): in-lambda split()
+    # re-evaluates per window start — codegen CSE stops at lambdas
+    ts = F.col("__toks")
     n = F.size(ts)
     w = 20
     wins = F.transform(
@@ -10417,7 +10434,10 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(float(w)),
     )
     return (
-        docs.select("doc_id", n.alias("n_tokens"), wins.alias("__w"))
+        docs.select(
+            "doc_id", F.split(F.col("text"), " ", -1).alias("__toks")
+        )
+        .select("doc_id", n.alias("n_tokens"), wins.alias("__w"))
         .filter(F.col("n_tokens") >= w)
         .select(
             "doc_id",
