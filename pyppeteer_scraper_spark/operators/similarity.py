@@ -245,7 +245,14 @@ def embedding_near_dup_pairs(
         b = u.select(F.col(id_col).alias("b"), F.col("unit").alias("ub"))
         cand = a.crossJoin(b).filter(F.col("a") < F.col("b"))
     elif method == "lsh":
-        sig = srp_band_keys(u, "unit", n_planes=n_planes, n_bands=n_bands)
+        # pinned (r06): the signature table feeds BOTH band-join sides
+        # and both hydration joins — unpinned, the unit-norm projection
+        # and the Arrow matmul UDF re-ran once per reference (4× for
+        # the norm, 2× for the matmul).  One row per vector.
+        sig = srp_band_keys(
+            u, "unit", n_planes=n_planes, n_bands=n_bands
+        ).localCheckpoint()
+        u = sig.select(F.col(id_col), F.col("unit"))
         # ids ONLY through the band join and the pair dedup: both sides
         # of the L-way-exploded equi-join and the distinct shuffle carry
         # an (id, key) pair — 16 bytes/row — instead of dim-sized unit
