@@ -289,8 +289,10 @@ def select_batch(
     ranked = p2.filter(F.col("__rn2") <= F.col("__cap")).drop(*aux, "__rn1", "__rn2")
     leftover = p2.filter(F.col("__rn2") > F.col("__cap")).drop(*aux, "__rn1", "__rn2")
 
-    batch = passthrough.unionByName(ranked)
-    still_pending = eliminated.unionByName(leftover)
+    # positional unions: both sides are drops over the same gated
+    # column order (r06 — see new_frontier note)
+    batch = passthrough.union(ranked)
+    still_pending = eliminated.union(leftover)
     return batch, blocked, still_pending, (gated0, p1, p2)
 
 
@@ -426,9 +428,14 @@ def fetch_error_rows(
         ),
         F.format_string("URL: %s", F.col("url")).alias("details"),
     )
+    # positional union (r06): all three branches are explicit selects
+    # of (url, error_kind, error_message, details) in the same order,
+    # and unionByName's eager by-name resolution re-analyzes the whole
+    # accumulated plan per call — the round's plan-BUILD phase was 40%
+    # unionByName analysis (cProfile, OPTIMIZATION_r06.md).
     return (
-        json_err.unionByName(key_err)
-        .unionByName(fetch_err)
+        json_err.union(key_err)
+        .union(fetch_err)
         .withColumn("round", F.lit(round_no).cast("int"))
     )
 
@@ -525,7 +532,8 @@ def run_round(
     if pages_fallback is not None:
         fetched2 = _fetch(missing1.drop("fetch_attempt"), pages_fallback).cache()
         fetch_caches.append(fetched2)
-        found = found1.unionByName(_found(fetched2, 2))
+        # positional: both sides are _found()'s explicit select list
+        found = found1.union(_found(fetched2, 2))
         missing = fetched2.filter(F.col("html").isNull()).drop(*page_cols)
         attempts_tried = 2
     else:
@@ -597,18 +605,29 @@ def run_round(
                 store_factory=bloom_store_factory,
             )
         else:
-            unseen = links.join(
-                state.url_seen.select("url_hash", "url"),
-                ["url_hash", "url"],
-                "left_anti",
-            )
+            unseen = None
     else:
-        unseen = links.join(
-            state.url_seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
-        )
-    new_links = unseen.join(
-        state.frontier.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
-    ).cache()
+        unseen = None
+    if unseen is not None:
+        new_links = unseen.join(
+            state.frontier.select("url_hash", "url"),
+            ["url_hash", "url"],
+            "left_anti",
+        ).cache()
+    else:
+        # fused anti-join (r06): "not in url_seen AND not in frontier"
+        # ⇔ one left_anti against the UNION of both key sets — links
+        # shuffle once instead of twice (the old chained form shuffled
+        # the first anti's output again for the second).  Duplicates in
+        # the union are irrelevant to an anti-join; both selects share
+        # one column order (positional union).
+        new_links = links.join(
+            state.url_seen.select("url_hash", "url").union(
+                state.frontier.select("url_hash", "url")
+            ),
+            ["url_hash", "url"],
+            "left_anti",
+        ).cache()
 
     # State updates.  Revisited URLs (last_fetch_round ≥ 0) are already
     # in url_seen — only first-time fetches append.
@@ -622,17 +641,22 @@ def run_round(
         "discovered_ts", "state", "revisit_interval", "last_fetch_round",
         "fetch_attempt",
     ]
+    # positional unions (r06): every branch is .select(frontier_cols)
+    # in one pinned order (the new_links branch lists the same columns
+    # explicitly), so by-name resolution buys nothing — and its eager
+    # analysis of the growing union re-ran per branch, dominating the
+    # driver-side round build (cProfile: 7.0 s of 17.1 s over 2 rounds).
     new_frontier = (
         rest.select(frontier_cols)
-        .unionByName(still_pending.select(frontier_cols))
-        .unionByName(blocked.withColumn("state", F.lit("blocked")).select(frontier_cols))
-        .unionByName(
+        .union(still_pending.select(frontier_cols))
+        .union(blocked.withColumn("state", F.lit("blocked")).select(frontier_cols))
+        .union(
             found.withColumn("state", F.lit("fetched"))
             .withColumn("discovered_ts", F.col("discovered_ts"))
             .select(frontier_cols)
         )
-        .unionByName(missing.withColumn("state", F.lit("missing")).select(frontier_cols))
-        .unionByName(
+        .union(missing.withColumn("state", F.lit("missing")).select(frontier_cols))
+        .union(
             new_links.select(
                 "url", "url_hash", "host", "domain", "priority", "depth",
                 ts.alias("discovered_ts"), F.lit("pending").alias("state"),
@@ -675,8 +699,8 @@ def run_round(
 
     metrics = (
         _tag(found, "fetched")
-        .unionByName(_tag(new_links, "deduped"))
-        .unionByName(_tag(actions, "emitted"))
+        .union(_tag(new_links, "deduped"))
+        .union(_tag(actions, "emitted"))
         .groupBy("partition_id")
         .agg(
             F.count(F.when(F.col("__kind") == "fetched", 1)).alias("fetched"),
@@ -706,8 +730,8 @@ def run_round(
     # this round's caches; the distinct is over domains, not rows.
     touched_domains = (
         batch.select("domain")
-        .unionByName(blocked.select("domain"))
-        .unionByName(new_links.select("domain"))
+        .union(blocked.select("domain"))
+        .union(new_links.select("domain"))
         .distinct()
     )
 
