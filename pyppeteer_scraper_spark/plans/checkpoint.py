@@ -477,12 +477,32 @@ def crawl(
     # fallback): rows the primary source misses are retried against the
     # fallback source inside each round, with fetch_attempt recorded.
     pp = prepare_pages(pages)
+    # Hash-partition the page stores by the fetch-join key ONCE at
+    # crawl start (r06, guide §2.4): every round's fetch join requires
+    # hashpartitioning(url); cached un-partitioned, the heavy side
+    # (URL + full html payload) was re-shuffled EVERY round — caching
+    # it already distributed by url lets the per-round join reuse the
+    # partitioning and shuffle only the (small) batch side.  The
+    # partition count follows spark.sql.shuffle.partitions — the same
+    # scale knob the join's own exchange would use.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if "fetch_via" in pp.columns:
-        pages_prepared = pp.filter(F.col("fetch_via") != "fallback").drop("fetch_via")
-        pages_fallback = pp.filter(F.col("fetch_via") == "fallback").drop("fetch_via")
+        pages_prepared = (
+            pp.filter(F.col("fetch_via") != "fallback")
+            .drop("fetch_via")
+            .repartition(n_shuffle, "url")
+        )
+        pages_fallback = (
+            pp.filter(F.col("fetch_via") == "fallback")
+            .drop("fetch_via")
+            .repartition(n_shuffle, "url")
+        )
         pages_fallback.cache().count()
     else:
-        pages_prepared, pages_fallback = pp, None
+        pages_prepared, pages_fallback = (
+            pp.repartition(n_shuffle, "url"),
+            None,
+        )
     pages_prepared.cache().count()
 
     if resume:
