@@ -126,6 +126,83 @@ def quality_model_score(
     return {"n_grams": n, "score_raw": raw, "score": score}
 
 
+def quality_model_scored(
+    df: DataFrame,
+    text_col: str = "text",
+    carry: tuple[str, ...] = ("doc_id",),
+    salt: str = "qmodel-v1",
+    weights: list[int] | None = None,
+) -> DataFrame:
+    """DataFrame form of :func:`quality_model_score` with the shared
+    subtrees STAGED in their own projections (round 6, guide §1.2):
+    tokenize once, build grams once, compute the bucket dot product
+    once, then derive the sigmoid from the projected columns.
+
+    The Column form repeats the gram pipeline inside every output —
+    ``score`` alone embeds the tokenization three times (n in the
+    guard, n in the denominator, grams in the dot product) and codegen
+    does not common-subexpression-eliminate higher-order-function
+    subtrees, so selecting (n_grams, score_raw, score) re-tokenized
+    every row up to five times.  Measured 2.4-2.7 s → ~1.0 s on the
+    sf0.1 documents table (tools/bench_qmodel_ab.py, rows identical).
+
+    Returns ``df.select(*carry)`` plus ``n_grams`` (long),
+    ``score_raw`` (bigint) and ``score`` (double) — byte-identical to
+    the Column form's values.
+    """
+    w = weights if weights is not None else default_weights()
+    warr = F.array(*[F.lit(int(x)) for x in w])
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\W+"), lambda t: t != ""
+    )
+    s1 = df.select(*carry, toks.alias("__toks"))
+    n_t = F.size(F.col("__toks"))
+    bigrams = F.when(
+        n_t >= 2,
+        F.zip_with(
+            F.slice("__toks", 1, n_t - 1),
+            F.slice("__toks", 2, n_t - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s2 = s1.select(*carry, F.concat("__toks", bigrams).alias("__grams"))
+    buckets = F.transform(
+        F.col("__grams"),
+        lambda g: F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("\x1f", F.lit(salt), g)), 1, 6),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(len(w)),
+        ),
+    )
+    raw = F.aggregate(
+        buckets,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.element_at(warr, (b + 1).cast("int")).cast("bigint"),
+    )
+    s3 = s2.select(
+        *carry,
+        F.size("__grams").cast("long").alias("n_grams"),
+        raw.alias("score_raw"),
+    )
+    x = F.col("score_raw").cast("double") / (
+        F.col("n_grams").cast("double") * float(_WEIGHT_SPAN)
+    )
+    return s3.select(
+        *carry,
+        "n_grams",
+        "score_raw",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("score"),
+    )
+
+
 def oracle_weight_array_sql(weights: list[int] | None = None) -> str:
     """The literal DuckDB list matching ``default_weights()`` — keeps
     the registered oracle SQL self-contained."""

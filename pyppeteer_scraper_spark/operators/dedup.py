@@ -211,7 +211,11 @@ def simhash_near_dups(
 
     Output: (a, b, hamming).
     """
-    sig = simhash(df, text_col, id_col)
+    # sig (one row per doc, 2 longs) feeds BOTH sides of the block
+    # self-join; unpinned, the token explode + 64-column vote aggregate
+    # would be evaluated twice (guide §2.4 — same fix as the SRP
+    # signature pin in similarity.py)
+    sig = simhash(df, text_col, id_col).localCheckpoint()
     blocks = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -657,8 +661,15 @@ def substring_dup_coverage(
             )
         ).alias("pos", "wh"),
     )
-    dup_hashes = wins.groupBy("wh").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
-    dwins = wins.join(dup_hashes.select("wh"), "wh").select(id_col, "pos")
+    # one hash-partitioned window count replaces groupBy(wh) + re-join:
+    # the token/window explode is evaluated once and the wh key is
+    # shuffled once instead of twice (guide §2.4); c > 1 marks the same
+    # rows the dup-hash semi-join did
+    dwins = (
+        wins.withColumn("c", F.count("*").over(Window.partitionBy("wh")))
+        .filter(F.col("c") > 1)
+        .select(id_col, "pos")
+    )
 
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(

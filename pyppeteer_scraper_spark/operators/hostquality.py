@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyppeteer_scraper_spark.functions.classifier import quality_model_score
+from pyppeteer_scraper_spark.functions.classifier import (
+    quality_model_score,
+    quality_model_scored,
+)
 
 
 def domain_quality(
@@ -36,13 +39,28 @@ def domain_quality(
     rounded to 6 dp — identical whatever the partitioning, matching the
     DuckDB oracle bit-for-bit.
     """
-    cols = quality_model_score(F.col(text_col), hash_fn=hash_fn)
-    agg = (
-        pages.select(
+    if hash_fn == "md5":
+        # staged projections (round 6): score_raw and n_grams share the
+        # tokenize/gram subtree, which the Column form re-evaluated per
+        # output (classifier.quality_model_scored)
+        scored = quality_model_scored(
+            pages.select(F.col(domain_col).alias("domain"), F.col(text_col)),
+            text_col=text_col,
+            carry=("domain",),
+        ).select(
+            "domain",
+            F.col("score_raw").alias("__raw"),
+            F.col("n_grams").alias("__n"),
+        )
+    else:
+        cols = quality_model_score(F.col(text_col), hash_fn=hash_fn)
+        scored = pages.select(
             F.col(domain_col).alias("domain"),
             cols["score_raw"].alias("__raw"),
             cols["n_grams"].alias("__n"),
         )
+    agg = (
+        scored
         .groupBy("domain")
         .agg(
             F.count("*").alias("n_docs"),

@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyppeteer_scraper_spark.functions.classifier import quality_model_score
+from pyppeteer_scraper_spark.functions.classifier import quality_model_scored
 
 
 def select_by_token_budget(
@@ -52,14 +52,24 @@ def select_by_token_budget(
     (``split(text, ' ')`` — single-space, empties counted) so the
     DuckDB twin is exact.
     """
-    score = quality_model_score(F.col(text_col))["score"]
-    scored = docs.select(
-        F.col(source_col).alias("source"),
-        F.col(id_col).alias("doc_id"),
+    # staged model score (round 6): the Column form's score embeds the
+    # tokenization 3x per row (classifier.quality_model_scored); text is
+    # carried one projection so n_tokens uses the same input column
+    scored = quality_model_scored(
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col),
+        ),
+        text_col=text_col,
+        carry=("source", "doc_id", text_col),
+    ).select(
+        "source",
+        "doc_id",
         F.size(F.split(F.col(text_col), " ", -1)).cast("long").alias(
             "n_tokens"
         ),
-        score.alias("score"),
+        "score",
     )
     w = (
         Window.partitionBy("source")

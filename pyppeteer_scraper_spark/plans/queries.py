@@ -1761,17 +1761,13 @@ def text_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic placeholder weights stand in for a trained vector;
     the DuckDB oracle recomputes the exact integer dot product."""
     from pyppeteer_scraper_spark.functions.classifier import (
-        quality_model_score,
+        quality_model_scored,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cols = quality_model_score(F.col("text"))
-    return docs.select(
-        "doc_id",
-        cols["n_grams"].alias("n_grams"),
-        cols["score_raw"].alias("score_raw"),
-        cols["score"].alias("score"),
-    )
+    # staged projections (round 6): the Column form re-tokenized every
+    # row up to 5x across the three outputs — see quality_model_scored
+    return quality_model_scored(docs, carry=("doc_id",))
 
 
 def _domain_quality_oracle_sql() -> str:
@@ -4426,13 +4422,15 @@ def text_quality_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-stable) per-doc scores, so the engines correlate identical
     rationals; one map-side-combined aggregate, no shuffle beyond it."""
     from pyppeteer_scraper_spark.functions.classifier import (
-        quality_model_score,
+        quality_model_scored,
     )
     from pyppeteer_scraper_spark.functions.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    both = docs.select(
-        quality_model_score(F.col("text"))["score"].alias("model_score"),
+    # staged model score (round 6); text is carried so the heuristic
+    # quality_score evaluates in the following projection unchanged
+    both = quality_model_scored(docs, carry=("text",)).select(
+        F.col("score").alias("model_score"),
         quality_score(F.col("text")).alias("quality"),
     )
     return both.agg(
@@ -6046,14 +6044,13 @@ def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     |confidence - accuracy| sum."""
     from pyppeteer_scraper_spark.functions.classifier import (
         calibration_bins,
-        quality_model_score,
+        quality_model_scored,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cols = quality_model_score(F.col("text"))
-    scored = docs.select(
-        cols["score"].alias("score"),
-        (F.col("lang") == F.lit("en")).alias("label"),
+    # staged form (round 6): score alone embeds the tokenization 3x
+    scored = quality_model_scored(docs, carry=("lang",)).select(
+        "score", (F.col("lang") == F.lit("en")).alias("label")
     )
     return calibration_bins(scored, "score", "label", n_bins=10)
 
@@ -7913,15 +7910,14 @@ def quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (map-side combine), then the packing.py two-pass bucketed
     prefix — no global single-task window."""
     from pyppeteer_scraper_spark.functions.classifier import (
-        quality_model_score,
+        quality_model_scored,
         roc_auc_exact,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cols = quality_model_score(F.col("text"))
-    scored = docs.select(
-        cols["score_raw"].alias("score_raw"),
-        (F.col("lang") == F.lit("en")).alias("label"),
+    # staged form (round 6): shares the tokenize/gram pass once
+    scored = quality_model_scored(docs, carry=("lang",)).select(
+        "score_raw", (F.col("lang") == F.lit("en")).alias("label")
     )
     return roc_auc_exact(scored, "score_raw", "label")
 
