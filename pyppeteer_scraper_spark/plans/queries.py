@@ -2792,19 +2792,27 @@ def text_curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    g = with_gopher_rules(docs).select(
+    # Both signal families are pure projections over the same scan, so
+    # they CHAIN into one pass (round 6, guide §2.4): the old
+    # g.join(rep, "doc_id") shuffled two projections of the same rows
+    # just to put their columns side by side (doc_id is unique, so the
+    # inner join was row-for-row identical to composing the
+    # projections).
+    proj = with_repetition_signals(
+        with_gopher_rules(docs).select(
+            "doc_id", "text", "n_words", "n_stopwords",
+            "frac_alpha_words", "symbol_ratio",
+        )
+    ).select(
         "doc_id", "n_words", "n_stopwords", "frac_alpha_words",
-        "symbol_ratio",
-    )
-    rep = with_repetition_signals(docs).select(
-        "doc_id", "top_2gram_frac", "dup_word_frac"
+        "symbol_ratio", "top_2gram_frac", "dup_word_frac",
     )
     lm = trigram_lm_scores(docs).select("doc_id", "ppl")
     # LEFT join: sub-trigram docs have no LM row but must still flow
     # through the verdict (too_short fires before the ppl rule; a NULL
     # ppl comparison is never true, so such docs can't leak to
     # high_perplexity)
-    sig = g.join(rep, "doc_id").join(lm, "doc_id", "left")
+    sig = proj.join(lm, "doc_id", "left")
     verdict = (
         F.when(F.col("n_words") < 30, F.lit("too_short"))
         .when(F.col("n_stopwords") < 2, F.lit("no_stopwords"))
