@@ -27,7 +27,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
     """(id, shingle) pairs of k-word shingles — JVM-side via split +
     transform over positions + explode.
 
@@ -37,19 +43,27 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     per doc — because codegen does not common-subexpression-eliminate
     into higher-order-function lambdas.  Splitting once per row in a
     preceding Project is ~4× faster on the bench corpus (guide §1.2
-    "per-task work")."""
+    "per-task work").
+
+    ``distinct=False`` skips the (id, shingle) dedup shuffle — correct
+    whenever every consumer aggregate is MULTISET-INVARIANT (min() for
+    minhash, collect_set() for exact set verify): duplicates change
+    neither, so the result is identical and the shingle table reaches
+    the consumer's groupBy with ONE exchange instead of two (round 6,
+    guide §2.4).  Keep the default for consumers that COUNT shingles
+    (document frequency, containment sizes)."""
     toks = F.col("__toks")
     n = F.size(toks)
     idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
-    return (
+    out = (
         df.select(
             F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks")
         )
         .select(F.col(id_col), F.explode(F.transform(idxs, shingle)).alias("shingle"))
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -136,7 +150,7 @@ def minhash_lsh_pairs(
     # (one row per doc, n_perm longs) instead of replaying the shingle
     # explode 3x
     sig = minhash_signatures(
-        word_shingles(df, text_col, id_col, k), id_col, n_perm
+        word_shingles(df, text_col, id_col, k, distinct=False), id_col, n_perm
     ).localCheckpoint()
     candidates = minhash_band_candidates(sig, id_col, n_perm, bands)
     sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"))
@@ -303,7 +317,9 @@ def shingle_jaccard_pairs_lsh(
 
     Output: (a, b, n_common, n_union, jaccard) with a < b.
     """
-    shingles = word_shingles(df, text_col, id_col, k)
+    # distinct=False: both consumers below (min aggregate, collect_set)
+    # are multiset-invariant, so the dedup shuffle is pure overhead
+    shingles = word_shingles(df, text_col, id_col, k, distinct=False)
     # one row per doc; both band-join sides read it — materialize so
     # the shingle→min aggregation runs once, not twice (r06: the sig is
     # now already one row per doc, so this pin is docs × n_perm longs)
@@ -897,8 +913,10 @@ def incremental_minhash_pairs(
     jaccard >= threshold; exact shingle-set Jaccard, so precision is
     exact and the oracle can verify by brute force.
     """
-    sh_new = word_shingles(new_df, text_col, id_col, k)
-    sh_old = word_shingles(corpus_df, text_col, id_col, k)
+    # distinct=False: min() and collect_set() below are multiset-
+    # invariant, so the per-side dedup shuffles were pure overhead
+    sh_new = word_shingles(new_df, text_col, id_col, k, distinct=False)
+    sh_old = word_shingles(corpus_df, text_col, id_col, k, distinct=False)
     sig_new = minhash_signatures(sh_new, id_col, n_perm)
     sig_old = minhash_signatures(sh_old, id_col, n_perm)
     rows_per_band = n_perm // bands

@@ -9091,13 +9091,32 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     f = readability_features(F.col("text"))
-    return docs.select(
+    # staged (round 6): the sentence count embeds a higher-order list
+    # filter, which codegen does not subexpression-eliminate — selecting
+    # the counts AND both formulas re-ran the split+filter 3x per row.
+    # The formulas below are the same expressions over the projected
+    # counts (identical doubles).
+    base = docs.select(
         "doc_id",
         f["n_words"].alias("n_words"),
         f["n_sentences"].alias("n_sentences"),
         f["n_syllables"].alias("n_syllables"),
-        f["flesch_ease"].alias("flesch_ease"),
-        f["fk_grade"].alias("fk_grade"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables") / F.greatest(
+        F.col("n_words"), F.lit(1)
+    ).cast("double")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
     )
 
 
